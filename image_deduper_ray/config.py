@@ -1,0 +1,81 @@
+"""Pipeline configuration.
+
+Analog of the reference's ``Config`` struct
+(/root/reference/crates/image-deduper-core/src/config.rs:37-96): the
+dedup-relevant knobs there (``phash_threshold`` default 90 at
+config.rs:105, ``prioritization`` rules at config.rs:5-23 and
+config.rs:111-115, ``batch_size`` default 100 at config.rs:120) become
+the shingle / signature / LSH / threshold / canonical-pick knobs here.
+
+A frozen dataclass: every stage receives it explicitly (actor
+constructor args) — no globals, so runs are deterministic and
+resumable (SURVEY.md §2.8, §7.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- signature config (must match the oracle exactly for recall) ---
+    shingle_k: int = 5          # token 5-gram shingles (north rule)
+    num_perms: int = 128        # MinHash permutations (analog: Enhanced [u64;16] phash)
+    simhash_bits: int = 64      # SimHash width (analog: Standard u64 phash)
+    minhash_seed: int = 12345   # seeds the (a, b) permutation coefficients
+
+    # --- LSH banding ---
+    lsh_bands: int = 32         # b  (b * r must equal num_perms)
+    lsh_rows: int = 4           # r; s-curve threshold (1/b)^(1/r) ~= 0.42
+    bucket_cap: int = 64        # max members per bucket before salting kicks in
+    salt_window: int = 8        # pair window inside oversized sub-buckets
+
+    # --- containment (suffix-array substring pass) candidate bands ---
+    containment_perms: int = 16  # first n perms used as r=1 bands
+    containment_min_len_ratio: float = 0.0  # pairs with any size ratio allowed
+
+    # --- verification ---
+    jaccard_threshold: float = 0.8   # analog of phash_threshold=90 (config.rs:105)
+
+    # --- batch / scale knobs ---
+    sig_batch_size: int = 512        # rows per signature-actor batch
+    sig_concurrency: int | tuple[int, int] | None = None  # actor pool size (None = tasks sizing by Ray)
+    join_num_partitions: int = 16    # hash-join partition count for pair-verify joins
+    max_content_bytes: int = 262144  # rows larger than this use the windowed signature path (M6/M7)
+    cc_max_rounds: int = 50          # label-propagation round cap
+    cc_driver_max_edges: int = 2_000_000  # below this, union-find on the driver is allowed
+
+    # --- canonical pick (analog of PriorityRule list, config.rs:111-115:
+    #     HighestResolution -> LargestFileSize -> OldestCreationDate) ---
+    # deterministic lexicographic tuple: largest content first, then
+    # repo/path/commit for total order.
+    canonical_order: tuple[str, ...] = ("-n_bytes", "repo", "path", "commit")
+
+    # --- per-row time budget (analog of timeout_utils.rs:27-58) ---
+    row_time_budget_s: float = 5.0
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.num_perms:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) != num_perms ({self.num_perms})"
+            )
+        if self.containment_perms > self.num_perms:
+            raise ValueError("containment_perms > num_perms")
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "DedupConfig":
+        d = json.loads(s)
+        if "canonical_order" in d:
+            d["canonical_order"] = tuple(d["canonical_order"])
+        if isinstance(d.get("sig_concurrency"), list):
+            d["sig_concurrency"] = tuple(d["sig_concurrency"])
+        return cls(**d)
+
+
+DEFAULT_CONFIG = DedupConfig()

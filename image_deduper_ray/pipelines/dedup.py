@@ -1,0 +1,218 @@
+"""End-to-end dedup pipeline with checkpoint/resume.
+
+The Ray-Data recast of the reference's intended flow
+(/root/reference/dev_notes.md:1-49, docs/mermaid/core-architecture.mmd:2-38:
+Discovery -> Processing -> Persistence -> DuplicateCheck -> Action) and
+of the ``ImageDeduper::run`` / ``hash_and_persist`` drivers
+(/root/reference/crates/image-deduper-core/src/lib.rs:110-243):
+
+  read files -> SignatureStage (actor pool)    [checkpoint signatures]
+  -> exact sha256 edges (groupby)              [checkpoint edges_exact]
+  -> LSH candidate pairs (salted groupby)      [checkpoint pairs]
+  -> Jaccard verification (hash joins)         [checkpoint verified]
+  -> containment verification (substring pass) [checkpoint edges_cont]
+  -> union edges                               [checkpoint edges]
+  -> connected components                      [checkpoint clusters]
+  -> canonical pick + actions lineage          [checkpoint actions]
+
+Every stage writes Parquet + a manifest; a rerun skips completed stages
+and anti-joins partially-done signature work (the find_new_images
+discipline, db.rs:132-164). The ``content`` column never crosses a
+shuffle: it is dropped inside the signature stage and re-read from the
+source only for the (small) containment-candidate set.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from ..config import DedupConfig, DEFAULT_CONFIG
+from ..functions import hashing
+from ..functions.arrow_utils import ensure_schema
+from ..functions.joins import hash_join
+from ..sources import checkpoints as ckpt
+from ..sources.files import read_files
+from ..stages.canonical import canonical_actions
+from ..stages.cc import connected_components
+from ..stages.lsh import candidate_pairs
+from ..stages.signatures import SignatureStage
+from ..stages.substring import ContainmentVerify
+from ..stages.verify import exact_dup_edges, verify_pairs
+from ..state.metrics import MetricsSink, StageTimer
+
+_EMPTY_EDGES = pa.table({"a": pa.array([], pa.string()),
+                         "b": pa.array([], pa.string())})
+
+
+def _add_file_id(batch: pa.Table) -> pa.Table:
+    fids = hashing.file_ids(batch["repo"].to_pylist(), batch["path"].to_pylist(),
+                            batch["commit"].to_pylist())
+    return batch.append_column("file_id", pa.array(fids, pa.string()))
+
+
+def compute_signatures(files: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=cfg.sig_batch_size,
+                  fn_constructor_args=(cfg,))
+    if cfg.sig_concurrency is not None:
+        kwargs["concurrency"] = cfg.sig_concurrency
+    else:
+        kwargs["concurrency"] = (1, 8)
+    return files.map_batches(SignatureStage, **kwargs)
+
+
+def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
+                 resume: bool = True, cc_mode: str = "auto",
+                 langs: list[str] | None = None,
+                 exclude_path_prefixes: list[str] | None = None) -> dict:
+    """Run (or resume) the full dedup pipeline. Returns handles to every
+    stage's checkpoint Dataset plus summary counts."""
+    metrics = MetricsSink(out_dir)
+    cfg_json = cfg.to_json()
+
+    # -- signatures (the expensive stage: resumable mid-stage) --
+    if not (resume and ckpt.is_complete(out_dir, "signatures")):
+        with StageTimer(metrics, "signatures") as t:
+            files = read_files(input_paths, langs=langs,
+                               exclude_path_prefixes=exclude_path_prefixes)
+            done = ckpt.done_key_set(out_dir, "signatures") if resume else set()
+            if done:
+                files = files.map_batches(_add_file_id, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+                files = ckpt.anti_join_done(
+                    files, done, lambda b: b["file_id"].to_pylist())
+                files = files.map_batches(lambda b: b.drop_columns(["file_id"]),
+                                          batch_format="pyarrow")
+            sigs = ckpt.write_stage(compute_signatures(files, cfg), out_dir,
+                                    "signatures", cfg_json)
+            t.done(ckpt.read_manifest(out_dir, "signatures")["rows"],
+                   resumed_from=len(done))
+    sigs = ckpt.read_stage(out_dir, "signatures")
+
+    # -- exact-dup edges (A1) --
+    if not (resume and ckpt.is_complete(out_dir, "edges_exact")):
+        with StageTimer(metrics, "edges_exact") as t:
+            e = exact_dup_edges(sigs)
+            e = ckpt.write_stage(e, out_dir, "edges_exact", cfg_json)
+            t.done(ckpt.read_manifest(out_dir, "edges_exact")["rows"])
+    edges_exact = ckpt.read_stage(out_dir, "edges_exact")
+
+    # -- LSH candidate pairs (A2 part 1, salted) --
+    if not (resume and ckpt.is_complete(out_dir, "pairs")):
+        with StageTimer(metrics, "pairs") as t:
+            p = candidate_pairs(sigs, cfg)
+            p = ckpt.write_stage(p, out_dir, "pairs", cfg_json)
+            t.done(ckpt.read_manifest(out_dir, "pairs")["rows"])
+    pairs = ckpt.read_stage(out_dir, "pairs")
+
+    # -- Jaccard verification (J4) --
+    if not (resume and ckpt.is_complete(out_dir, "verified")):
+        with StageTimer(metrics, "verified") as t:
+            if ckpt.read_manifest(out_dir, "pairs")["rows"] == 0:
+                v = ray.data.from_arrow(pa.table({
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "jaccard": pa.array([], pa.float64()),
+                    "verdict": pa.array([], pa.string())}))
+            else:
+                v = verify_pairs(pairs, sigs, cfg)
+            v = ckpt.write_stage(v, out_dir, "verified", cfg_json)
+            t.done(ckpt.read_manifest(out_dir, "verified")["rows"])
+    verified = ckpt.read_stage(out_dir, "verified")
+
+    # -- containment (suffix-array substring) edges --
+    if not (resume and ckpt.is_complete(out_dir, "edges_cont")):
+        with StageTimer(metrics, "edges_cont") as t:
+            cands = verified.map_batches(
+                lambda tb: tb.filter(
+                    pa.compute.equal(tb["verdict"], "containment_cand"))
+                .select(["a", "b"]),
+                batch_format="pyarrow", zero_copy_batch=True)
+            if cands.count() == 0:
+                ce = ray.data.from_arrow(_EMPTY_EDGES)
+            else:
+                content = (read_files(input_paths, langs=langs,
+                                      exclude_path_prefixes=exclude_path_prefixes)
+                           .map_batches(_add_file_id, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+                           .select_columns(["file_id", "content"]))
+                content_a = content.map_batches(
+                    lambda tb: tb.rename_columns(["file_id", "content_a"]),
+                    batch_format="pyarrow", zero_copy_batch=True)
+                content_b = content.map_batches(
+                    lambda tb: tb.rename_columns(["file_id", "content_b"]),
+                    batch_format="pyarrow", zero_copy_batch=True)
+                ab = pa.schema([("a", pa.string()), ("b", pa.string())])
+                j = hash_join(cands, content_a, "a", "file_id", ab,
+                              pa.schema([("content_a", pa.string())]),
+                              num_partitions=cfg.join_num_partitions)
+                j = hash_join(j, content_b, "b", "file_id",
+                              ab.append(pa.field("content_a", pa.string())),
+                              pa.schema([("content_b", pa.string())]),
+                              num_partitions=cfg.join_num_partitions)
+                ce = j.map_batches(ContainmentVerify(), batch_format="pyarrow")
+            ce = ckpt.write_stage(ce, out_dir, "edges_cont", cfg_json)
+            t.done(ckpt.read_manifest(out_dir, "edges_cont")["rows"])
+    edges_cont = ckpt.read_stage(out_dir, "edges_cont")
+
+    # -- edge union --
+    if not (resume and ckpt.is_complete(out_dir, "edges")):
+        with StageTimer(metrics, "edges") as t:
+            near = verified.map_batches(
+                lambda tb: tb.filter(pa.compute.equal(tb["verdict"], "near_dup"))
+                .select(["a", "b"]),
+                batch_format="pyarrow", zero_copy_batch=True)
+            all_edges = near.union(edges_exact.select_columns(["a", "b"]),
+                                   edges_cont.select_columns(["a", "b"]))
+            all_edges = ckpt.write_stage(all_edges, out_dir, "edges", cfg_json)
+            t.done(ckpt.read_manifest(out_dir, "edges")["rows"])
+    edges = ckpt.read_stage(out_dir, "edges")
+
+    # -- connected components (A2 part 2) --
+    if not (resume and ckpt.is_complete(out_dir, "clusters")):
+        with StageTimer(metrics, "clusters") as t:
+            labels = connected_components(edges, cfg, mode=cc_mode)
+            meta = sigs.select_columns(
+                ["file_id", "repo", "path", "commit", "n_bytes"])
+            meta_schema = pa.schema([
+                ("file_id", pa.string()), ("repo", pa.string()),
+                ("path", pa.string()), ("commit", pa.string()),
+                ("n_bytes", pa.int64())])
+            cl_schema = meta_schema.append(pa.field("cluster_id", pa.string()))
+            lab = labels.map_batches(
+                lambda tb: tb.rename_columns(["node", "cluster_id"]),
+                batch_format="pyarrow")
+            full = hash_join(meta, lab, "file_id", "node", meta_schema,
+                             pa.schema([("cluster_id", pa.string())]),
+                             how="left", num_partitions=cfg.join_num_partitions)
+
+            def fill(tb: pa.Table) -> pa.Table:
+                if tb.num_rows == 0:
+                    return cl_schema.empty_table()
+                cid = pa.compute.coalesce(tb["cluster_id"], tb["file_id"])
+                return ensure_schema(
+                    tb.drop_columns(["cluster_id"]).append_column("cluster_id", cid),
+                    cl_schema)
+
+            full = full.map_batches(fill, batch_format="pyarrow")
+            full = ckpt.write_stage(full, out_dir, "clusters", cfg_json)
+            t.done(ckpt.read_manifest(out_dir, "clusters")["rows"])
+    clusters = ckpt.read_stage(out_dir, "clusters")
+
+    # -- canonical pick + actions lineage (A4) --
+    if not (resume and ckpt.is_complete(out_dir, "actions")):
+        with StageTimer(metrics, "actions") as t:
+            acts = canonical_actions(clusters, cfg)
+            acts = ckpt.write_stage(acts, out_dir, "actions", cfg_json)
+            t.done(ckpt.read_manifest(out_dir, "actions")["rows"])
+    actions = ckpt.read_stage(out_dir, "actions")
+
+    return {
+        "signatures": sigs, "edges_exact": edges_exact, "pairs": pairs,
+        "verified": verified, "edges_cont": edges_cont, "edges": edges,
+        "clusters": clusters, "actions": actions, "metrics": metrics,
+        "out_dir": out_dir,
+    }
+
+

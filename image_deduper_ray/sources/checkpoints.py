@@ -1,0 +1,109 @@
+"""Checkpointed Parquet stages + resume anti-join.
+
+The reference uses its RocksDB keyspace as both sink and resume ledger:
+``batch_insert_hashes`` (S4, /root/reference/crates/image-deduper-core/
+src/persistence/db.rs:64-92), ``get_all_hashes`` (S5, db.rs:94-129) and
+the ``find_new_images`` anti-join (J1, db.rs:132-164) that lets a rerun
+hash only new files (lib.rs:246-264). Here every stage writes a Parquet
+directory plus a ``_MANIFEST.json`` (row count + config hash) written
+only after the data lands — the atomic 'stage done' marker — and resume
+anti-joins the done ``file_id`` set before the expensive signature
+stage.
+
+Scale note: the broadcast anti-join ships the done-key set once via
+``ray.put`` and filters inside ``map_batches`` (no shuffle) — right
+whenever done-keys fit in worker memory (hundreds of millions of 16-byte
+keys). Past that, flip to the partitioned variant: hash-partition both
+sides on ``file_id`` and set-difference per partition (SURVEY.md §2.4 J1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+MANIFEST = "_MANIFEST.json"
+
+
+def stage_dir(root: str, stage: str) -> str:
+    return os.path.join(root, stage)
+
+
+def is_complete(root: str, stage: str) -> bool:
+    return os.path.exists(os.path.join(stage_dir(root, stage), MANIFEST))
+
+
+def write_stage(ds: ray.data.Dataset, root: str, stage: str,
+                config_json: str = "", extra: dict | None = None) -> ray.data.Dataset:
+    """Write a stage checkpoint and its manifest; returns a fresh reader
+    over the checkpoint (so downstream stages re-read from Parquet
+    instead of recomputing the lineage)."""
+    d = stage_dir(root, stage)
+    os.makedirs(d, exist_ok=True)
+    ds.write_parquet(d)
+    if not any(f.endswith(".parquet") for f in os.listdir(d)):
+        # zero-row dataset: persist the schema so readers still work
+        schema = ds.schema()
+        arrow_schema = schema.base_schema if hasattr(schema, "base_schema") else schema
+        pq.write_table(arrow_schema.empty_table(), os.path.join(d, "empty-0.parquet"))
+    n = sum(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            for f in os.listdir(d) if f.endswith(".parquet"))
+    manifest = {"stage": stage, "rows": int(n), "config": config_json}
+    manifest.update(extra or {})
+    tmp = os.path.join(d, MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(d, MANIFEST))  # atomic 'done' marker
+    return read_stage(root, stage)
+
+
+def read_stage(root: str, stage: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    d = stage_dir(root, stage)
+    paths = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    return ray.data.read_parquet(paths, columns=columns)
+
+
+def read_manifest(root: str, stage: str) -> dict:
+    with open(os.path.join(stage_dir(root, stage), MANIFEST)) as fh:
+        return json.load(fh)
+
+
+def clear_stage(root: str, stage: str) -> None:
+    d = stage_dir(root, stage)
+    if os.path.isdir(d):
+        for f in os.listdir(d):
+            os.remove(os.path.join(d, f))
+
+
+def done_key_set(root: str, stage: str, key_col: str = "file_id") -> set[str]:
+    """Read only the key column of a (possibly partial) checkpoint —
+    column pruning means this touches one column's pages, not the data."""
+    d = stage_dir(root, stage)
+    keys: set[str] = set()
+    if not os.path.isdir(d):
+        return keys
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".parquet"):
+            keys.update(pq.read_table(os.path.join(d, f), columns=[key_col])[key_col].to_pylist())
+    return keys
+
+
+def anti_join_done(ds: ray.data.Dataset, done_keys: set[str],
+                   key_fn) -> ray.data.Dataset:
+    """J1: discovered ∖ done. Broadcast the done-key set once
+    (``ray.put``), filter inside map_batches — no shuffle."""
+    if not done_keys:
+        return ds
+    ref = ray.put(done_keys)
+
+    def _filter(batch):
+        import pyarrow as pa
+        done = ray.get(ref)
+        keep = pa.array([k not in done for k in key_fn(batch)], pa.bool_())
+        return batch.filter(keep)
+
+    return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)

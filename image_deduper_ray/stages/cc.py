@@ -1,0 +1,137 @@
+"""Connected components over the verified dup-pair graph.
+
+A2 part 2 in SURVEY.md §2.5 — the reference's duplicate groups
+(``Vec<Vec<ImageFile>>``, intended at
+/root/reference/crates/image-deduper-core/src/deduplication/mod.rs:8-32)
+become a ``clusters(file_id, cluster_id)`` table with
+``cluster_id = min(file_id)`` per component (deterministic, so reruns
+and resumes agree — SURVEY.md §7.4).
+
+Two execution paths:
+  - driver union-find when the edge count is provably small
+    (<= cfg.cc_driver_max_edges): the candidate graph after
+    verification is tiny relative to the input, so this is the common
+    fast path; edges stream to the driver via iter_batches.
+  - distributed min-label propagation (repeated groupby rounds, cf.
+    PAPERS.md 'connected components in map-reduce in logarithmic
+    rounds'): per round, each node sends its current label to its
+    neighbors (one groupby on node to attach labels to edges), then
+    each node takes the min of incoming labels (second groupby);
+    terminates when a changed-count aggregate hits zero.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from ..config import DedupConfig
+
+
+def _driver_union_find(edge_batches) -> pd.DataFrame:
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in edge_batches:
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min root wins => cluster_id = min(file_id) at the end
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    nodes = list(parent.keys())
+    rows = {"file_id": [], "cluster_id": []}
+    seen = set()
+    for x in nodes:
+        if x in seen:
+            continue
+        seen.add(x)
+        rows["file_id"].append(x)
+        rows["cluster_id"].append(find(x))
+    return pd.DataFrame(rows)
+
+
+def _distributed_label_prop(edges: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
+    import pyarrow as pa
+
+    def to_bidir(t: pa.Table) -> pa.Table:
+        a, b = t["a"], t["b"]
+        return pa.table({"key": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                         "neigh": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])})
+
+    bidir = edges.map_batches(to_bidir, batch_format="pyarrow").materialize()
+    labels = bidir.map_batches(
+        lambda t: pa.table({"key": t["key"], "label": t["key"]}),
+        batch_format="pyarrow").groupby("key").min("label").map_batches(
+        lambda t: t.rename_columns(["key", "label"]), batch_format="pyarrow")
+
+    for _round in range(cfg.cc_max_rounds):
+        # attach each node's label to its outgoing messages
+        lab_rows = labels.map_batches(
+            lambda t: pa.table({"key": t["key"], "label": t["label"],
+                                "neigh": pa.nulls(t.num_rows, pa.string())}),
+            batch_format="pyarrow")
+        edge_rows = bidir.map_batches(
+            lambda t: pa.table({"key": t["key"],
+                                "label": pa.nulls(t.num_rows, pa.string()),
+                                "neigh": t["neigh"]}),
+            batch_format="pyarrow")
+
+        def gen_msgs(g: pd.DataFrame) -> pd.DataFrame:
+            cur = g["label"].dropna().min()
+            neighs = g["neigh"].dropna()
+            key = g["key"].iloc[0]
+            out_node = list(neighs) + [key]
+            out_label = [cur] * len(neighs) + [cur]
+            out_self = [0] * len(neighs) + [1]
+            return pd.DataFrame({"node": out_node, "label": out_label,
+                                 "is_self": out_self})
+
+        msgs = lab_rows.union(edge_rows).groupby("key").map_groups(
+            gen_msgs, batch_format="pandas")
+
+        def reduce_node(g: pd.DataFrame) -> pd.DataFrame:
+            new = g["label"].min()
+            old_rows = g.loc[g["is_self"] == 1, "label"]
+            old = old_rows.iloc[0] if len(old_rows) else None
+            return pd.DataFrame({"key": [g["node"].iloc[0]], "label": [new],
+                                 "changed": [int(new != old)]})
+
+        new_labels = msgs.groupby("node").map_groups(
+            reduce_node, batch_format="pandas").materialize()
+        changed = new_labels.sum("changed")
+        labels = new_labels.select_columns(["key", "label"])
+        if changed == 0:
+            break
+    return labels.map_batches(
+        lambda t: t.rename_columns(["file_id", "cluster_id"]),
+        batch_format="pyarrow")
+
+
+def connected_components(edges: ray.data.Dataset, cfg: DedupConfig,
+                         mode: str = "auto") -> ray.data.Dataset:
+    """-> clusters(file_id, cluster_id) covering every node that appears
+    in an edge. Nodes with no edges are absent (the pipeline assigns
+    them singleton clusters via a left join)."""
+    if mode == "auto":
+        n_edges = edges.count()
+        mode = "driver" if n_edges <= cfg.cc_driver_max_edges else "distributed"
+    if mode == "driver":
+        df = _driver_union_find(
+            edges.select_columns(["a", "b"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"))
+        if df.empty:
+            import pyarrow as pa
+            return ray.data.from_arrow(pa.table({
+                "file_id": pa.array([], pa.string()),
+                "cluster_id": pa.array([], pa.string())}))
+        return ray.data.from_pandas(df)
+    return _distributed_label_prop(edges, cfg)

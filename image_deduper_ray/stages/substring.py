@@ -1,0 +1,144 @@
+"""Suffix-array substring pass: exact-overlap (containment) dedup.
+
+North-rule component with no direct reference analog (the closest is
+the reference's byte-level JPEG marker scan,
+/root/reference/crates/image-deduper-core/src/processing/formats/jpeg.rs:34-66
+— scanning content for an embedded structure): detects file A embedded
+verbatim inside file B, which MinHash misses when |A| << |B| (Jaccard
+~ |A|/|B|). Runs ONLY per candidate group / pair — never a global
+index (SURVEY.md §7.1 step 8).
+
+Two entry points:
+  - ``find_containments(ids, texts)``: per-group suffix-array scan —
+    build one suffix array (numpy prefix-doubling, O(n log^2 n)) over
+    the concatenated group with out-of-alphabet sentinels, then binary
+    search each member's full text; used by groupby(...).map_groups.
+  - ``ContainmentVerify``: per-pair verdict stage for LSH containment
+    candidates (pairs already joined with both contents) — C-speed
+    ``needle in host`` per row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SENTINEL_BASE = 0x110000  # beyond any unicode code point
+
+
+def suffix_array(s: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling (vectorized numpy lexsort)."""
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.argsort(s, kind="mergesort")
+    svals = s[order]
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.cumsum(np.concatenate(
+        ([0], (svals[1:] != svals[:-1]).astype(np.int64))))
+    k = 1
+    while k < n and rank.max() < n - 1:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        r_o, k_o = rank[order], key2[order]
+        changed = np.concatenate(
+            ([0], ((r_o[1:] != r_o[:-1]) | (k_o[1:] != k_o[:-1])).astype(np.int64)))
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[order] = np.cumsum(changed)
+        rank = new_rank
+        k *= 2
+    sa = np.empty(n, dtype=np.int64)
+    sa[rank] = np.arange(n)
+    return sa
+
+
+def _cmp_suffix_prefix(s: np.ndarray, pos: int, pat: np.ndarray) -> int:
+    """-1/0/+1: compare s[pos:pos+len(pat)] vs pat lexicographically
+    (prefix semantics: shorter suffix that matches so far compares <)."""
+    m = min(len(s) - pos, len(pat))
+    seg = s[pos : pos + m]
+    neq = np.nonzero(seg != pat[:m])[0]
+    if len(neq):
+        i = neq[0]
+        return -1 if seg[i] < pat[i] else 1
+    return -1 if m < len(pat) else 0
+
+
+def _bounds(s: np.ndarray, sa: np.ndarray, pat: np.ndarray) -> tuple[int, int]:
+    lo, hi = 0, len(sa)
+    while lo < hi:  # left bound: first suffix >= pat
+        mid = (lo + hi) // 2
+        if _cmp_suffix_prefix(s, sa[mid], pat) < 0:
+            lo = mid + 1
+        else:
+            hi = mid
+    left = lo
+    hi = len(sa)
+    while lo < hi:  # right bound: first suffix > pat-prefix
+        mid = (lo + hi) // 2
+        if _cmp_suffix_prefix(s, sa[mid], pat) <= 0:
+            lo = mid + 1
+        else:
+            hi = mid
+    return left, lo
+
+
+def find_containments(ids: list, texts: list[str],
+                      min_len: int = 16) -> list[tuple]:
+    """All (contained_id, host_id) pairs where texts[i] occurs verbatim
+    inside texts[j] (i != j). One suffix array over the whole group."""
+    n_docs = len(texts)
+    if n_docs < 2:
+        return []
+    parts, starts = [], []
+    pos = 0
+    for i, t in enumerate(texts):
+        starts.append(pos)
+        arr = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        parts.append(arr)
+        parts.append(np.array([SENTINEL_BASE + i], dtype=np.int64))
+        pos += len(arr) + 1
+    s = np.concatenate(parts)
+    sa = suffix_array(s)
+    starts_arr = np.array(starts, dtype=np.int64)
+    out = []
+    for i, t in enumerate(texts):
+        if len(t) < min_len:
+            continue
+        pat = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        left, right = _bounds(s, sa, pat)
+        if right <= left:
+            continue
+        occ = sa[left:right]
+        owners = np.searchsorted(starts_arr, occ, side="right") - 1
+        for j in np.unique(owners):
+            if j != i and len(texts[j]) > len(t):
+                out.append((ids[i], ids[int(j)]))
+    return out
+
+
+class ContainmentVerify:
+    """Per-pair containment verdict over joined (a, b, content_a,
+    content_b) batches: emits (a, b) edges where one side is a verbatim
+    substring of the other. min_len guards trivial matches."""
+
+    def __init__(self, min_len: int = 64):
+        self.min_len = min_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ca = batch["content_a"].to_pylist()
+        cb = batch["content_b"].to_pylist()
+        aa = batch["a"].to_pylist()
+        bb = batch["b"].to_pylist()
+        out_a, out_b = [], []
+        for i in range(len(ca)):
+            x, y = ca[i], cb[i]
+            if x is None or y is None:
+                continue
+            small, big = (x, y) if len(x) <= len(y) else (y, x)
+            if len(small) >= self.min_len and small in big:
+                out_a.append(aa[i])
+                out_b.append(bb[i])
+        return pa.table({"a": pa.array(out_a, pa.string()),
+                         "b": pa.array(out_b, pa.string())})
