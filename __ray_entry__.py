@@ -1,44 +1,312 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship dedup pipeline (signatures -> salted LSH
+-> Jaccard verify -> substring containment -> connected components ->
+canonical pick) over the sf0.001 ``documents`` table mapped onto the
+engine's code-files schema. ``queries()`` exposes one callable per
+implemented operator family from SURVEY.md §2 plus the training-data
+operators (dedup variants, ANN, text analysis, multimodal plumbing);
+``oracle_sql()`` gives the DuckDB-checkable subset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` here or in the library code.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001 documents; returns (doc_id, cluster_id)."""
+    from image_deduper_ray.pipelines.docdedup import minhash_lsh_clusters
+
+    return minhash_lsh_clusters("/root/testdata/sf0.001",
+                                "/tmp/idr_entry_flagship")
+
+
+def _out_dir(sf_dir: str, tag: str) -> str:
+    safe = sf_dir.strip("/").replace("/", "_")
+    return os.path.join("/tmp", f"idr_{tag}_{safe}")
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_m1_sha256(sf_dir: str):
+    import pyarrow as pa
+    import ray.data
+    from image_deduper_ray.functions import hashing
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "sha256": pa.array(hashing.sha256_hex(t["text"].to_pylist()),
+                               pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_exact_dup_groups(sf_dir: str):
+    import pyarrow as pa
+    from image_deduper_ray.functions.arrow_utils import collect_arrow
+    from image_deduper_ray.pipelines.docdedup import exact_dup_groups
+
+    # possibly-empty result: collect with an explicit schema (Ray 2.49
+    # drops columns from zero-row to_pandas conversions)
+    return collect_arrow(exact_dup_groups(sf_dir), pa.schema([
+        ("sha256", pa.string()), ("n_docs", pa.int64()),
+        ("min_doc_id", pa.int64())]))
+
+
+def _q_exact_dedup_keep_first(sf_dir: str):
+    from image_deduper_ray.pipelines.docdedup import exact_dedup_keep_first
+    return exact_dedup_keep_first(sf_dir)
+
+
+def _q_canonical_pick(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "canonical_doc_id": np.array([g["doc_id"].iloc[0]], np.int64)})
+
+    return ds.groupby("source").map_groups(pick, batch_format="pandas")
+
+
+def _q_discovery_filter(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+        filter=pc.field("lang").isin(["en", "de"]))
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["n_chars"], 100),
+                       pc.invert(pc.starts_with(t["source"], "src1")))
+        return t.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_stats_by_lang(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": [g["lang"].iloc[0]],
+            "n_docs": np.array([len(g)], np.int64),
+            "sum_chars": np.array([g["n_chars"].sum()], np.int64)})
+
+    return ds.groupby("lang").map_groups(agg, batch_format="pandas")
+
+
+def _q_anti_join_resume(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from image_deduper_ray.sources.checkpoints import anti_join_done
+
+    done = {int(i) for i in
+            pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])["doc_id"].to_pylist()
+            if i % 10 < 3}
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    out = anti_join_done(ds, done, lambda b: b["doc_id"].to_pylist())
+    return out.map_batches(lambda t: pa.table({"doc_id": t["doc_id"]}),
+                           batch_format="pyarrow")
+
+
+def _q_token_count(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import token_count
+    return token_count(sf_dir)
+
+
+def _q_quality(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import quality_scores
+    return quality_scores(sf_dir)
+
+
+def _q_fingerprint(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import fingerprint
+    return fingerprint(sf_dir)
+
+
+def _q_lang_id(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import lang_id
+    return lang_id(sf_dir)
+
+
+def _q_mislabel(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import mislabel_flags
+    return mislabel_flags(sf_dir)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    import pyarrow as pa
+    from image_deduper_ray.functions.arrow_utils import collect_arrow
+    from image_deduper_ray.pipelines.docdedup import ngram_jaccard_pairs
+
+    return collect_arrow(ngram_jaccard_pairs(sf_dir, n=3, tau=0.1),
+                         pa.schema([("a", pa.int64()), ("b", pa.int64())]))
+
+
+def _q_ann_topk(sf_dir: str):
+    from image_deduper_ray.pipelines.ann import knn_brute
+    return knn_brute(sf_dir, k=10, num_queries=8)
+
+
+def _q_ann_lsh(sf_dir: str):
+    from image_deduper_ray.pipelines.ann import knn_lsh
+    return knn_lsh(sf_dir, k=10, num_queries=8)
+
+
+def _q_emb_near_dup(sf_dir: str):
+    import pyarrow as pa
+    from image_deduper_ray.functions.arrow_utils import collect_arrow
+    from image_deduper_ray.pipelines.ann import near_dup_pairs
+
+    return collect_arrow(near_dup_pairs(sf_dir, tau=0.35),
+                         pa.schema([("a", pa.int64()), ("b", pa.int64())]))
+
+
+def _q_minhash_clusters(sf_dir: str):
+    from image_deduper_ray.pipelines.docdedup import minhash_lsh_clusters
+    return minhash_lsh_clusters(sf_dir, _out_dir(sf_dir, "mh"))
+
+
+def _q_simhash_groups(sf_dir: str):
+    from image_deduper_ray.pipelines.docdedup import simhash_groups
+    return simhash_groups(sf_dir)
+
+
+def _q_media_decode(sf_dir: str):
+    import pyarrow as pa
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (decode_features,
+                                                     synth_media_table)
+
+    media = ray.data.from_arrow(synth_media_table(n=64))
+    feats = decode_features(media, fake=True)
+    return feats.map_batches(
+        lambda t: t.select(["media_id", "kind", "width", "height", "n_frames"]),
+        batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "m1_sha256": _q_m1_sha256,
+        "a1_exact_dup_groups": _q_exact_dup_groups,
+        "a1_exact_dedup_keep_first": _q_exact_dedup_keep_first,
+        "a4_canonical_pick": _q_canonical_pick,
+        "s2_discovery_filter": _q_discovery_filter,
+        "a3_stats_by_lang": _q_stats_by_lang,
+        "j1_anti_join_resume": _q_anti_join_resume,
+        "t_token_count": _q_token_count,
+        "t_quality": _q_quality,
+        "t_fingerprint": _q_fingerprint,
+        "t_lang_id": _q_lang_id,
+        "t_mislabel_flags": _q_mislabel,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "ann_topk_cosine": _q_ann_topk,
+        "ann_topk_lsh": _q_ann_lsh,
+        "emb_near_dup_pairs": _q_emb_near_dup,
+        "minhash_lsh_clusters": _q_minhash_clusters,
+        "simhash_groups": _q_simhash_groups,
+        "media_decode_features": _q_media_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "m1_sha256":
+            "SELECT doc_id, sha256(text) AS sha256 FROM documents",
+        "a1_exact_dup_groups":
+            "SELECT sha256(text) AS sha256, COUNT(*) AS n_docs, "
+            "MIN(doc_id) AS min_doc_id FROM documents "
+            "GROUP BY sha256(text) HAVING COUNT(*) > 1",
+        "a1_exact_dedup_keep_first":
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)",
+        "a4_canonical_pick":
+            "SELECT source, doc_id AS canonical_doc_id FROM ("
+            "  SELECT source, doc_id, ROW_NUMBER() OVER ("
+            "    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn"
+            "  FROM documents) WHERE rn = 1",
+        "s2_discovery_filter":
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "WHERE lang IN ('en', 'de') AND n_chars >= 100 "
+            "AND source NOT LIKE 'src1%'",
+        "a3_stats_by_lang":
+            "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+            "FROM documents GROUP BY lang",
+        "j1_anti_join_resume":
+            "SELECT doc_id FROM documents WHERE doc_id NOT IN ("
+            "  SELECT doc_id FROM documents WHERE doc_id % 10 < 3)",
+        "t_token_count":
+            "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) "
+            "AS n_tokens FROM documents",
+        "t_quality":
+            "SELECT doc_id, length(text) AS n_chars_actual, "
+            "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
+            "length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) "
+            "AS n_punct, "
+            "len(regexp_extract_all(lower(text), "
+            "'\\b(the|a|and|of|in|to|is|for|on|with)\\b')) AS n_stopwords "
+            "FROM documents",
+        "t_fingerprint":
+            "SELECT doc_id, sha256(lower(regexp_replace(trim(text), "
+            "'\\s+', ' ', 'g'))) AS fp FROM documents",
+        "ngram_jaccard_pairs":
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, "
+            "  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM ("
+            "    SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i"
+            "    FROM toks)), "
+            "cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id), "
+            "inter AS (SELECT ga.doc_id AS a_id, gb.doc_id AS b_id, "
+            "  COUNT(*) AS i FROM grams ga JOIN grams gb "
+            "  ON ga.g = gb.g AND ga.doc_id < gb.doc_id GROUP BY 1, 2) "
+            "SELECT a_id AS a, b_id AS b FROM inter "
+            "JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id "
+            "WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.1",
+        "ann_topk_cosine":
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "  FROM embeddings ORDER BY vec_id LIMIT 8) "
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "  SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY "
+            "      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "                             CAST(q.qe AS DOUBLE[])) DESC, "
+            "      e.vec_id) AS rank "
+            "  FROM embeddings e, q WHERE e.vec_id <> q.query_id) "
+            "WHERE rank <= 10",
+        "emb_near_dup_pairs":
+            "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.35",
+        # rows-only (non-SQL-expressible): t_lang_id, t_mislabel_flags,
+        # ann_topk_lsh, minhash_lsh_clusters, simhash_groups,
+        # media_decode_features
+    }

@@ -1,0 +1,154 @@
+"""Benchmark driver. Prints ONE JSON line on stdout.
+
+Default mode: ray.init(num_cpus=$RAY_GRAFT_CPUS or 32), run the
+headline pipelines — the flagship code-dedup pipeline over a
+deterministic synthetic corpus of the BASELINE.json input shape
+(repo, path, commit, lang, content), plus the documents/embeddings
+operator battery over $GRAFT_SF_DIR (default /root/testdata/sf0.1) —
+and report per-query seconds.
+
+--scaling: run the flagship dedup job twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and report both
+throughputs (files/sec) plus scaling efficiency
+(thr_32 / (4 * thr_8)) — the in-sandbox evidence for the N-vs-4N
+cluster-size criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CLUSTERS = int(os.environ.get("IDR_BENCH_CLUSTERS", "8000"))
+CORPUS_DIR = f"/tmp/idr_bench_corpus_{BENCH_CLUSTERS}"
+
+
+def _ensure_corpus() -> tuple[str, int]:
+    """Deterministic synthetic input of the BASELINE.json shape, cached
+    on disk (regenerating it is cheap but pointless per run)."""
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(CORPUS_DIR, "_DONE")
+    if not os.path.exists(marker):
+        from image_deduper_ray.corpus import write_corpus
+
+        shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+        write_corpus(CORPUS_DIR, n_clusters=BENCH_CLUSTERS,
+                     rows_per_file=2000)
+        open(marker, "w").close()
+    n = sum(pq.ParquetFile(os.path.join(CORPUS_DIR, f)).metadata.num_rows
+            for f in os.listdir(CORPUS_DIR) if f.endswith(".parquet"))
+    return CORPUS_DIR, n
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _run_flagship(num_cpus: int) -> tuple[float, int]:
+    """Full dedup pipeline on the bench corpus, fresh (no resume)."""
+    from image_deduper_ray.config import DedupConfig
+    from image_deduper_ray.pipelines.dedup import run_pipeline
+
+    corpus, n_files = _ensure_corpus()
+    out = f"/tmp/idr_bench_out_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = DedupConfig(sig_concurrency=(1, num_cpus))
+    t0 = time.time()
+    run_pipeline(corpus, out, cfg, resume=False)
+    return time.time() - t0, n_files
+
+
+def _consume(res) -> int:
+    if hasattr(res, "to_pandas"):
+        return len(res.to_pandas())
+    return res.num_rows if hasattr(res, "num_rows") else len(res)
+
+
+def main() -> None:
+    if "--child" in sys.argv:
+        num_cpus = int(sys.argv[sys.argv.index("--child") + 1])
+        _init_ray(num_cpus)
+        wall, n_files = _run_flagship(num_cpus)
+        print(json.dumps({"wall": wall, "files": n_files,
+                          "num_cpus": num_cpus}))
+        import ray
+
+        ray.shutdown()
+        return
+
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        results = {}
+        for n in (lo, hi):
+            out = subprocess.run(
+                [sys.executable, __file__, "--child", str(n)],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+        thr = {n: results[n]["files"] / results[n]["wall"] for n in (lo, hi)}
+        eff = thr[hi] / (thr[lo] * (hi / lo))
+        print(json.dumps({
+            "metric": "dedup_scaling_files_per_sec",
+            "value": round(eff, 4), "unit": "efficiency",
+            "sf": BENCH_CLUSTERS,
+            "files": results[lo]["files"],
+            "throughput": {str(n): round(thr[n], 1) for n in (lo, hi)},
+            "wall": {str(n): round(results[n]["wall"], 1) for n in (lo, hi)},
+            "num_cpus": [lo, hi],
+            "scaling_efficiency": round(eff, 4)}))
+        return
+
+    _init_ray(CPUS)
+    import __ray_entry__ as entry
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    wall, n_files = _run_flagship(CPUS)
+    timings["flagship_code_dedup"] = round(wall, 3)
+    files_per_sec = n_files / wall
+
+    skip = {"minhash_lsh_clusters"}  # flagship already measured above
+    for name, fn in entry.queries().items():
+        if name in skip:
+            continue
+        t0 = time.time()
+        try:
+            _consume(fn(SF_DIR))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # a broken query must not hide the rest
+            print(f"bench query {name} failed: {ex}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = sum(v for v in timings.values() if v > 0)
+    print(json.dumps({
+        "metric": "dedup_files_per_sec",
+        "value": round(files_per_sec, 1),
+        "unit": "sec",
+        "queries": timings,
+        "total_sec": round(total, 3),
+        "flagship_files": n_files,
+        "sf": SF_DIR,
+        "num_cpus": CPUS}))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -42,6 +42,7 @@ class DedupConfig:
 
     # --- batch / scale knobs ---
     sig_batch_size: int = 512        # rows per signature-actor batch
+    pair_partitions: int = 64        # hash partitions for LSH pair-gen blocks
     sig_concurrency: int | tuple[int, int] | None = None  # actor pool size (None = tasks sizing by Ray)
     join_num_partitions: int = 16    # hash-join partition count for pair-verify joins
     max_content_bytes: int = 262144  # rows larger than this use the windowed signature path (M6/M7)

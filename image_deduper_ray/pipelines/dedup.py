@@ -41,8 +41,11 @@ from ..stages.substring import ContainmentVerify
 from ..stages.verify import exact_dup_edges, verify_pairs
 from ..state.metrics import MetricsSink, StageTimer
 
-_EMPTY_EDGES = pa.table({"a": pa.array([], pa.string()),
-                         "b": pa.array([], pa.string())})
+_EDGE_SCHEMA = pa.schema([("a", pa.string()), ("b", pa.string())])
+_PAIR_SCHEMA = _EDGE_SCHEMA.append(pa.field("is_cont", pa.int8()))
+_VERIFIED_SCHEMA = _EDGE_SCHEMA.append(pa.field("jaccard", pa.float64())).append(
+    pa.field("verdict", pa.string()))
+_EMPTY_EDGES = _EDGE_SCHEMA.empty_table()
 
 
 def _add_file_id(batch: pa.Table) -> pa.Table:
@@ -94,7 +97,8 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
     if not (resume and ckpt.is_complete(out_dir, "edges_exact")):
         with StageTimer(metrics, "edges_exact") as t:
             e = exact_dup_edges(sigs)
-            e = ckpt.write_stage(e, out_dir, "edges_exact", cfg_json)
+            e = ckpt.write_stage(e, out_dir, "edges_exact", cfg_json,
+                                 schema=_EDGE_SCHEMA)
             t.done(ckpt.read_manifest(out_dir, "edges_exact")["rows"])
     edges_exact = ckpt.read_stage(out_dir, "edges_exact")
 
@@ -102,7 +106,8 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
     if not (resume and ckpt.is_complete(out_dir, "pairs")):
         with StageTimer(metrics, "pairs") as t:
             p = candidate_pairs(sigs, cfg)
-            p = ckpt.write_stage(p, out_dir, "pairs", cfg_json)
+            p = ckpt.write_stage(p, out_dir, "pairs", cfg_json,
+                                 schema=_PAIR_SCHEMA)
             t.done(ckpt.read_manifest(out_dir, "pairs")["rows"])
     pairs = ckpt.read_stage(out_dir, "pairs")
 
@@ -117,7 +122,8 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
                     "verdict": pa.array([], pa.string())}))
             else:
                 v = verify_pairs(pairs, sigs, cfg)
-            v = ckpt.write_stage(v, out_dir, "verified", cfg_json)
+            v = ckpt.write_stage(v, out_dir, "verified", cfg_json,
+                                 schema=_VERIFIED_SCHEMA)
             t.done(ckpt.read_manifest(out_dir, "verified")["rows"])
     verified = ckpt.read_stage(out_dir, "verified")
 
@@ -152,7 +158,8 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
                               pa.schema([("content_b", pa.string())]),
                               num_partitions=cfg.join_num_partitions)
                 ce = j.map_batches(ContainmentVerify(), batch_format="pyarrow")
-            ce = ckpt.write_stage(ce, out_dir, "edges_cont", cfg_json)
+            ce = ckpt.write_stage(ce, out_dir, "edges_cont", cfg_json,
+                                     schema=_EDGE_SCHEMA)
             t.done(ckpt.read_manifest(out_dir, "edges_cont")["rows"])
     edges_cont = ckpt.read_stage(out_dir, "edges_cont")
 
@@ -165,7 +172,8 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
                 batch_format="pyarrow", zero_copy_batch=True)
             all_edges = near.union(edges_exact.select_columns(["a", "b"]),
                                    edges_cont.select_columns(["a", "b"]))
-            all_edges = ckpt.write_stage(all_edges, out_dir, "edges", cfg_json)
+            all_edges = ckpt.write_stage(all_edges, out_dir, "edges", cfg_json,
+                                         schema=_EDGE_SCHEMA)
             t.done(ckpt.read_manifest(out_dir, "edges")["rows"])
     edges = ckpt.read_stage(out_dir, "edges")
 

@@ -1,0 +1,147 @@
+"""Text-analysis operators over the ``documents`` table.
+
+The training-data-pipeline companions to the dedup engine: token
+counting, quality scoring, language ID, document fingerprinting. Each is
+a single vectorized ``map_batches`` stage (pyarrow.compute kernels, no
+Python row loops in the hot path) so the same code streams at 100 TB:
+no shuffle, no materialization, column-pruned reads.
+
+The per-row projections are the code-table analogs of the reference's
+metadata/validation projections (get_file_metadata,
+/root/reference/crates/image-deduper-core/src/discovery/mod.rs:119-128;
+validate_file_size, src/processing/utils/file_validation.rs:37-79) and
+the mislabel QA scan (examples/fixsuffix.rs:13-60).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+DOCS_COLUMNS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+# Shared with the DuckDB oracle: both sides are RE2, so semantics match.
+_WS_TOKEN_RE = r"\S+"
+_PUNCT_RE = r"[.!?,;:]"
+_STOPWORD_RE = r"\b(the|a|and|of|in|to|is|for|on|with)\b"
+_NORM_WS_RE = r"\s+"
+
+
+def read_documents(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=columns or DOCS_COLUMNS)
+
+
+def token_count(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_tokens) — whitespace tokens, vectorized regex count."""
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], _WS_TOKEN_RE)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": n.cast(pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_scores(sf_dir: str) -> ray.data.Dataset:
+    """Integer quality components per doc: lengths, punctuation count,
+    stopword hits. Ratios are derived downstream (kept integral here so
+    the result is hash-stable against the SQL oracle)."""
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars_actual": pc.utf8_length(text).cast(pa.int64()),
+            "n_tokens": pc.count_substring_regex(text, _WS_TOKEN_RE).cast(pa.int64()),
+            "n_punct": pc.count_substring_regex(text, _PUNCT_RE).cast(pa.int64()),
+            "n_stopwords": pc.count_substring_regex(
+                pc.utf8_lower(text), _STOPWORD_RE).cast(pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, fp) — whitespace-normalized lowercase sha256 fingerprint:
+    the 'same document modulo formatting' key (the text analog of the
+    reference's format-invariant pHash expectation,
+    src/processing/processing_tests.rs:93-127)."""
+    import hashlib
+
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        norm = pc.utf8_lower(
+            pc.replace_substring_regex(pc.utf8_trim_whitespace(t["text"]),
+                                       _NORM_WS_RE, " "))
+        fps = [hashlib.sha256(s.encode("utf-8", "surrogatepass")).hexdigest()
+               for s in norm.to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "fp": pa.array(fps, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- language ID: n-gram/stopword heuristic (no model deps) ----------
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with", "for"),
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "fr": ("le", "la", "les", "des", "est", "une"),
+    "es": ("el", "los", "las", "una", "que", "para"),
+}
+
+
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, lang_pred) — stopword-marker vote + CJK codepoint check.
+    A heuristic operator (rows-only oracle): the point is the streaming
+    shape — one vectorized pass, one regex count per language."""
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+    markers = {lang: r"\b(" + "|".join(words) + r")\b"
+               for lang, words in _LANG_MARKERS.items()}
+
+    def f(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        import numpy as np
+        scores = np.stack([
+            pc.count_substring_regex(low, pat).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            for pat in markers.values()])
+        langs = list(markers)
+        best = scores.argmax(axis=0)
+        hit = scores.max(axis=0) > 0
+        cjk = pc.count_substring_regex(t["text"], r"[\x{4e00}-\x{9fff}]") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pred = [("zh" if cjk[i] > 0 else (langs[best[i]] if hit[i] else "und"))
+                for i in range(len(best))]
+        return pa.table({"doc_id": t["doc_id"],
+                         "lang_pred": pa.array(pred, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mislabel_flags(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, lang, lang_pred, mismatch) — claimed vs sniffed language,
+    the fixsuffix QA projection (examples/fixsuffix.rs:13-60 analog)."""
+    pred = lang_id(sf_dir)
+    claimed = read_documents(sf_dir, ["doc_id", "lang"])
+    from ..functions.joins import hash_join
+
+    def with_key(t: pa.Table) -> pa.Table:
+        return t.append_column("k", t["doc_id"].cast(pa.string()))
+
+    j = hash_join(claimed.map_batches(with_key, batch_format="pyarrow"),
+                  pred.map_batches(with_key, batch_format="pyarrow"),
+                  "k", "k",
+                  pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
+                  pa.schema([("lang_pred", pa.string())]),
+                  num_partitions=8)
+
+    def flag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "mismatch", pc.invert(pc.equal(t["lang"], t["lang_pred"])))
+
+    return j.map_batches(flag, batch_format="pyarrow")

@@ -29,6 +29,30 @@ import ray.data
 MANIFEST = "_MANIFEST.json"
 
 
+def _arrow_schema_of(ds: ray.data.Dataset):
+    """Arrow schema of a Dataset even when its blocks are pandas
+    (PandasBlockSchema): numpy dtypes map via pandas; ``object`` columns
+    in this engine are always strings."""
+    import numpy as np
+    import pyarrow as pa
+
+    schema = ds.schema()
+    if isinstance(schema, pa.Schema):
+        return schema
+    base = getattr(schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, typ in zip(schema.names, schema.types):
+        if isinstance(typ, pa.DataType):
+            fields.append(pa.field(name, typ))
+        elif isinstance(typ, np.dtype) and typ != np.dtype("O"):
+            fields.append(pa.field(name, pa.from_numpy_dtype(typ)))
+        else:
+            fields.append(pa.field(name, pa.string()))
+    return pa.schema(fields)
+
+
 def stage_dir(root: str, stage: str) -> str:
     return os.path.join(root, stage)
 
@@ -38,7 +62,8 @@ def is_complete(root: str, stage: str) -> bool:
 
 
 def write_stage(ds: ray.data.Dataset, root: str, stage: str,
-                config_json: str = "", extra: dict | None = None) -> ray.data.Dataset:
+                config_json: str = "", extra: dict | None = None,
+                schema=None) -> ray.data.Dataset:
     """Write a stage checkpoint and its manifest; returns a fresh reader
     over the checkpoint (so downstream stages re-read from Parquet
     instead of recomputing the lineage)."""
@@ -47,9 +72,10 @@ def write_stage(ds: ray.data.Dataset, root: str, stage: str,
     ds.write_parquet(d)
     if not any(f.endswith(".parquet") for f in os.listdir(d)):
         # zero-row dataset: persist the schema so readers still work
-        schema = ds.schema()
-        arrow_schema = schema.base_schema if hasattr(schema, "base_schema") else schema
-        pq.write_table(arrow_schema.empty_table(), os.path.join(d, "empty-0.parquet"))
+        # (prefer the caller-declared schema; an executed-empty Dataset
+        # reports schema() = None in Ray 2.49)
+        pq.write_table((schema or _arrow_schema_of(ds)).empty_table(),
+                       os.path.join(d, "empty-0.parquet"))
     n = sum(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
             for f in os.listdir(d) if f.endswith(".parquet"))
     manifest = {"stage": stage, "rows": int(n), "config": config_json}

@@ -31,21 +31,47 @@ def _sort_key_cols(cfg: DedupConfig) -> tuple[list[str], list[bool]]:
 
 
 def canonical_actions(members: ray.data.Dataset, cfg: DedupConfig,
-                      action: str = "symlink") -> ray.data.Dataset:
+                      action: str = "symlink",
+                      num_partitions: int = 32) -> ray.data.Dataset:
     """members: (file_id, cluster_id, repo, path, commit, n_bytes).
     -> actions(file_id, cluster_id, role, canonical_file_id, action,
-    success). Per-group LOCAL sort only — never a global ds.sort
-    (SURVEY.md §2.6)."""
+    success). Per-cluster LOCAL sort only — never a global ds.sort
+    (SURVEY.md §2.6). Partition-level blocks: one shuffle on
+    hash(cluster_id), all clusters of a partition picked in one
+    vectorized pass."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.groups import group_starts, partitioned_group_map
+
     cols, asc = _sort_key_cols(cfg)
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(cols, ascending=asc, kind="mergesort").reset_index(drop=True)
-        canonical = g["file_id"].iloc[0]
-        out = g[["file_id", "cluster_id"]].copy()
-        out["role"] = ["keep"] + ["dup"] * (len(g) - 1)
-        out["canonical_file_id"] = canonical
-        out["action"] = ["none"] + [action] * (len(g) - 1)
-        out["success"] = True
-        return out
+    def block(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({
+                "file_id": pd.Series([], dtype=object),
+                "cluster_id": pd.Series([], dtype=object),
+                "role": pd.Series([], dtype=object),
+                "canonical_file_id": pd.Series([], dtype=object),
+                "action": pd.Series([], dtype=object),
+                "success": pd.Series([], dtype=bool)})
+        g = (g.sort_values(["cluster_id"] + cols, ascending=[True] + asc,
+                           kind="mergesort").reset_index(drop=True))
+        cid = g["cluster_id"].to_numpy()
+        fid = g["file_id"].to_numpy()
+        new = group_starts(cid)
+        group_idx = np.cumsum(new) - 1
+        canonical = fid[new][group_idx]
+        return pd.DataFrame({
+            "file_id": fid, "cluster_id": cid,
+            "role": np.where(new, "keep", "dup"),
+            "canonical_file_id": canonical,
+            "action": np.where(new, "none", action),
+            "success": np.ones(len(g), dtype=bool)})
 
-    return members.groupby("cluster_id").map_groups(pick, batch_format="pandas")
+    out_schema = pa.schema([
+        ("file_id", pa.string()), ("cluster_id", pa.string()),
+        ("role", pa.string()), ("canonical_file_id", pa.string()),
+        ("action", pa.string()), ("success", pa.bool_())])
+    return partitioned_group_map(members, ["cluster_id"], block,
+                                 num_partitions, out_schema=out_schema)

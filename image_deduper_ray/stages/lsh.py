@@ -178,86 +178,122 @@ def find_hot_buckets(sigs: ray.data.Dataset, cfg: DedupConfig,
     return ray.put(hot)
 
 
-def _emit_pairs(group: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
-    """Pairs within one (band_id, band_key, salt) bucket. Deterministic:
-    members ordered by (simhash, file_id) so similar rows are adjacent
-    if the bucket is still over cap and we fall back to windowed pairs."""
-    g = group.sort_values(["simhash", "file_id"], kind="mergesort")
-    fids = g["file_id"].to_numpy()
-    n = len(fids)
-    is_cont = 1 if int(g["band_id"].iloc[0]) >= CONTAINMENT_BAND_BASE else 0
-    salted = int(g["salt"].iloc[0]) > 0 or (g["salt"].nunique() > 1)
-    a_out, b_out = [], []
-    if n >= 2:
-        if n <= cap:
-            ia, ib = np.triu_indices(n, k=1)
-            a_out, b_out = fids[ia], fids[ib]
-        else:
-            # over cap even after salting: windowed pairs along the
-            # similarity-sorted order (bounded n*window)
-            for w in range(1, window + 1):
-                a_out.extend(fids[:-w])
-                b_out.extend(fids[w:])
-            a_out, b_out = np.array(a_out, dtype=object), np.array(b_out, dtype=object)
-    lo = np.minimum(a_out, b_out) if len(a_out) else np.array([], dtype=object)
-    hi = np.maximum(a_out, b_out) if len(a_out) else np.array([], dtype=object)
-    out = pd.DataFrame({"a": lo, "b": hi,
-                        "is_cont": np.full(len(lo), is_cont, dtype=np.int8),
-                        "kind": np.full(len(lo), "cand", dtype=object)})
-    if salted and n >= 1:
-        # representative row links this sub-bucket to its siblings
-        rep = pd.DataFrame({"a": [fids.min()], "b": [""],
-                            "is_cont": np.array([is_cont], dtype=np.int8),
-                            "kind": ["rep"]})
-        rep["band_id"] = int(g["band_id"].iloc[0])
-        rep["band_key"] = np.int64(g["band_key"].iloc[0])
-        out["band_id"] = -1
-        out["band_key"] = np.int64(0)
-        return pd.concat([out, rep], ignore_index=True)
-    out["band_id"] = -1
-    out["band_key"] = np.int64(0)
-    return out
+def _pairs_block(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
+    """All candidate pairs for one hash partition of band rows.
+
+    The partition key is (band_id, band_key), so EVERY salt sub-bucket
+    of a bucket lands in the same block — sub-bucket pair-gen AND the
+    representative linking across sub-buckets both happen here, with no
+    second shuffle. Buckets segment via one lexsort + boundary scan;
+    the per-bucket loop is numpy-only (no pandas construction per
+    bucket, which is what made per-group map_groups quadratic in group
+    count)."""
+    if df.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=object),
+                             "is_cont": pd.Series([], dtype=np.int8)})
+    bid = df["band_id"].to_numpy(np.int32)
+    bkey = df["band_key"].to_numpy(np.int64)
+    salt = df["salt"].to_numpy(np.int32)
+    fid = df["file_id"].to_numpy()
+    sim = df["simhash"].to_numpy(np.int64)
+
+    order = np.lexsort((fid, sim, salt, bkey, bid))
+    bid, bkey, salt, fid, sim = (bid[order], bkey[order], salt[order],
+                                 fid[order], sim[order])
+    # sub-bucket = (band_id, band_key, salt); bucket = (band_id, band_key)
+    sub_new = np.zeros(len(bid), dtype=bool)
+    sub_new[0] = True
+    sub_new[1:] = ((bid[1:] != bid[:-1]) | (bkey[1:] != bkey[:-1])
+                   | (salt[1:] != salt[:-1]))
+    buck_new = np.zeros(len(bid), dtype=bool)
+    buck_new[0] = True
+    buck_new[1:] = (bid[1:] != bid[:-1]) | (bkey[1:] != bkey[:-1])
+
+    sub_bounds = np.flatnonzero(sub_new)
+    sub_bounds = np.append(sub_bounds, len(bid))
+    buck_of_sub = np.cumsum(buck_new)[sub_bounds[:-1]] - 1  # bucket idx per sub
+
+    a_out: list = []
+    b_out: list = []
+    cont_out: list = []
+    n_bucks = int(buck_of_sub[-1]) + 1 if len(buck_of_sub) else 0
+    # reps[bucket] -> list of sub-bucket representatives (for salted buckets)
+    reps: list[list] = [[] for _ in range(n_bucks)]
+    buck_cont = np.zeros(n_bucks, dtype=np.int8)
+    # a bucket is salted iff it has >1 sub-bucket or a nonzero salt —
+    # ALL its sub-buckets then emit a representative (including salt=0)
+    subs_per_bucket = np.bincount(buck_of_sub, minlength=n_bucks)
+    salted_any = np.zeros(n_bucks, dtype=bool)
+    np.logical_or.at(salted_any, buck_of_sub, salt[sub_bounds[:-1]] > 0)
+    buck_salted = (subs_per_bucket > 1) | salted_any
+
+    for s in range(len(sub_bounds) - 1):
+        lo, hi = sub_bounds[s], sub_bounds[s + 1]
+        n = hi - lo
+        bk = buck_of_sub[s]
+        is_cont = np.int8(1 if bid[lo] >= CONTAINMENT_BAND_BASE else 0)
+        buck_cont[bk] = is_cont
+        members = fid[lo:hi]
+        if n >= 2:
+            if n <= cap:
+                ia, ib = np.triu_indices(n, k=1)
+                pa_, pb_ = members[ia], members[ib]
+            else:
+                # over cap even after salting: windowed pairs along the
+                # similarity-sorted order (bounded n*window)
+                pa_list, pb_list = [], []
+                for w in range(1, window + 1):
+                    pa_list.append(members[:-w])
+                    pb_list.append(members[w:])
+                pa_ = np.concatenate(pa_list)
+                pb_ = np.concatenate(pb_list)
+            a_out.append(np.minimum(pa_, pb_))
+            b_out.append(np.maximum(pa_, pb_))
+            cont_out.append(np.full(len(pa_), is_cont, dtype=np.int8))
+        if buck_salted[bk]:
+            reps[bk].append(members.min())
+
+    # representative linking: sub-bucket reps of one bucket all-pair
+    for bk in range(n_bucks):
+        r = reps[bk]
+        if len(r) >= 2:
+            r = np.sort(np.array(r, dtype=object))
+            ia, ib = np.triu_indices(len(r), k=1)
+            a_out.append(r[ia])
+            b_out.append(r[ib])
+            cont_out.append(np.full(len(ia), buck_cont[bk], dtype=np.int8))
+
+    if not a_out:
+        return pd.DataFrame({"a": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=object),
+                             "is_cont": pd.Series([], dtype=np.int8)})
+    return pd.DataFrame({"a": np.concatenate(a_out),
+                         "b": np.concatenate(b_out),
+                         "is_cont": np.concatenate(cont_out)})
 
 
 def candidate_pairs(sigs: ray.data.Dataset, cfg: DedupConfig,
                     include_containment: bool = True) -> ray.data.Dataset:
     """Full LSH candidate generation: counting pass, salted explode,
-    bucket pair-gen, representative linking, pair dedup.
+    partition-block pair-gen + representative linking (ONE shuffle),
+    then pair dedup.
 
-    Returns distinct pairs (a, b, is_cont) with a < b; ``is_cont`` = 1
-    when ANY generating band was a containment band AND no regular band
-    produced the pair (regular bands win so near-dup pairs are verified
-    by Jaccard first)."""
+    Returns distinct pairs (a, b, is_cont) with a < b; ``is_cont`` is
+    the max over generating bands, so a pair seen only by containment
+    bands is routed to the substring pass if Jaccard rejects it."""
+    from ..functions.groups import partitioned_group_map
+
     hot_ref = find_hot_buckets(sigs, cfg, include_containment)
     bands = sigs.map_batches(ExplodeBands(cfg, hot_ref, include_containment),
                              batch_format="pyarrow", zero_copy_batch=True)
-    raw = bands.groupby(["band_id", "band_key", "salt"]).map_groups(
-        lambda g: _emit_pairs(g, cfg.bucket_cap, cfg.salt_window),
-        batch_format="pandas")
 
-    import pyarrow.compute as pc
-
-    reps = raw.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "rep"))
-        .select(["a", "band_id", "band_key"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    pairs = raw.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "cand"))
-        .select(["a", "b", "is_cont"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-
-    def _pair_reps(g: pd.DataFrame) -> pd.DataFrame:
-        fids = np.sort(g["a"].unique())
-        is_cont = 1 if int(g["band_id"].iloc[0]) >= CONTAINMENT_BAND_BASE else 0
-        if len(fids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "is_cont": []})
-        ia, ib = np.triu_indices(len(fids), k=1)
-        return pd.DataFrame({"a": fids[ia], "b": fids[ib],
-                             "is_cont": np.full(len(ia), is_cont, dtype=np.int8)})
-
-    rep_pairs = reps.groupby(["band_id", "band_key"]).map_groups(
-        _pair_reps, batch_format="pandas")
-    all_pairs = pairs.union(rep_pairs)
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                             ("is_cont", pa.int8())])
+    all_pairs = partitioned_group_map(
+        bands, ["band_id", "band_key"],
+        lambda df: _pairs_block(df, cfg.bucket_cap, cfg.salt_window),
+        cfg.pair_partitions, out_schema=pair_schema)
     # distinct on (a, b); is_cont = max => ANY containment-band evidence
     # routes a Jaccard-rejected pair to the substring pass
     return (all_pairs.groupby(["a", "b"]).max("is_cont")

@@ -1,0 +1,119 @@
+"""Multimodal (image/audio/video) stage plumbing.
+
+Media rows are opaque ``binary`` payload columns plus typed metadata —
+the direct analog of the reference's per-format decode dispatch
+(/root/reference/crates/image-deduper-core/src/processing/file_processing.rs:15-41)
+and its external-tool branch (HEIC via sips,
+src/processing/formats/heic.rs:11-81). The decode libraries are not in
+this container, so the codec call itself is STUBBED: ``DecodeStage``
+raises ``NotImplementedError`` unless constructed with
+``fake=True``, in which case it produces a deterministic fake decode
+(seeded from the payload's sha256) so the Ray-side plumbing — schema,
+small-batch actor pool, output layout — is real and tested.
+
+Scale notes baked into the design: payloads are large, so the stage
+runs with a SMALL ``batch_size`` (payload bytes x batch_size x
+concurrency must fit the worker heap) and as an ACTOR pool (decoder
+init is per-worker, once). The payload column is dropped on output —
+features only cross the shuffle boundary.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),        # image | audio | video
+    ("payload", pa.binary()),     # opaque encoded bytes
+    ("meta", pa.string()),        # JSON metadata (claimed format, dims…)
+])
+
+# recommended map_batches settings for payload-heavy stages
+MEDIA_BATCH_SIZE = 16
+
+
+class DecodeStage:
+    """Actor-pool stage: decode payload -> fixed-size feature vector.
+
+    __init__ loads the (stubbed) codec once per actor; __call__ handles
+    one small batch. Output: (media_id, kind, width, height, n_frames,
+    features: list<float>[dim]) — payload dropped.
+    """
+
+    def __init__(self, fake: bool = False, feature_dim: int = 32,
+                 target_size: tuple[int, int] = (64, 64),
+                 frame_stride: int = 10):
+        self.fake = fake
+        self.feature_dim = feature_dim
+        self.target_size = target_size
+        self.frame_stride = frame_stride
+        if not fake:
+            # real path: import the codec here (once per actor), e.g.
+            # PIL/ffmpeg/soundfile. Not available in this environment.
+            raise NotImplementedError(
+                "media codecs are not installed in this environment; "
+                "construct DecodeStage(fake=True) for the deterministic "
+                "fake-decode path (plumbing test mode)")
+
+    def _fake_decode(self, payload: bytes, kind: str) -> tuple[int, int, int, np.ndarray]:
+        """Deterministic 'decode': dims and features seeded from the
+        payload digest — stable across runs/workers (resume-safe)."""
+        digest = hashlib.sha256(payload).digest()
+        seed = int.from_bytes(digest[:8], "little")
+        rng = np.random.default_rng(seed)
+        w, h = self.target_size
+        n_frames = 1 if kind == "image" else 1 + (digest[8] % 100) // self.frame_stride
+        feats = rng.standard_normal(self.feature_dim).astype(np.float32)
+        return w, h, n_frames, feats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        ws, hs, fs, feats = [], [], [], []
+        for kind, payload in zip(kinds, payloads):
+            w, h, n, f = self._fake_decode(payload or b"", kind)
+            ws.append(w)
+            hs.append(h)
+            fs.append(n)
+            feats.append(f)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "n_frames": pa.array(fs, pa.int64()),
+            "features": pa.array([f.tolist() for f in feats],
+                                 pa.list_(pa.float32())),
+        })
+
+
+def decode_features(media: ray.data.Dataset, *, fake: bool = False,
+                    concurrency=(1, 4), feature_dim: int = 32) -> ray.data.Dataset:
+    """The wired stage: small batches, actor pool, payload dropped."""
+    return media.map_batches(
+        DecodeStage,
+        fn_constructor_kwargs={"fake": fake, "feature_dim": feature_dim},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=MEDIA_BATCH_SIZE, concurrency=concurrency)
+
+
+def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media rows for plumbing tests (payloads
+    are junk bytes — only the fake decoder ever reads them)."""
+    rng = np.random.default_rng(seed)
+    kinds = [["image", "audio", "video"][i % 3] for i in range(n)]
+    payloads = [rng.integers(0, 256, size=int(rng.integers(64, 2048)),
+                             dtype=np.uint8).tobytes() for _ in range(n)]
+    metas = ['{"claimed": "%s"}' % k for k in kinds]
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "kind": pa.array(kinds, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta": pa.array(metas, pa.string()),
+    }, schema=MEDIA_SCHEMA)

@@ -87,19 +87,33 @@ def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
                               zero_copy_batch=True)
 
 
-def exact_dup_edges(sigs: ray.data.Dataset) -> ray.data.Dataset:
+def exact_dup_edges(sigs: ray.data.Dataset,
+                    num_partitions: int = 32) -> ray.data.Dataset:
     """A1: sha256-equal edges (first-vs-rest per group, deterministic
     by file_id order). Empty-content rows are excluded (M16 validator
-    semantics, file_validation.rs:37-51)."""
+    semantics, file_validation.rs:37-51).
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or g["sig_kind"].iloc[0] == "empty":
+    Partition-level block processing (functions/groups.py): one shuffle
+    on hash(sha256), then the whole partition's groups segment in one
+    vectorized pass — no per-group Python overhead."""
+    from ..functions.groups import group_starts, partitioned_group_map
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["sig_kind"] != "empty"]
+        if df.empty:
             return pd.DataFrame({"a": pd.Series([], dtype=object),
                                  "b": pd.Series([], dtype=object)})
-        fids = np.sort(g["file_id"].to_numpy())
-        return pd.DataFrame({"a": np.full(len(fids) - 1, fids[0], dtype=object),
-                             "b": fids[1:]})
+        sha = df["sha256"].to_numpy()
+        fid = df["file_id"].to_numpy()
+        order = np.lexsort((fid, sha))
+        sha, fid = sha[order], fid[order]
+        new = group_starts(sha)
+        group_idx = np.cumsum(new) - 1
+        first_fid = fid[new][group_idx]  # group's min file_id, broadcast
+        mask = ~new                      # every non-first row is an edge
+        return pd.DataFrame({"a": first_fid[mask], "b": fid[mask]})
 
-    return (sigs.select_columns(["sha256", "file_id", "sig_kind"])
-            .groupby("sha256")
-            .map_groups(per_group, batch_format="pandas"))
+    return partitioned_group_map(
+        sigs.select_columns(["sha256", "file_id", "sig_kind"]),
+        ["sha256"], block, num_partitions,
+        out_schema=pa.schema([("a", pa.string()), ("b", pa.string())]))

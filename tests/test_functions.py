@@ -1,0 +1,141 @@
+"""Unit tests for the signature kernels (no Ray needed).
+
+Mirrors the reference's golden-hash + distance-property test strategy
+(/root/reference/crates/image-deduper-core/src/processing/processing_tests.rs:29-183):
+pinned golden values for a fixed config, and monotone-distance property
+tests under increasing edits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from image_deduper_ray.config import DedupConfig
+from image_deduper_ray.functions import hashing, minhash as mh, tokenize as tok
+
+
+def _sig(text: str, lang: str = "py", cfg: DedupConfig = DedupConfig()):
+    a, b = mh.make_perms(cfg.num_perms, cfg.minhash_seed)
+    tokens = tok.tokenize(text, lang)
+    th = np.array([hashing.token_hash64(t) for t in tokens], dtype=np.uint64)
+    sh = hashing.shingle_hashes(th, cfg.shingle_k)
+    return mh.minhash_signature(sh, a, b), sh
+
+
+CODE = "\n".join(f"    x_{i} = value + total * {i}" for i in range(40))
+
+
+class TestTokenize:
+    def test_whitespace_invariance(self):
+        # the compression-leaves-distance-0 analog (processing_tests.rs:144-145)
+        assert tok.tokenize(CODE, "py") == tok.tokenize(
+            CODE.replace("    ", "\t\t").replace("\n", "\n\n  \n"), "py")
+
+    def test_comment_invariance(self):
+        with_comments = "\n".join(
+            line + "  # churn" for line in CODE.split("\n"))
+        assert tok.tokenize(CODE, "py") == tok.tokenize(with_comments, "py")
+        # but comment markers are NOT stripped for unknown langs
+        assert tok.tokenize("a # b", "weird") != tok.tokenize("a", "weird")
+
+    def test_junk_prefix_recovery(self):
+        # corrupted-JPEG SOI-scan analog (formats/jpeg.rs:34-66)
+        assert tok.tokenize("﻿\x01\x02" + CODE, "py") == tok.tokenize(CODE, "py")
+
+    def test_binary_sniff(self):
+        assert tok.tokenize("abc\x00def", "py") == []
+        assert tok.is_binary("\x00" * 10)
+        assert not tok.is_binary(CODE)
+
+
+class TestShingles:
+    def test_short_input_single_shingle(self):
+        th = np.array([1, 2, 3], dtype=np.uint64)
+        assert len(hashing.shingle_hashes(th, 5)) == 1
+
+    def test_deterministic(self):
+        th = np.array([hashing.token_hash64(t) for t in "a b c d e f g".split()],
+                      dtype=np.uint64)
+        s1 = hashing.shingle_hashes(th, 5)
+        s2 = hashing.shingle_hashes(th.copy(), 5)
+        assert (s1 == s2).all()
+
+    def test_golden_token_hash(self):
+        # pinned golden value (processing_tests.rs:29-62 analog): any
+        # unintended change to the hash chain breaks cluster stability
+        assert hashing.token_hash64("def") == 8631541059365646922
+
+
+class TestMinHash:
+    def test_identical_signature(self):
+        s1, _ = _sig(CODE)
+        s2, _ = _sig(CODE)
+        assert (s1 == s2).all()
+        assert mh.est_jaccard(s1, s2) == 1.0
+
+    def test_distance_monotone_under_edits(self):
+        # the rotate_5/10 monotone-distance property (processing_tests.rs:169-182)
+        base, _ = _sig(CODE)
+        lines = CODE.split("\n")
+        sims = []
+        for frac in (0.05, 0.2, 0.5):
+            k = max(1, int(len(lines) * frac))
+            edited = lines.copy()
+            for i in range(k):
+                edited[i] = f"    completely_new_{i} = other_{i}"
+            s, _ = _sig("\n".join(edited))
+            sims.append(mh.est_jaccard(base, s))
+        assert sims[0] > sims[1] > sims[2]
+
+    def test_est_jaccard_tracks_true_jaccard(self):
+        _, sh1 = _sig(CODE)
+        lines = CODE.split("\n")
+        lines[0] = "    zz = 1"
+        lines[10] = "    qq = 2"
+        s2, sh2 = _sig("\n".join(lines))
+        s1, _ = _sig(CODE)
+        true_j = len(np.intersect1d(sh1, sh2)) / len(np.union1d(sh1, sh2))
+        assert abs(mh.est_jaccard(s1, s2) - true_j) < 0.12
+
+    def test_simhash_hamming_small_for_near_dup(self):
+        _, sh1 = _sig(CODE)
+        lines = CODE.split("\n")
+        lines[3] = "    tweaked = 9"
+        _, sh2 = _sig("\n".join(lines))
+        h1 = np.array([mh.simhash64(sh1)], dtype=np.uint64)
+        h2 = np.array([mh.simhash64(sh2)], dtype=np.uint64)
+        assert mh.hamming64(h1, h2)[0] <= 12
+
+
+class TestHashing:
+    def test_sha256_matches_duckdb_semantics(self):
+        import duckdb
+        import hashlib
+        text = "héllo wörld 中文"
+        ours = hashing.sha256_hex([text])[0]
+        con = duckdb.connect()
+        theirs = con.execute("select sha256(?)", [text]).fetchone()[0]
+        con.close()
+        assert ours == theirs == hashlib.sha256(text.encode()).hexdigest()
+
+    def test_file_id_stable_and_distinct(self):
+        ids = hashing.file_ids(["r", "r"], ["p1", "p2"], ["c", "c"])
+        assert len(set(ids)) == 2
+        assert ids == hashing.file_ids(["r", "r"], ["p1", "p2"], ["c", "c"])
+
+    def test_fallback_shingles_deterministic(self):
+        a = hashing.fallback_shingles("r", "p", 10)
+        b = hashing.fallback_shingles("r", "p", 10)
+        c = hashing.fallback_shingles("r", "p", 11)
+        assert a[0] == b[0] != c[0]
+
+
+class TestConfig:
+    def test_band_validation(self):
+        with pytest.raises(ValueError):
+            DedupConfig(lsh_bands=3, lsh_rows=4)
+
+    def test_json_roundtrip(self):
+        cfg = DedupConfig(jaccard_threshold=0.7)
+        assert DedupConfig.from_json(cfg.to_json()) == cfg

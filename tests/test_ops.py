@@ -1,0 +1,130 @@
+"""Operator tests: text analysis, ANN, dedup variants, multimodal
+plumbing, and the driver contract — checked against DuckDB directly
+(the same oracle the driver runs at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+              f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _compare(res, sql: str, con) -> None:
+    df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    odf = con.sql(sql).df()
+    pd.testing.assert_frame_equal(_norm(df), _norm(odf), check_dtype=False)
+
+
+SQL_CHECKED = [
+    "m1_sha256", "a1_exact_dup_groups", "a1_exact_dedup_keep_first",
+    "a4_canonical_pick", "s2_discovery_filter", "a3_stats_by_lang",
+    "j1_anti_join_resume", "t_token_count", "t_quality", "t_fingerprint",
+    "ann_topk_cosine", "emb_near_dup_pairs",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(name, con):
+    import __ray_entry__ as entry
+
+    fn = entry.queries()[name]
+    sql = entry.oracle_sql()[name]
+    _compare(fn(SF), sql, con)
+
+
+def test_ngram_jaccard_matches_oracle(con):
+    # separate: the heaviest oracle SQL (self-join on exploded grams)
+    import __ray_entry__ as entry
+
+    _compare(entry.queries()["ngram_jaccard_pairs"](SF),
+             entry.oracle_sql()["ngram_jaccard_pairs"], con)
+
+
+def test_queries_have_oracle_or_reason():
+    import __ray_entry__ as entry
+
+    qs, sqls = entry.queries(), entry.oracle_sql()
+    assert set(sqls) <= set(qs)
+    rows_only = set(qs) - set(sqls)
+    # only genuinely non-SQL ops may omit the oracle
+    assert rows_only <= {"t_lang_id", "t_mislabel_flags", "ann_topk_lsh",
+                         "minhash_lsh_clusters", "simhash_groups",
+                         "media_decode_features"}
+
+
+def test_lang_id_detects_cjk():
+    from image_deduper_ray.pipelines.textops import lang_id
+
+    df = lang_id(SF).to_pandas()
+    assert set(df.columns) == {"doc_id", "lang_pred"}
+    assert len(df) == 500
+    assert df["lang_pred"].isin(["en", "de", "fr", "es", "zh", "und"]).all()
+
+
+def test_ann_lsh_recall_vs_brute():
+    from image_deduper_ray.pipelines.ann import knn_brute, knn_lsh
+
+    exact = knn_brute(SF, k=10, num_queries=8).to_pandas()
+    approx = knn_lsh(SF, k=10, num_queries=8).to_pandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    # approximate: probe buckets cover a reasonable share of true top-k
+    assert len(e & a) / len(e) > 0.2
+
+
+def test_simhash_groups_shape():
+    from image_deduper_ray.pipelines.docdedup import simhash_groups
+
+    df = simhash_groups(SF).to_pandas()
+    assert len(df) == 500
+    # word-salad docs: grouping must not collapse everything
+    assert df["group_id"].nunique() > 400
+
+
+def test_media_decode_plumbing():
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (DecodeStage,
+                                                     decode_features,
+                                                     synth_media_table)
+
+    with pytest.raises(NotImplementedError):
+        DecodeStage(fake=False)  # real codecs absent: stub must declare
+
+    media = ray.data.from_arrow(synth_media_table(n=32))
+    out1 = decode_features(media, fake=True).to_pandas()
+    out2 = decode_features(ray.data.from_arrow(synth_media_table(n=32)),
+                           fake=True).to_pandas()
+    assert len(out1) == 32
+    assert "payload" not in out1.columns  # payload never crosses the stage
+    assert (out1.loc[out1["kind"] == "image", "n_frames"] == 1).all()
+    # deterministic across runs (resume-safe)
+    o1 = out1.sort_values("media_id").reset_index(drop=True)
+    o2 = out2.sort_values("media_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(o1, o2)
+
+
+def test_entry_smoke():
+    import __ray_entry__ as entry
+
+    ds = entry.entry()
+    df = ds.to_pandas() if hasattr(ds, "to_pandas") else pd.DataFrame(ds)
+    assert len(df) >= 0
+    assert {"doc_id", "cluster_id"} <= set(df.columns)
+    assert len(df) == 500
