@@ -34,8 +34,19 @@ class DedupConfig:
     salt_window: int = 8        # pair window inside oversized sub-buckets
 
     # --- containment (suffix-array substring pass) candidate bands ---
-    containment_perms: int = 16  # first n perms used as r=1 bands
+    # first containment_perms perms grouped into r=containment_rows
+    # bands: per-band collision prob for a pair at Jaccard J is J^r, so
+    # r=2 suppresses low-J boilerplate noise ~J-fold while catching
+    # moderate containment (J >= ~0.4 at 16 bands w.h.p.)
+    containment_perms: int = 32
+    containment_rows: int = 2
     containment_min_len_ratio: float = 0.0  # pairs with any size ratio allowed
+    # containment candidates must clear this estimated Jaccard before
+    # the (content-joining) substring pass: real containment of ratio r
+    # has J ~= r, while shared-boilerplate noise sits near 0. Pairs
+    # below it are rejects. Tiny-in-huge containment (J < this) is out
+    # of signature reach by construction — documented limitation.
+    containment_est_jaccard_min: float = 0.15
 
     # --- verification ---
     jaccard_threshold: float = 0.8   # analog of phash_threshold=90 (config.rs:105)
@@ -65,6 +76,8 @@ class DedupConfig:
             )
         if self.containment_perms > self.num_perms:
             raise ValueError("containment_perms > num_perms")
+        if self.containment_perms % self.containment_rows != 0:
+            raise ValueError("containment_perms % containment_rows != 0")
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)

@@ -104,10 +104,11 @@ class ExplodeBands:
         band_ids = [np.repeat(np.arange(cfg.lsh_bands, dtype=np.int32)[None, :], n, axis=0)]
         band_keys = [bk]
         if self.include_containment and cfg.containment_perms > 0:
-            cp = cfg.containment_perms
-            cb = sigs[:, :cp].copy()                                 # (n, cp) single-perm keys
+            cp, cr = cfg.containment_perms, cfg.containment_rows
+            ncb = cp // cr
+            cb = _band_keys(sigs[:, :cp].copy(), ncb, cr)            # (n, ncb)
             band_ids.append(np.repeat(
-                (CONTAINMENT_BAND_BASE + np.arange(cp, dtype=np.int32))[None, :], n, axis=0))
+                (CONTAINMENT_BAND_BASE + np.arange(ncb, dtype=np.int32))[None, :], n, axis=0))
             band_keys.append(cb)
         bid = np.concatenate(band_ids, axis=1)                       # (n, B)
         bkey = np.concatenate(band_keys, axis=1)
@@ -234,6 +235,12 @@ def _pairs_block(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
         bk = buck_of_sub[s]
         is_cont = np.int8(1 if bid[lo] >= CONTAINMENT_BAND_BASE else 0)
         buck_cont[bk] = is_cont
+        if is_cont and buck_salted[bk]:
+            # df-pruning: a containment (single-perm) bucket that went
+            # hot means its min-shingle is boilerplate shared by many
+            # files — zero containment signal, quadratic noise. Drop it
+            # (regular bands keep salting: they are the near-dup path).
+            continue
         members = fid[lo:hi]
         if n >= 2:
             if n <= cap:

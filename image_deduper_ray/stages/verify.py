@@ -72,8 +72,11 @@ class ScorePairs:
         sb = _sig_of(batch["minhash_b"], self.cfg.num_perms)
         jac = (sa == sb).mean(axis=1)
         is_cont = batch["is_cont"].to_numpy(zero_copy_only=False)
+        # containment candidates must clear a signature floor before the
+        # (content-joining) substring pass — see config.containment_est_jaccard_min
+        cont_ok = (is_cont == 1) & (jac >= self.cfg.containment_est_jaccard_min)
         verdict = np.where(jac >= self.cfg.jaccard_threshold, "near_dup",
-                           np.where(is_cont == 1, "containment_cand", "reject"))
+                           np.where(cont_ok, "containment_cand", "reject"))
         return pa.table({"a": batch["a"], "b": batch["b"],
                          "jaccard": pa.array(jac),
                          "verdict": pa.array(verdict.tolist(), pa.string())})
