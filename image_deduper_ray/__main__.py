@@ -1,0 +1,124 @@
+"""CLI entry: ``python -m image_deduper_ray scan --input DIR --out DIR``.
+
+The clap CLI analog (/root/reference/crates/image-deduper-cli/cli.rs:6-115):
+``scan`` runs the full pipeline (their intended scan flow), ``stats``
+prints checkpoint manifests (get_db_stats analog, db.rs:191-210),
+``diagnose`` cross-checks stage row counts (diagnose_database analog,
+db.rs:213-278). Config file + flag overrides mirror Config::from_file /
+CLI override precedence (cli.rs:74-92).
+
+This is the only module besides bench.py/tests allowed to own the Ray
+session (guarded init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_config(args) -> "DedupConfig":
+    from .config import DedupConfig
+
+    base = {}
+    if args.config:
+        with open(args.config) as fh:
+            base = json.load(fh)
+    if args.threshold is not None:
+        base["jaccard_threshold"] = args.threshold
+    if args.batch_size is not None:
+        base["sig_batch_size"] = args.batch_size
+    return DedupConfig(**base)
+
+
+def cmd_scan(args) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from .pipelines.dedup import run_pipeline
+
+    cfg = _load_config(args)
+    res = run_pipeline(args.input, args.out, cfg,
+                       resume=not args.force_rescan,
+                       langs=args.langs.split(",") if args.langs else None,
+                       exclude_path_prefixes=(args.exclude.split(",")
+                                              if args.exclude else None))
+    n_clusters = res["clusters"].to_pandas()["cluster_id"].nunique()
+    n_files = res["clusters"].count()
+    print(json.dumps({"files": n_files, "clusters": int(n_clusters),
+                      "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from .sources import checkpoints as ckpt
+
+    out = {}
+    for stage in ["signatures", "edges_exact", "pairs", "verified",
+                  "edges_cont", "edges", "clusters", "actions"]:
+        try:
+            out[stage] = ckpt.read_manifest(args.out, stage)["rows"]
+        except FileNotFoundError:
+            out[stage] = None
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_diagnose(args) -> int:
+    """Consistency cross-check between stage checkpoints (J5)."""
+    import pyarrow.parquet as pq
+    import os
+
+    def keys(stage, col):
+        d = os.path.join(args.out, stage)
+        out = set()
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                out |= set(pq.read_table(os.path.join(d, f),
+                                         columns=[col])[col].to_pylist())
+        return out
+
+    sig = keys("signatures", "file_id")
+    clu = keys("clusters", "file_id")
+    report = {"signatures": len(sig), "clusters": len(clu),
+              "missing_in_clusters": sorted(sig - clu)[:20],
+              "orphan_clusters": sorted(clu - sig)[:20],
+              "consistent": sig == clu}
+    print(json.dumps(report))
+    return 0 if report["consistent"] else 1
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="image_deduper_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    scan = sub.add_parser("scan", help="run the full dedup pipeline")
+    scan.add_argument("--input", required=True,
+                      help="parquet dir(s) of the files table")
+    scan.add_argument("--out", required=True, help="checkpoint/output dir")
+    scan.add_argument("--config", help="JSON config file (DedupConfig fields)")
+    scan.add_argument("--threshold", type=float, default=None)
+    scan.add_argument("--batch-size", type=int, default=None)
+    scan.add_argument("--langs", help="comma-separated lang filter")
+    scan.add_argument("--exclude", help="comma-separated path prefixes")
+    scan.add_argument("--force-rescan", action="store_true")
+    scan.set_defaults(fn=cmd_scan)
+
+    stats = sub.add_parser("stats", help="print checkpoint row counts")
+    stats.add_argument("--out", required=True)
+    stats.set_defaults(fn=cmd_stats)
+
+    diag = sub.add_parser("diagnose", help="stage consistency cross-check")
+    diag.add_argument("--out", required=True)
+    diag.set_defaults(fn=cmd_diagnose)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

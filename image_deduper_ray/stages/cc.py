@@ -40,27 +40,35 @@ def _driver_union_find(edge_batches) -> pd.DataFrame:
             parent[x], x = root, parent[x]
         return root
 
+    nodes: set = set()
     for batch in edge_batches:
         for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            nodes.add(a)
+            nodes.add(b)
             ra, rb = find(a), find(b)
             if ra != rb:
                 # min root wins => cluster_id = min(file_id) at the end
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-    nodes = list(parent.keys())
     rows = {"file_id": [], "cluster_id": []}
-    seen = set()
-    for x in nodes:
-        if x in seen:
-            continue
-        seen.add(x)
+    for x in sorted(nodes):
         rows["file_id"].append(x)
         rows["cluster_id"].append(find(x))
     return pd.DataFrame(rows)
 
 
 def _distributed_label_prop(edges: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
+    """Min-label propagation with partition-level blocks: per round, one
+    shuffle keyed on node to attach labels to outgoing edges (pandas
+    C-speed merge per partition), one shuffle keyed on receiving node to
+    take the min (vectorized segment-min per partition). Terminates on a
+    changed-count aggregate of zero; log-rounds expected (PAPERS.md
+    map-reduce CC)."""
     import pyarrow as pa
+
+    from ..functions.groups import group_starts, partitioned_group_map
+
+    P = cfg.pair_partitions
 
     def to_bidir(t: pa.Table) -> pa.Table:
         a, b = t["a"], t["b"]
@@ -73,8 +81,41 @@ def _distributed_label_prop(edges: ray.data.Dataset, cfg: DedupConfig) -> ray.da
         batch_format="pyarrow").groupby("key").min("label").map_batches(
         lambda t: t.rename_columns(["key", "label"]), batch_format="pyarrow")
 
+    msg_schema = pa.schema([("node", pa.string()), ("label", pa.string()),
+                            ("is_self", pa.int8())])
+    lab_schema = pa.schema([("key", pa.string()), ("label", pa.string()),
+                            ("changed", pa.int64())])
+
+    def block_msgs(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df.loc[df["label"].notna(), ["key", "label"]]
+        edg = df.loc[df["neigh"].notna(), ["key", "neigh"]]
+        m = edg.merge(lab, on="key", how="inner")
+        return pd.DataFrame({
+            "node": np.concatenate([m["neigh"].to_numpy(),
+                                    lab["key"].to_numpy()]),
+            "label": np.concatenate([m["label"].to_numpy(),
+                                     lab["label"].to_numpy()]),
+            "is_self": np.concatenate([
+                np.zeros(len(m), dtype=np.int8),
+                np.ones(len(lab), dtype=np.int8)])})
+
+    def block_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["node", "label"], kind="mergesort")
+        node = df["node"].to_numpy()
+        label = df["label"].to_numpy()
+        is_self = df["is_self"].to_numpy()
+        new = group_starts(node)
+        group_idx = np.cumsum(new) - 1
+        best = label[new]                       # min label per node
+        n_groups = len(best)
+        old = np.full(n_groups, None, dtype=object)
+        self_pos = np.flatnonzero(is_self == 1)
+        old[group_idx[self_pos]] = label[self_pos]
+        return pd.DataFrame({
+            "key": node[new], "label": best,
+            "changed": (best != old).astype(np.int64)})
+
     for _round in range(cfg.cc_max_rounds):
-        # attach each node's label to its outgoing messages
         lab_rows = labels.map_batches(
             lambda t: pa.table({"key": t["key"], "label": t["label"],
                                 "neigh": pa.nulls(t.num_rows, pa.string())}),
@@ -84,29 +125,10 @@ def _distributed_label_prop(edges: ray.data.Dataset, cfg: DedupConfig) -> ray.da
                                 "label": pa.nulls(t.num_rows, pa.string()),
                                 "neigh": t["neigh"]}),
             batch_format="pyarrow")
-
-        def gen_msgs(g: pd.DataFrame) -> pd.DataFrame:
-            cur = g["label"].dropna().min()
-            neighs = g["neigh"].dropna()
-            key = g["key"].iloc[0]
-            out_node = list(neighs) + [key]
-            out_label = [cur] * len(neighs) + [cur]
-            out_self = [0] * len(neighs) + [1]
-            return pd.DataFrame({"node": out_node, "label": out_label,
-                                 "is_self": out_self})
-
-        msgs = lab_rows.union(edge_rows).groupby("key").map_groups(
-            gen_msgs, batch_format="pandas")
-
-        def reduce_node(g: pd.DataFrame) -> pd.DataFrame:
-            new = g["label"].min()
-            old_rows = g.loc[g["is_self"] == 1, "label"]
-            old = old_rows.iloc[0] if len(old_rows) else None
-            return pd.DataFrame({"key": [g["node"].iloc[0]], "label": [new],
-                                 "changed": [int(new != old)]})
-
-        new_labels = msgs.groupby("node").map_groups(
-            reduce_node, batch_format="pandas").materialize()
+        msgs = partitioned_group_map(lab_rows.union(edge_rows), ["key"],
+                                     block_msgs, P, out_schema=msg_schema)
+        new_labels = partitioned_group_map(msgs, ["node"], block_reduce, P,
+                                           out_schema=lab_schema).materialize()
         changed = new_labels.sum("changed")
         labels = new_labels.select_columns(["key", "label"])
         if changed == 0:

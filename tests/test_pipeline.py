@@ -125,6 +125,24 @@ def test_rerun_resumes(corpus_run):
     assert res2["clusters"].count() == res2["actions"].count()
 
 
+def test_distributed_cc_matches_driver(corpus_run):
+    """Label propagation (distributed path) must produce exactly the
+    driver union-find components."""
+    import ray.data
+
+    from image_deduper_ray.config import DedupConfig
+    from image_deduper_ray.stages.cc import connected_components
+
+    _, out_dir, res, _, _ = corpus_run
+    edges = res["edges"]
+    cfg = DedupConfig()
+    drv = connected_components(edges, cfg, mode="driver").to_pandas()
+    dist = connected_components(edges, cfg, mode="distributed").to_pandas()
+    a = drv.sort_values("file_id").reset_index(drop=True)
+    b = dist.sort_values("file_id").reset_index(drop=True)
+    assert a.equals(b[["file_id", "cluster_id"]].reset_index(drop=True))
+
+
 def test_signature_antijoin_resume(corpus_run, tmp_path):
     """Partial signature checkpoint: rerun must hash only missing rows
     and the final count must not grow (find_new_images discipline)."""
