@@ -54,10 +54,14 @@ class DedupConfig:
     # --- batch / scale knobs ---
     sig_batch_size: int = 512        # rows per signature-actor batch
     pair_partitions: int = 64        # hash partitions for LSH pair-gen blocks
+    hot_sample_k: int = 8            # hot-bucket counting samples 1/k of rows
     sig_concurrency: int | tuple[int, int] | None = None  # actor pool size (None = tasks sizing by Ray)
-    join_num_partitions: int = 16    # hash-join partition count for pair-verify joins
+    join_num_partitions: int = 48    # hash-join partition count for pair-verify joins
     max_content_bytes: int = 262144  # rows larger than this use the windowed signature path (M6/M7)
     cc_max_rounds: int = 50          # label-propagation round cap
+    # containment-verify picks broadcast (dict of candidate contents,
+    # zero shuffles) below this many candidate ids, partitioned joins above
+    cont_broadcast_max_ids: int = 100_000
     cc_driver_max_edges: int = 2_000_000  # below this, union-find on the driver is allowed
 
     # --- canonical pick (analog of PriorityRule list, config.rs:111-115:

@@ -38,7 +38,7 @@ from ..stages.cc import connected_components
 from ..stages.lsh import candidate_pairs
 from ..stages.signatures import SignatureStage
 from ..stages.substring import ContainmentVerify
-from ..stages.verify import exact_dup_edges, verify_pairs
+from ..stages.verify import exact_dup_edges, sha_representatives, verify_pairs
 from ..state.metrics import MetricsSink, StageTimer
 
 _EDGE_SCHEMA = pa.schema([("a", pa.string()), ("b", pa.string())])
@@ -103,9 +103,15 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
     edges_exact = ckpt.read_stage(out_dir, "edges_exact")
 
     # -- LSH candidate pairs (A2 part 1, salted) --
+    # only the min-file_id representative of each sha256 group enters
+    # LSH: exact copies have IDENTICAL signatures, so they would form
+    # mega-buckets (every band collides) for pairs that exact edges +
+    # CC transitivity already connect. At web scale this is the single
+    # biggest bucket-skew source (vendored verbatim copies).
     if not (resume and ckpt.is_complete(out_dir, "pairs")):
         with StageTimer(metrics, "pairs") as t:
-            p = candidate_pairs(sigs, cfg)
+            reps = sha_representatives(sigs, cfg)
+            p = candidate_pairs(reps, cfg)
             p = ckpt.write_stage(p, out_dir, "pairs", cfg_json,
                                  schema=_PAIR_SCHEMA)
             t.done(ckpt.read_manifest(out_dir, "pairs")["rows"])
@@ -135,29 +141,74 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
                     pa.compute.equal(tb["verdict"], "containment_cand"))
                 .select(["a", "b"]),
                 batch_format="pyarrow", zero_copy_batch=True)
-            if cands.count() == 0:
+            cand_ids = set()
+            for b in cands.iter_batches(batch_size=65536,
+                                        batch_format="pyarrow"):
+                cand_ids.update(b["a"].to_pylist())
+                cand_ids.update(b["b"].to_pylist())
+            if not cand_ids:
                 ce = ray.data.from_arrow(_EMPTY_EDGES)
             else:
+                # semi-join prune: broadcast the (small) candidate id
+                # set and filter content BEFORE anything shuffles —
+                # only the candidates' content is ever touched again
+                ids_ref = ray.put(cand_ids)
+
+                def _only_cands(tb: pa.Table) -> pa.Table:
+                    wanted = ray.get(ids_ref)
+                    keep = pa.array([f in wanted
+                                     for f in tb["file_id"].to_pylist()],
+                                    pa.bool_())
+                    return tb.filter(keep)
+
                 content = (read_files(input_paths, langs=langs,
                                       exclude_path_prefixes=exclude_path_prefixes)
                            .map_batches(_add_file_id, batch_format="pyarrow",
                                         zero_copy_batch=True)
-                           .select_columns(["file_id", "content"]))
-                content_a = content.map_batches(
-                    lambda tb: tb.rename_columns(["file_id", "content_a"]),
-                    batch_format="pyarrow", zero_copy_batch=True)
-                content_b = content.map_batches(
-                    lambda tb: tb.rename_columns(["file_id", "content_b"]),
-                    batch_format="pyarrow", zero_copy_batch=True)
-                ab = pa.schema([("a", pa.string()), ("b", pa.string())])
-                j = hash_join(cands, content_a, "a", "file_id", ab,
-                              pa.schema([("content_a", pa.string())]),
-                              num_partitions=cfg.join_num_partitions)
-                j = hash_join(j, content_b, "b", "file_id",
-                              ab.append(pa.field("content_a", pa.string())),
-                              pa.schema([("content_b", pa.string())]),
-                              num_partitions=cfg.join_num_partitions)
-                ce = j.map_batches(ContainmentVerify(), batch_format="pyarrow")
+                           .select_columns(["file_id", "content"])
+                           .map_batches(_only_cands, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+                if len(cand_ids) <= cfg.cont_broadcast_max_ids:
+                    # common case: candidate content is small — broadcast
+                    # it once and verify pairs in a single map_batches
+                    # (no shuffle at all)
+                    lookup: dict[str, str] = {}
+                    for b in content.iter_batches(batch_size=4096,
+                                                  batch_format="pyarrow"):
+                        lookup.update(zip(b["file_id"].to_pylist(),
+                                          b["content"].to_pylist()))
+                    content_ref = ray.put(lookup)
+
+                    def _attach(tb: pa.Table) -> pa.Table:
+                        c = ray.get(content_ref)
+                        ca = [c.get(x) for x in tb["a"].to_pylist()]
+                        cb = [c.get(x) for x in tb["b"].to_pylist()]
+                        return tb.append_column(
+                            "content_a", pa.array(ca, pa.string())) \
+                            .append_column("content_b",
+                                           pa.array(cb, pa.string()))
+
+                    ce = (cands.map_batches(_attach, batch_format="pyarrow")
+                          .map_batches(ContainmentVerify(),
+                                       batch_format="pyarrow"))
+                else:
+                    # huge candidate set: partitioned joins (scale path)
+                    content_a = content.map_batches(
+                        lambda tb: tb.rename_columns(["file_id", "content_a"]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+                    content_b = content.map_batches(
+                        lambda tb: tb.rename_columns(["file_id", "content_b"]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+                    ab = pa.schema([("a", pa.string()), ("b", pa.string())])
+                    j = hash_join(cands, content_a, "a", "file_id", ab,
+                                  pa.schema([("content_a", pa.string())]),
+                                  num_partitions=cfg.join_num_partitions)
+                    j = hash_join(j, content_b, "b", "file_id",
+                                  ab.append(pa.field("content_a", pa.string())),
+                                  pa.schema([("content_b", pa.string())]),
+                                  num_partitions=cfg.join_num_partitions)
+                    ce = j.map_batches(ContainmentVerify(),
+                                       batch_format="pyarrow")
             ce = ckpt.write_stage(ce, out_dir, "edges_cont", cfg_json,
                                      schema=_EDGE_SCHEMA)
             t.done(ckpt.read_manifest(out_dir, "edges_cont")["rows"])

@@ -27,10 +27,15 @@ all-paired in a second, tiny groupby — preserving cluster connectivity
 across sub-buckets without any reducer ever seeing more than ~cap rows.
 
 Containment candidates (for the suffix-array substring pass) ride the
-same machinery as r=1 bands over the first ``containment_perms``
-permutation values: if file A is contained in file B, each perm's min
-over B's shingles equals A's with probability |A|/|B∪A|, so with 16
-single-perm bands containment pairs surface even at low Jaccard.
+same machinery as r=``containment_rows`` bands over the first
+``containment_perms`` permutation values: if file A is contained in
+file B, each perm's min over B's shingles equals A's with probability
+|A|/|B∪A| = J, so a band of r perms collides with probability J^r.
+r=2 (default) trades the lowest-J reach for ~J-fold suppression of
+shared-boilerplate noise; hot containment buckets are additionally
+dropped outright (df-pruning), and candidates must clear
+``containment_est_jaccard_min`` in verification before the
+content-joining substring pass.
 """
 
 from __future__ import annotations
@@ -118,11 +123,11 @@ class ExplodeBands:
         flat_fid = np.repeat(np.array(fids, dtype=object), B)
         flat_sim = np.repeat(simhash, B)
 
+        n_sub = np.ones(len(flat_bid), dtype=np.int64)
         if self.hot:
             # hot-dict keys use the SIGNED int64 view, matching the
             # band_key column type the counting pass emitted
             flat_bkey_i64 = flat_bkey.view(np.int64)
-            n_sub = np.ones(len(flat_bid), dtype=np.int64)
             for i in range(len(flat_bid)):
                 s = self.hot.get((int(flat_bid[i]), int(flat_bkey_i64[i])))
                 if s:
@@ -135,6 +140,7 @@ class ExplodeBands:
         return pa.table({"band_id": pa.array(flat_bid),
                          "band_key": pa.array(flat_bkey.view(np.int64)),
                          "salt": pa.array(salt),
+                         "n_sub": pa.array(n_sub.astype(np.int32)),
                          "file_id": pa.array(flat_fid.tolist(), pa.string()),
                          "simhash": pa.array(flat_sim.view(np.int64))})
 
@@ -163,83 +169,92 @@ class PartialBucketCounts:
 def find_hot_buckets(sigs: ray.data.Dataset, cfg: DedupConfig,
                      include_containment: bool = True):
     """Pass 1: returns a ray.put ObjectRef of {(band_id, band_key): n_sub}
-    for buckets whose total count exceeds bucket_cap. The hot set is
-    small by construction (≤ N·B / cap keys) and usually tiny."""
-    counts = (sigs.map_batches(PartialBucketCounts(cfg, include_containment),
-                               batch_format="pyarrow", zero_copy_batch=True)
+    for buckets whose total count exceeds bucket_cap.
+
+    Counts on a deterministic 1/sample_k row sample (hash(file_id)
+    selector): mega-buckets — the ones salting exists for — are found
+    w.h.p., and a marginally-hot bucket that slips through is harmless
+    because the pair-gen block windows any over-cap sub-bucket anyway.
+    This keeps the counting shuffle at 1/sample_k of the band volume."""
+    k = max(1, cfg.hot_sample_k)
+    threshold = max(2.0, cfg.bucket_cap / k)
+
+    def sample(t: pa.Table) -> pa.Table:
+        if k == 1:
+            return t
+        keep = pa.array([int(f[-4:], 16) % k == 0
+                         for f in t["file_id"].to_pylist()], pa.bool_())
+        return t.filter(keep)
+
+    counts = (sigs.map_batches(sample, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .map_batches(PartialBucketCounts(cfg, include_containment),
+                           batch_format="pyarrow", zero_copy_batch=True)
               .groupby(["band_id", "band_key"])
               .sum("partial"))
     hot_ds = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater(t["sum(partial)"], cfg.bucket_cap)),
+        lambda t: t.filter(pa.compute.greater(t["sum(partial)"], threshold)),
         batch_format="pyarrow", zero_copy_batch=True)
     hot = {}
     for row in hot_ds.iter_rows():
+        est_total = int(row["sum(partial)"]) * k
         hot[(int(row["band_id"]), int(row["band_key"]))] = int(
-            math.ceil(row["sum(partial)"] / cfg.bucket_cap))
+            math.ceil(est_total / cfg.bucket_cap))
     return ray.put(hot)
 
 
-def _pairs_block(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
-    """All candidate pairs for one hash partition of band rows.
+_EMPTY_RAW = {
+    "a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object),
+    "is_cont": pd.Series([], dtype=np.int8),
+    "band_id": pd.Series([], dtype=np.int32),
+    "band_key": pd.Series([], dtype=np.int64),
+    "kind": pd.Series([], dtype=object)}
 
-    The partition key is (band_id, band_key), so EVERY salt sub-bucket
-    of a bucket lands in the same block — sub-bucket pair-gen AND the
-    representative linking across sub-buckets both happen here, with no
-    second shuffle. Buckets segment via one lexsort + boundary scan;
-    the per-bucket loop is numpy-only (no pandas construction per
-    bucket, which is what made per-group map_groups quadratic in group
-    count)."""
+
+def _pairs_block(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
+    """Pair-gen for one hash partition of band rows, partitioned on
+    (band_id, band_key, SALT): a hot bucket's salt sub-buckets land on
+    DIFFERENT reducers, so no reducer ever holds more than ~cap rows of
+    one bucket — the actual point of salting. Each salted sub-bucket
+    emits one representative row (kind='rep', b='') that a tiny second
+    shuffle links across sub-buckets. Sub-buckets segment via one
+    lexsort + boundary scan; the per-bucket loop is numpy-only."""
     if df.empty:
-        return pd.DataFrame({"a": pd.Series([], dtype=object),
-                             "b": pd.Series([], dtype=object),
-                             "is_cont": pd.Series([], dtype=np.int8)})
+        return pd.DataFrame(_EMPTY_RAW)
     bid = df["band_id"].to_numpy(np.int32)
     bkey = df["band_key"].to_numpy(np.int64)
     salt = df["salt"].to_numpy(np.int32)
+    n_sub = df["n_sub"].to_numpy(np.int32)
     fid = df["file_id"].to_numpy()
     sim = df["simhash"].to_numpy(np.int64)
 
     order = np.lexsort((fid, sim, salt, bkey, bid))
-    bid, bkey, salt, fid, sim = (bid[order], bkey[order], salt[order],
-                                 fid[order], sim[order])
-    # sub-bucket = (band_id, band_key, salt); bucket = (band_id, band_key)
+    bid, bkey, salt, n_sub, fid, sim = (bid[order], bkey[order], salt[order],
+                                        n_sub[order], fid[order], sim[order])
     sub_new = np.zeros(len(bid), dtype=bool)
     sub_new[0] = True
     sub_new[1:] = ((bid[1:] != bid[:-1]) | (bkey[1:] != bkey[:-1])
                    | (salt[1:] != salt[:-1]))
-    buck_new = np.zeros(len(bid), dtype=bool)
-    buck_new[0] = True
-    buck_new[1:] = (bid[1:] != bid[:-1]) | (bkey[1:] != bkey[:-1])
-
-    sub_bounds = np.flatnonzero(sub_new)
-    sub_bounds = np.append(sub_bounds, len(bid))
-    buck_of_sub = np.cumsum(buck_new)[sub_bounds[:-1]] - 1  # bucket idx per sub
+    sub_bounds = np.append(np.flatnonzero(sub_new), len(bid))
 
     a_out: list = []
     b_out: list = []
     cont_out: list = []
-    n_bucks = int(buck_of_sub[-1]) + 1 if len(buck_of_sub) else 0
-    # reps[bucket] -> list of sub-bucket representatives (for salted buckets)
-    reps: list[list] = [[] for _ in range(n_bucks)]
-    buck_cont = np.zeros(n_bucks, dtype=np.int8)
-    # a bucket is salted iff it has >1 sub-bucket or a nonzero salt —
-    # ALL its sub-buckets then emit a representative (including salt=0)
-    subs_per_bucket = np.bincount(buck_of_sub, minlength=n_bucks)
-    salted_any = np.zeros(n_bucks, dtype=bool)
-    np.logical_or.at(salted_any, buck_of_sub, salt[sub_bounds[:-1]] > 0)
-    buck_salted = (subs_per_bucket > 1) | salted_any
+    rep_a: list = []
+    rep_bid: list = []
+    rep_bkey: list = []
+    rep_cont: list = []
 
     for s in range(len(sub_bounds) - 1):
         lo, hi = sub_bounds[s], sub_bounds[s + 1]
         n = hi - lo
-        bk = buck_of_sub[s]
         is_cont = np.int8(1 if bid[lo] >= CONTAINMENT_BAND_BASE else 0)
-        buck_cont[bk] = is_cont
-        if is_cont and buck_salted[bk]:
-            # df-pruning: a containment (single-perm) bucket that went
-            # hot means its min-shingle is boilerplate shared by many
-            # files — zero containment signal, quadratic noise. Drop it
-            # (regular bands keep salting: they are the near-dup path).
+        salted = n_sub[lo] > 1
+        if is_cont and salted:
+            # df-pruning: a containment bucket that went hot means its
+            # band value is boilerplate shared by many files — zero
+            # containment signal, quadratic noise. Drop it (regular
+            # bands keep salting: they are the near-dup path).
             continue
         members = fid[lo:hi]
         if n >= 2:
@@ -258,51 +273,129 @@ def _pairs_block(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
             a_out.append(np.minimum(pa_, pb_))
             b_out.append(np.maximum(pa_, pb_))
             cont_out.append(np.full(len(pa_), is_cont, dtype=np.int8))
-        if buck_salted[bk]:
-            reps[bk].append(members.min())
+        if salted:
+            rep_a.append(members.min())
+            rep_bid.append(bid[lo])
+            rep_bkey.append(bkey[lo])
+            rep_cont.append(is_cont)
 
-    # representative linking: sub-bucket reps of one bucket all-pair
-    for bk in range(n_bucks):
-        r = reps[bk]
-        if len(r) >= 2:
-            r = np.sort(np.array(r, dtype=object))
+    cands = pd.DataFrame({
+        "a": np.concatenate(a_out) if a_out else np.array([], dtype=object),
+        "b": np.concatenate(b_out) if b_out else np.array([], dtype=object),
+        "is_cont": (np.concatenate(cont_out) if cont_out
+                    else np.array([], dtype=np.int8))})
+    cands["band_id"] = np.int32(-1)
+    cands["band_key"] = np.int64(0)
+    cands["kind"] = "cand"
+    if rep_a:
+        reps = pd.DataFrame({
+            "a": np.array(rep_a, dtype=object),
+            "b": np.full(len(rep_a), "", dtype=object),
+            "is_cont": np.array(rep_cont, dtype=np.int8),
+            "band_id": np.array(rep_bid, dtype=np.int32),
+            "band_key": np.array(rep_bkey, dtype=np.int64),
+            "kind": np.full(len(rep_a), "rep", dtype=object)})
+        return pd.concat([cands, reps], ignore_index=True)
+    return cands
+
+
+def _link_reps_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Second (tiny) shuffle: all-pair the sub-bucket representatives of
+    each hot bucket so salting never disconnects a component."""
+    if df.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=object),
+                             "is_cont": pd.Series([], dtype=np.int8)})
+    df = df.sort_values(["band_id", "band_key", "a"], kind="mergesort")
+    bid = df["band_id"].to_numpy(np.int32)
+    bkey = df["band_key"].to_numpy(np.int64)
+    rep = df["a"].to_numpy()
+    cont = df["is_cont"].to_numpy(np.int8)
+    new = np.zeros(len(bid), dtype=bool)
+    new[0] = True
+    new[1:] = (bid[1:] != bid[:-1]) | (bkey[1:] != bkey[:-1])
+    bounds = np.append(np.flatnonzero(new), len(bid))
+    a_out, b_out, c_out = [], [], []
+    for s in range(len(bounds) - 1):
+        lo, hi = bounds[s], bounds[s + 1]
+        if hi - lo >= 2:
+            r = np.unique(rep[lo:hi])
             ia, ib = np.triu_indices(len(r), k=1)
             a_out.append(r[ia])
             b_out.append(r[ib])
-            cont_out.append(np.full(len(ia), buck_cont[bk], dtype=np.int8))
-
+            c_out.append(np.full(len(ia), cont[lo], dtype=np.int8))
     if not a_out:
         return pd.DataFrame({"a": pd.Series([], dtype=object),
                              "b": pd.Series([], dtype=object),
                              "is_cont": pd.Series([], dtype=np.int8)})
     return pd.DataFrame({"a": np.concatenate(a_out),
                          "b": np.concatenate(b_out),
-                         "is_cont": np.concatenate(cont_out)})
+                         "is_cont": np.concatenate(c_out)})
 
 
 def candidate_pairs(sigs: ray.data.Dataset, cfg: DedupConfig,
                     include_containment: bool = True) -> ray.data.Dataset:
     """Full LSH candidate generation: counting pass, salted explode,
-    partition-block pair-gen + representative linking (ONE shuffle),
-    then pair dedup.
+    partition-block pair-gen (reducers bounded by salt), representative
+    linking (tiny second shuffle), then pair dedup.
 
     Returns distinct pairs (a, b, is_cont) with a < b; ``is_cont`` is
     the max over generating bands, so a pair seen only by containment
     bands is routed to the substring pass if Jaccard rejects it."""
+    import pyarrow.compute as pc
+
     from ..functions.groups import partitioned_group_map
 
     hot_ref = find_hot_buckets(sigs, cfg, include_containment)
     bands = sigs.map_batches(ExplodeBands(cfg, hot_ref, include_containment),
                              batch_format="pyarrow", zero_copy_batch=True)
 
+    raw_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                            ("is_cont", pa.int8()), ("band_id", pa.int32()),
+                            ("band_key", pa.int64()), ("kind", pa.string())])
     pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
                              ("is_cont", pa.int8())])
-    all_pairs = partitioned_group_map(
-        bands, ["band_id", "band_key"],
+    raw = partitioned_group_map(
+        bands, ["band_id", "band_key", "salt"],
         lambda df: _pairs_block(df, cfg.bucket_cap, cfg.salt_window),
-        cfg.pair_partitions, out_schema=pair_schema)
+        cfg.pair_partitions, out_schema=raw_schema)
+    # consumed twice below (cand + rep split): materialize so the
+    # explode + shuffle + pair-gen lineage runs once, not twice
+    raw = raw.materialize()
+
+    pairs = raw.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "cand"))
+        .select(["a", "b", "is_cont"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    reps = raw.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "rep"))
+        .select(["a", "is_cont", "band_id", "band_key"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    rep_pairs = partitioned_group_map(
+        reps, ["band_id", "band_key"], _link_reps_block,
+        max(8, cfg.pair_partitions // 8), out_schema=pair_schema)
+
+    all_pairs = pairs.union(rep_pairs)
+
     # distinct on (a, b); is_cont = max => ANY containment-band evidence
-    # routes a Jaccard-rejected pair to the substring pass
-    return (all_pairs.groupby(["a", "b"]).max("is_cont")
-            .map_batches(lambda t: t.rename_columns(["a", "b", "is_cont"]),
-                         batch_format="pyarrow"))
+    # routes a Jaccard-rejected pair to the substring pass. Partitioned
+    # block dedup (sort + segment max) — measurably faster than the
+    # generic sort-based aggregate on string pair keys.
+    def dedup_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "is_cont": pd.Series([], dtype=np.int8)})
+        df = df.sort_values(["a", "b", "is_cont"], kind="mergesort")
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        c = df["is_cont"].to_numpy(np.int8)
+        last = np.zeros(len(a), dtype=bool)
+        last[-1] = True
+        last[:-1] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pd.DataFrame({"a": a[last], "b": b[last],
+                             "is_cont": c[last]})  # max = last in sort order
+
+    return partitioned_group_map(all_pairs, ["a", "b"], dedup_block,
+                                 cfg.pair_partitions,
+                                 out_schema=pair_schema)

@@ -90,6 +90,37 @@ def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
                               zero_copy_batch=True)
 
 
+def sha_representatives(sigs: ray.data.Dataset, cfg: DedupConfig,
+                        num_partitions: int = 32) -> ray.data.Dataset:
+    """One representative row (min file_id) per sha256 group, projected
+    to the columns LSH needs. Exact copies have identical signatures;
+    letting them all into LSH creates every-band mega-buckets for edges
+    that exact_dup_edges + CC transitivity already provide. The chosen
+    representative equals exact_dup_edges' group anchor (min file_id),
+    so the edge graph stays connected."""
+    from ..functions.groups import group_starts, partitioned_group_map
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "file_id": pd.Series([], dtype=object),
+                "minhash": pd.Series([], dtype=object),
+                "simhash": pd.Series([], dtype=np.int64),
+                "sig_kind": pd.Series([], dtype=object)})
+        df = df.sort_values(["sha256", "file_id"], kind="mergesort")
+        first = group_starts(df["sha256"].to_numpy())
+        out = df.iloc[np.flatnonzero(first)]
+        return out[["file_id", "minhash", "simhash", "sig_kind"]] \
+            .reset_index(drop=True)
+
+    schema = pa.schema([("file_id", pa.string()), ("minhash", pa.binary()),
+                        ("simhash", pa.int64()), ("sig_kind", pa.string())])
+    return partitioned_group_map(
+        sigs.select_columns(["sha256", "file_id", "minhash", "simhash",
+                             "sig_kind"]),
+        ["sha256"], block, num_partitions, out_schema=schema)
+
+
 def exact_dup_edges(sigs: ray.data.Dataset,
                     num_partitions: int = 32) -> ray.data.Dataset:
     """A1: sha256-equal edges (first-vs-rest per group, deterministic

@@ -125,6 +125,22 @@ def test_rerun_resumes(corpus_run):
     assert res2["clusters"].count() == res2["actions"].count()
 
 
+def test_salting_preserves_recall(tmp_path):
+    """With a tiny bucket_cap every near-dup family's buckets are salted
+    into sub-buckets; representative linking must keep components
+    connected (recall still 1.0)."""
+    from image_deduper_ray.config import DedupConfig
+
+    cfg = DedupConfig(bucket_cap=2, salt_window=2)
+    data_dir = str(tmp_path / "corpus")
+    d, _ = write_corpus(data_dir, n_clusters=8)
+    res = run_pipeline(d, str(tmp_path / "out"), cfg)
+    engine = _engine_clusters(res)
+    table, _ = generate_corpus(8)
+    ref_pairs = oracle_pairs(oracle_signatures(table, cfg), cfg)
+    assert dup_pair_recall(engine, ref_pairs) >= 0.99
+
+
 def test_distributed_cc_matches_driver(corpus_run):
     """Label propagation (distributed path) must produce exactly the
     driver union-find components."""
