@@ -25,7 +25,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_CLUSTERS = int(os.environ.get("IDR_BENCH_CLUSTERS", "8000"))
+BENCH_CLUSTERS = int(os.environ.get("IDR_BENCH_CLUSTERS", "24000"))
 CORPUS_DIR = f"/tmp/idr_bench_corpus_{BENCH_CLUSTERS}"
 
 

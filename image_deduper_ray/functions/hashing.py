@@ -77,9 +77,10 @@ def shingle_hashes(token_h: np.ndarray, k: int) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     if n < k:
-        h = token_h[0]
-        for i in range(1, n):
-            h = h * SHINGLE_MULT + token_h[i]
+        with np.errstate(over="ignore"):  # uint64 wraparound is the point
+            h = token_h[0]
+            for i in range(1, n):
+                h = h * SHINGLE_MULT + token_h[i]
         return np.array([h], dtype=np.uint64)
     m = n - k + 1
     h = token_h[:m].copy()

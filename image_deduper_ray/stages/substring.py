@@ -121,23 +121,61 @@ def find_containments(ids: list, texts: list[str],
 class ContainmentVerify:
     """Per-pair containment verdict over joined (a, b, content_a,
     content_b) batches: emits (a, b) edges where one side is a verbatim
-    substring of the other. min_len guards trivial matches."""
+    substring of the other. min_len guards trivial matches.
 
-    def __init__(self, min_len: int = 64):
+    Hosts paired with many needles (a vendored blob candidate against N
+    small files) get ONE suffix array built and binary-searched per
+    needle — O((|host| log + Σ|needle|) log) instead of N linear scans;
+    sparse hosts use the C-speed ``in`` scan."""
+
+    def __init__(self, min_len: int = 64, sa_min_needles: int = 4):
         self.min_len = min_len
+        self.sa_min_needles = sa_min_needles
+
+    @staticmethod
+    def _codes(text: str) -> np.ndarray:
+        return np.frombuffer(text.encode("utf-32-le"),
+                             dtype=np.uint32).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ca = batch["content_a"].to_pylist()
         cb = batch["content_b"].to_pylist()
         aa = batch["a"].to_pylist()
         bb = batch["b"].to_pylist()
-        out_a, out_b = [], []
+
+        # orient each pair as (needle, host) and group by host
+        by_host: dict[str, list[int]] = {}
+        oriented: list[tuple[str, str] | None] = []
         for i in range(len(ca)):
             x, y = ca[i], cb[i]
-            if x is None or y is None:
+            if x is None or y is None or x == y:
+                oriented.append(None)
                 continue
-            small, big = (x, y) if len(x) <= len(y) else (y, x)
-            if len(small) >= self.min_len and small in big:
+            small, big = (x, y) if len(x) < len(y) else (y, x)
+            if len(small) < self.min_len:
+                oriented.append(None)
+                continue
+            oriented.append((small, big))
+            by_host.setdefault(big, []).append(i)
+
+        sa_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for host, idxs in by_host.items():
+            if len(idxs) >= self.sa_min_needles:
+                s = self._codes(host)
+                sa_cache[host] = (s, suffix_array(s))
+
+        out_a, out_b = [], []
+        for i, pair in enumerate(oriented):
+            if pair is None:
+                continue
+            needle, host = pair
+            if host in sa_cache:
+                s, sa = sa_cache[host]
+                left, right = _bounds(s, sa, self._codes(needle))
+                hit = right > left
+            else:
+                hit = needle in host
+            if hit:
                 out_a.append(aa[i])
                 out_b.append(bb[i])
         return pa.table({"a": pa.array(out_a, pa.string()),
