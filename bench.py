@@ -96,8 +96,12 @@ def main() -> None:
         for n in (lo, hi):
             out = subprocess.run(
                 [sys.executable, __file__, "--child", str(n)],
-                capture_output=True, text=True, check=True,
+                capture_output=True, text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            if out.returncode != 0:
+                sys.stderr.write(out.stderr[-4000:])
+                raise SystemExit(
+                    f"scaling child num_cpus={n} failed rc={out.returncode}")
             results[n] = json.loads(out.stdout.strip().splitlines()[-1])
         thr = {n: results[n]["files"] / results[n]["wall"] for n in (lo, hi)}
         eff = thr[hi] / (thr[lo] * (hi / lo))

@@ -47,6 +47,9 @@ class DedupConfig:
     # below it are rejects. Tiny-in-huge containment (J < this) is out
     # of signature reach by construction — documented limitation.
     containment_est_jaccard_min: float = 0.15
+    # containment-only pairs must agree in this many bands (noise hits
+    # one band w.p. ~16*J^2, two w.p. ~120*J^4 — a 50x gate at J~0.05)
+    containment_min_band_hits: int = 2
 
     # --- verification ---
     jaccard_threshold: float = 0.8   # analog of phash_threshold=90 (config.rs:105)
@@ -72,6 +75,16 @@ class DedupConfig:
 
     # --- per-row time budget (analog of timeout_utils.rs:27-58) ---
     row_time_budget_s: float = 5.0
+
+    # --- fast-signature mode (analog of ultra_fast_phash,
+    #     core.rs:158-199: strided sampling instead of the full pass) ---
+    # keep every k-th shingle (post-sort): k=1 is exact; k>1 trades
+    # recall resolution for k-fold less MinHash work on huge rows
+    shingle_stride: int = 1
+
+    # --- actor-local signature memo (ImageCache analog, types.rs:78-113):
+    #     identical content (same sha256) is signed once per worker ---
+    sig_cache_capacity: int = 50_000
 
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.num_perms:

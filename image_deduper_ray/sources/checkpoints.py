@@ -76,9 +76,13 @@ def write_stage(ds: ray.data.Dataset, root: str, stage: str,
         # reports schema() = None in Ray 2.49)
         pq.write_table((schema or _arrow_schema_of(ds)).empty_table(),
                        os.path.join(d, "empty-0.parquet"))
-    n = sum(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
-            for f in os.listdir(d) if f.endswith(".parquet"))
-    manifest = {"stage": stage, "rows": int(n), "config": config_json}
+    per_part = {f: int(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows)
+                for f in sorted(os.listdir(d)) if f.endswith(".parquet")}
+    n = sum(per_part.values())
+    # per-partition lineage (north rule): which physical partition holds
+    # how many rows — a resume or audit can account for every block
+    manifest = {"stage": stage, "rows": int(n), "config": config_json,
+                "partitions": per_part}
     manifest.update(extra or {})
     tmp = os.path.join(d, MANIFEST + ".tmp")
     with open(tmp, "w") as fh:
@@ -133,3 +137,49 @@ def anti_join_done(ds: ray.data.Dataset, done_keys: set[str],
         return batch.filter(keep)
 
     return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def anti_join_done_partitioned(ds: ray.data.Dataset, done: ray.data.Dataset,
+                               key_col: str,
+                               num_partitions: int = 64) -> ray.data.Dataset:
+    """J1 at huge scale: when the done-key set no longer fits in worker
+    memory, hash-partition BOTH sides on the key and set-difference per
+    partition (SURVEY.md §2.4). One shuffle; no broadcast."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.groups import partitioned_group_map
+
+    schema = None
+    try:
+        s = ds.schema()
+        if isinstance(getattr(s, "base_schema", s), pa.Schema):
+            schema = getattr(s, "base_schema", s)
+    except Exception:
+        pass
+
+    left = ds.map_batches(
+        lambda t: t.append_column("__done", pa.array(
+            np.zeros(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cols = [f.name for f in schema] if schema else None
+
+    def conform_done(t: pa.Table) -> pa.Table:
+        out = {key_col: t[key_col]}
+        if cols:
+            for c in cols:
+                if c != key_col:
+                    out[c] = pa.nulls(t.num_rows, schema.field(c).type)
+        out["__done"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        return pa.table(out)
+
+    right = done.map_batches(conform_done, batch_format="pyarrow")
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        done_keys = set(df.loc[df["__done"] == 1, key_col])
+        keep = df[(df["__done"] == 0) & ~df[key_col].isin(done_keys)]
+        return keep.drop(columns=["__done"])
+
+    return partitioned_group_map(left.union(right), [key_col], block,
+                                 num_partitions, out_schema=schema)

@@ -51,7 +51,13 @@ import ray.data
 from ..config import DedupConfig
 
 _BAND_MULT = np.uint64(0x9E3779B97F4A7C15)
-CONTAINMENT_BAND_BASE = 1000  # band_ids >= this are single-perm containment bands
+CONTAINMENT_BAND_BASE = 1000  # band_ids >= this are containment bands
+
+
+def _combo(band_id: np.ndarray, band_key_i64: np.ndarray) -> np.ndarray:
+    """uint64 merge of (band_id, band_key) used for hot-key lookups."""
+    return (band_id.astype(np.uint64) * _BAND_MULT) ^ \
+        band_key_i64.astype(np.int64).view(np.uint64)
 
 
 def _sig_matrix(batch: pa.Table, num_perms: int) -> np.ndarray:
@@ -73,9 +79,17 @@ def _band_keys(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
     return bk
 
 
-def _salt_for(file_ids: list[str], n_sub: np.ndarray) -> np.ndarray:
-    """Deterministic salt = (low 8 hex chars of file_id) % n_sub."""
-    base = np.array([int(f[-8:], 16) for f in file_ids], dtype=np.uint64)
+def _salt_for(file_ids, n_sub: np.ndarray) -> np.ndarray:
+    """Deterministic salt = (low 8 hex chars of file_id) % n_sub,
+    vectorized over the fixed-width hex id bytes (no per-row int())."""
+    arr = np.asarray(file_ids, dtype="S32")
+    view = arr.view(np.uint8).reshape(len(arr), -1)[:, -8:]
+    d = view.astype(np.uint64)
+    d = np.where(d >= 97, d - 87, np.where(d >= 65, d - 55,
+                 np.where(d >= 48, d - 48, np.uint64(0))))
+    base = np.zeros(len(arr), dtype=np.uint64)
+    for i in range(8):  # 8 fixed iterations, each full-vector
+        base = base * np.uint64(16) + d[:, i]
     return (base % np.maximum(n_sub.astype(np.uint64), 1)).astype(np.int32)
 
 
@@ -89,6 +103,22 @@ class ExplodeBands:
         self.cfg = config
         self.include_containment = include_containment
         self.hot = ray.get(hot_ref) if hot_ref is not None else {}
+        # vectorized lookup tables (built once per actor): hot keys as a
+        # sorted combo array for np.searchsorted — the per-row dict loop
+        # was a Python hot path over every band row
+        if self.hot:
+            keys = list(self.hot)
+            with np.errstate(over="ignore"):
+                combos = (_combo(
+                    np.array([k[0] for k in keys], dtype=np.int64),
+                    np.array([k[1] for k in keys], dtype=np.int64)))
+            order = np.argsort(combos)
+            self._hot_combos = combos[order]
+            self._hot_nsub = np.array([self.hot[k] for k in keys],
+                                      dtype=np.int64)[order]
+        else:
+            self._hot_combos = np.empty(0, dtype=np.uint64)
+            self._hot_nsub = np.empty(0, dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -124,14 +154,13 @@ class ExplodeBands:
         flat_sim = np.repeat(simhash, B)
 
         n_sub = np.ones(len(flat_bid), dtype=np.int64)
-        if self.hot:
-            # hot-dict keys use the SIGNED int64 view, matching the
-            # band_key column type the counting pass emitted
-            flat_bkey_i64 = flat_bkey.view(np.int64)
-            for i in range(len(flat_bid)):
-                s = self.hot.get((int(flat_bid[i]), int(flat_bkey_i64[i])))
-                if s:
-                    n_sub[i] = s
+        if len(self._hot_combos):
+            with np.errstate(over="ignore"):
+                combos = _combo(flat_bid, flat_bkey.view(np.int64))
+            pos = np.searchsorted(self._hot_combos, combos)
+            pos[pos >= len(self._hot_combos)] = 0
+            hit = self._hot_combos[pos] == combos
+            n_sub[hit] = self._hot_nsub[pos[hit]]
             salt = _salt_for(list(flat_fid), n_sub)
         else:
             salt = np.zeros(len(flat_bid), dtype=np.int32)
@@ -379,8 +408,14 @@ def candidate_pairs(sigs: ray.data.Dataset, cfg: DedupConfig,
 
     # distinct on (a, b); is_cont = max => ANY containment-band evidence
     # routes a Jaccard-rejected pair to the substring pass. Partitioned
-    # block dedup (sort + segment max) — measurably faster than the
-    # generic sort-based aggregate on string pair keys.
+    # block dedup (sort + segment scan) — measurably faster than the
+    # generic sort-based aggregate on string pair keys. Pairs seen ONLY
+    # by containment bands must agree in >= containment_min_band_hits
+    # bands: at band collision prob J^r a real containment pair (J >=
+    # ~0.5) hits many bands, while a boilerplate-noise pair almost never
+    # hits twice — the cheap pre-verify noise gate.
+    min_hits = cfg.containment_min_band_hits
+
     def dedup_block(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return pd.DataFrame({"a": pd.Series([], dtype=object),
@@ -390,11 +425,18 @@ def candidate_pairs(sigs: ray.data.Dataset, cfg: DedupConfig,
         a = df["a"].to_numpy()
         b = df["b"].to_numpy()
         c = df["is_cont"].to_numpy(np.int8)
+        first = np.zeros(len(a), dtype=bool)
+        first[0] = True
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
         last = np.zeros(len(a), dtype=bool)
         last[-1] = True
-        last[:-1] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return pd.DataFrame({"a": a[last], "b": b[last],
-                             "is_cont": c[last]})  # max = last in sort order
+        last[:-1] = first[1:]
+        group_idx = np.cumsum(first) - 1
+        counts = np.bincount(group_idx)
+        cont_only = c[first] == 1        # min is_cont (sort asc) == 1
+        keep = ~cont_only | (counts >= min_hits)
+        return pd.DataFrame({"a": a[last][keep], "b": b[last][keep],
+                             "is_cont": c[last][keep]})  # max = last
 
     return partitioned_group_map(all_pairs, ["a", "b"], dedup_block,
                                  cfg.pair_partitions,

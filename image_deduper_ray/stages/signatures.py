@@ -42,6 +42,10 @@ class SignatureStage:
         self.a, self.b = mh.make_perms(config.num_perms, config.minhash_seed)
         self.token_cache = hashing.TokenHashCache()
         self.poison: set[str] = set()  # ST2: per-actor skip memo
+        # ST3 (ImageCache analog, types.rs:78-113): identical content is
+        # signed once per worker — keyed by sha256, bounded, cleared at
+        # capacity like the reference's cache
+        self.sig_cache: dict[str, tuple] = {}
 
     # -- per-row kernel (strings force a row loop; all arithmetic inside
     #    is vectorized numpy over the row's shingles) --
@@ -68,6 +72,10 @@ class SignatureStage:
                     "binary-or-empty-after-normalize")
         th = self.token_cache.hash_tokens(tokens)
         shingles = hashing.shingle_hashes(th, cfg.shingle_k)
+        if cfg.shingle_stride > 1 and len(shingles) > cfg.shingle_stride:
+            # fast mode (ultra_fast_phash analog, core.rs:158-199):
+            # strided sample of the sorted shingle set
+            shingles = shingles[:: cfg.shingle_stride]
         sig = mh.minhash_signature(shingles, self.a, self.b)
         simh = mh.simhash64(shingles)
         if time.monotonic() - t0 > cfg.row_time_budget_s:
@@ -96,9 +104,18 @@ class SignatureStage:
         n_shingles = np.empty(n, dtype=np.int64)
         kinds: list[str] = []
         errors: list[str] = []
+        cache = self.sig_cache
         for i in range(n):
-            sig, simh, nt, ns, kind, err = self._row_signature(
-                repos[i], paths[i], langs[i], contents[i], int(n_bytes[i]))
+            hit = cache.get(sha[i])
+            if hit is not None and hit[4] == "ok":
+                sig, simh, nt, ns, kind, err = hit
+            else:
+                sig, simh, nt, ns, kind, err = self._row_signature(
+                    repos[i], paths[i], langs[i], contents[i], int(n_bytes[i]))
+                if kind == "ok":  # fallback/poison results are identity-specific
+                    if len(cache) > self.cfg.sig_cache_capacity:
+                        cache.clear()
+                    cache[sha[i]] = (sig, simh, nt, ns, kind, err)
             sigs[i] = sig
             simhashes[i] = np.uint64(simh)
             n_tokens[i] = nt

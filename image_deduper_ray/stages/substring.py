@@ -123,12 +123,15 @@ class ContainmentVerify:
     content_b) batches: emits (a, b) edges where one side is a verbatim
     substring of the other. min_len guards trivial matches.
 
-    Hosts paired with many needles (a vendored blob candidate against N
-    small files) get ONE suffix array built and binary-searched per
-    needle — O((|host| log + Σ|needle|) log) instead of N linear scans;
-    sparse hosts use the C-speed ``in`` scan."""
+    The C-speed ``in`` scan is the default for every pair: at ~GB/s a
+    1 MB host costs ~1 ms per needle, while building a (numpy
+    prefix-doubling) suffix array over it costs tens of seconds — the
+    SA pays off only when one host faces hundreds of needles, so the
+    threshold defaults high. (Measured: the SA-eager variant serialized
+    the containment stage at 150 s on 346k files; the scan runs it in
+    seconds.)"""
 
-    def __init__(self, min_len: int = 64, sa_min_needles: int = 4):
+    def __init__(self, min_len: int = 64, sa_min_needles: int = 512):
         self.min_len = min_len
         self.sa_min_needles = sa_min_needles
 
