@@ -62,9 +62,13 @@ class DedupConfig:
     join_num_partitions: int = 48    # hash-join partition count for pair-verify joins
     max_content_bytes: int = 262144  # rows larger than this use the windowed signature path (M6/M7)
     cc_max_rounds: int = 50          # label-propagation round cap
-    # containment-verify picks broadcast (dict of candidate contents,
-    # zero shuffles) below this many candidate ids, partitioned joins above
-    cont_broadcast_max_ids: int = 100_000
+    # containment-verify broadcasts the candidate contents (zero
+    # shuffles) while their total size stays under this; partitioned
+    # joins past it
+    cont_broadcast_max_bytes: int = 2_000_000_000
+    # pair verification broadcasts the (collapsed-representative)
+    # signature matrix while it fits; partitioned hash joins past it
+    verify_broadcast_max_bytes: int = 4_000_000_000
     cc_driver_max_edges: int = 2_000_000  # below this, union-find on the driver is allowed
 
     # --- canonical pick (analog of PriorityRule list, config.rs:111-115:

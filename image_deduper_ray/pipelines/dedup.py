@@ -38,7 +38,8 @@ from ..stages.cc import connected_components
 from ..stages.lsh import candidate_pairs
 from ..stages.signatures import SignatureStage
 from ..stages.substring import ContainmentVerify
-from ..stages.verify import exact_dup_edges, sha_representatives, verify_pairs
+from ..stages.verify import (exact_dup_edges, signature_representatives,
+                             verify_pairs)
 from ..state.metrics import MetricsSink, StageTimer
 
 _EDGE_SCHEMA = pa.schema([("a", pa.string()), ("b", pa.string())])
@@ -103,19 +104,23 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
     edges_exact = ckpt.read_stage(out_dir, "edges_exact")
 
     # -- LSH candidate pairs (A2 part 1, salted) --
-    # only the min-file_id representative of each sha256 group enters
-    # LSH: exact copies have IDENTICAL signatures, so they would form
-    # mega-buckets (every band collides) for pairs that exact edges +
-    # CC transitivity already connect. At web scale this is the single
-    # biggest bucket-skew source (vendored verbatim copies).
-    if not (resume and ckpt.is_complete(out_dir, "pairs")):
+    # signature-identical rows (exact copies AND reformat-only twins)
+    # collapse to one representative before banding: identical MinHash
+    # => est-Jaccard 1.0 => near-dup edge with no banding/verification
+    # needed. At web scale this is the single biggest bucket-skew and
+    # duplicate-emission source (vendored/boilerplate copies).
+    if not (resume and ckpt.is_complete(out_dir, "pairs")
+            and ckpt.is_complete(out_dir, "edges_sig")):
         with StageTimer(metrics, "pairs") as t:
-            reps = sha_representatives(sigs, cfg)
+            reps, sig_edges = signature_representatives(sigs, cfg)
+            ckpt.write_stage(sig_edges, out_dir, "edges_sig", cfg_json,
+                             schema=_EDGE_SCHEMA)
             p = candidate_pairs(reps, cfg)
             p = ckpt.write_stage(p, out_dir, "pairs", cfg_json,
                                  schema=_PAIR_SCHEMA)
             t.done(ckpt.read_manifest(out_dir, "pairs")["rows"])
     pairs = ckpt.read_stage(out_dir, "pairs")
+    edges_sig = ckpt.read_stage(out_dir, "edges_sig")
 
     # -- Jaccard verification (J4) --
     if not (resume and ckpt.is_complete(out_dir, "verified")):
@@ -168,15 +173,21 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
                            .select_columns(["file_id", "content"])
                            .map_batches(_only_cands, batch_format="pyarrow",
                                         zero_copy_batch=True))
-                if len(cand_ids) <= cfg.cont_broadcast_max_ids:
-                    # common case: candidate content is small — broadcast
-                    # it once and verify pairs in a single map_batches
-                    # (no shuffle at all)
-                    lookup: dict[str, str] = {}
-                    for b in content.iter_batches(batch_size=4096,
-                                                  batch_format="pyarrow"):
-                        lookup.update(zip(b["file_id"].to_pylist(),
-                                          b["content"].to_pylist()))
+                # common case: candidate content fits a broadcast —
+                # collect it (streaming, byte-capped) and verify pairs
+                # in a single map_batches with no shuffle at all; fall
+                # back to partitioned joins only past the byte cap
+                lookup: dict[str, str] | None = {}
+                lookup_bytes = 0
+                for b in content.iter_batches(batch_size=4096,
+                                              batch_format="pyarrow"):
+                    texts = b["content"].to_pylist()
+                    lookup_bytes += sum(len(x) for x in texts)
+                    if lookup_bytes > cfg.cont_broadcast_max_bytes:
+                        lookup = None
+                        break
+                    lookup.update(zip(b["file_id"].to_pylist(), texts))
+                if lookup is not None:
                     content_ref = ray.put(lookup)
 
                     def _attach(tb: pa.Table) -> pa.Table:
@@ -192,7 +203,8 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
                           .map_batches(ContainmentVerify(),
                                        batch_format="pyarrow"))
                 else:
-                    # huge candidate set: partitioned joins (scale path)
+                    # candidate content too large to broadcast:
+                    # partitioned joins (scale path)
                     content_a = content.map_batches(
                         lambda tb: tb.rename_columns(["file_id", "content_a"]),
                         batch_format="pyarrow", zero_copy_batch=True)
@@ -222,6 +234,7 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
                 .select(["a", "b"]),
                 batch_format="pyarrow", zero_copy_batch=True)
             all_edges = near.union(edges_exact.select_columns(["a", "b"]),
+                                   edges_sig.select_columns(["a", "b"]),
                                    edges_cont.select_columns(["a", "b"]))
             all_edges = ckpt.write_stage(all_edges, out_dir, "edges", cfg_json,
                                          schema=_EDGE_SCHEMA)

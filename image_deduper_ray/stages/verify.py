@@ -84,41 +84,131 @@ class ScorePairs:
 
 def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
                  cfg: DedupConfig) -> ray.data.Dataset:
-    """-> (a, b, jaccard, verdict) for every candidate pair."""
+    """-> (a, b, jaccard, verdict) for every candidate pair.
+
+    Fast path: the signature matrix fits the broadcast budget — ship it
+    ONCE via ray.put as (sorted ids, uint64 matrix); workers get
+    zero-copy plasma-backed numpy views and score batches with one
+    vectorized searchsorted + equality mean. No shuffle, no per-pair
+    signature copies. Past the budget (the 10^12-file regime, where
+    even collapsed representatives outgrow a node), fall back to the
+    partitioned hash joins."""
+    n_sigs = sigs.count()
+    sig_bytes = n_sigs * cfg.num_perms * 8
+    if sig_bytes <= cfg.verify_broadcast_max_bytes:
+        ids_list: list[str] = []
+        chunks: list[np.ndarray] = []
+        for b in sigs.select_columns(["file_id", "minhash"]).iter_batches(
+                batch_size=8192, batch_format="pyarrow"):
+            ids_list.extend(b["file_id"].to_pylist())
+            chunks.append(_sig_of(b["minhash"], cfg.num_perms))
+        ids = np.array(ids_list, dtype="S32")
+        mat = (np.concatenate(chunks)
+               if chunks else np.empty((0, cfg.num_perms), np.uint64))
+        order = np.argsort(ids)
+        ref = ray.put((ids[order], np.ascontiguousarray(mat[order])))
+        tau, cont_min = cfg.jaccard_threshold, cfg.containment_est_jaccard_min
+
+        def score(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"a": pa.array([], pa.string()),
+                                 "b": pa.array([], pa.string()),
+                                 "jaccard": pa.array([], pa.float64()),
+                                 "verdict": pa.array([], pa.string())})
+            sids, smat = ray.get(ref)
+            a = np.array(batch["a"].to_pylist(), dtype="S32")
+            b = np.array(batch["b"].to_pylist(), dtype="S32")
+            pa_ = np.searchsorted(sids, a).clip(0, len(sids) - 1)
+            pb_ = np.searchsorted(sids, b).clip(0, len(sids) - 1)
+            ok = (sids[pa_] == a) & (sids[pb_] == b)
+            jac = np.where(ok, (smat[pa_] == smat[pb_]).mean(axis=1), 0.0)
+            is_cont = batch["is_cont"].to_numpy(zero_copy_only=False)
+            cont_ok = (is_cont == 1) & (jac >= cont_min)
+            verdict = np.where(jac >= tau, "near_dup",
+                               np.where(cont_ok, "containment_cand",
+                                        "reject"))
+            return pa.table({"a": batch["a"], "b": batch["b"],
+                             "jaccard": pa.array(jac),
+                             "verdict": pa.array(verdict.tolist(),
+                                                 pa.string())})
+
+        return pairs.map_batches(score, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
     joined = attach_signatures(pairs, sigs, cfg)
     return joined.map_batches(ScorePairs(cfg), batch_format="pyarrow",
                               zero_copy_batch=True)
 
 
-def sha_representatives(sigs: ray.data.Dataset, cfg: DedupConfig,
-                        num_partitions: int = 32) -> ray.data.Dataset:
-    """One representative row (min file_id) per sha256 group, projected
-    to the columns LSH needs. Exact copies have identical signatures;
-    letting them all into LSH creates every-band mega-buckets for edges
-    that exact_dup_edges + CC transitivity already provide. The chosen
-    representative equals exact_dup_edges' group anchor (min file_id),
-    so the edge graph stays connected."""
+def signature_representatives(sigs: ray.data.Dataset, cfg: DedupConfig,
+                              num_partitions: int = 32
+                              ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Collapse signature-identical rows before LSH.
+
+    Rows with BYTE-IDENTICAL MinHash signatures (sig_kind='ok') have
+    est-Jaccard exactly 1.0 >= tau — they are near-dups by definition,
+    needing neither banding nor verification. Letting them into LSH is
+    the dominant skew + duplicate-emission source: a group of k
+    identical signatures collides in EVERY band, emitting k^2 pairs x
+    num_bands duplicates (exact copies and reformat-only twins are the
+    web-scale boilerplate case). Instead: one representative (min
+    file_id) per signature group enters LSH; (rep, member) edges are
+    returned for the edge union; CC transitivity reconnects everything.
+
+    Returns (reps, sig_edges). Rows whose sig_kind is 'fallback' are
+    never merged by signature (their signature encodes identity, not
+    content); 'empty' rows are dropped from both outputs (M16
+    validator semantics)."""
     from ..functions.groups import group_starts, partitioned_group_map
 
-    def block(df: pd.DataFrame) -> pd.DataFrame:
+    proj = sigs.select_columns(["file_id", "minhash", "simhash", "sig_kind"])
+
+    def rep_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "file_id": pd.Series([], dtype=object),
+            "minhash": pd.Series([], dtype=object),
+            "simhash": pd.Series([], dtype=np.int64),
+            "sig_kind": pd.Series([], dtype=object),
+            "edge_to": pd.Series([], dtype=object)})
         if df.empty:
-            return pd.DataFrame({
-                "file_id": pd.Series([], dtype=object),
-                "minhash": pd.Series([], dtype=object),
-                "simhash": pd.Series([], dtype=np.int64),
-                "sig_kind": pd.Series([], dtype=object)})
-        df = df.sort_values(["sha256", "file_id"], kind="mergesort")
-        first = group_starts(df["sha256"].to_numpy())
-        out = df.iloc[np.flatnonzero(first)]
-        return out[["file_id", "minhash", "simhash", "sig_kind"]] \
-            .reset_index(drop=True)
+            return empty
+        df = df[df["sig_kind"] != "empty"]
+        if df.empty:
+            return empty
+        mergeable = df["sig_kind"] == "ok"
+        solo = df[~mergeable].copy()
+        solo["edge_to"] = ""
+        dfm = df[mergeable].sort_values(["minhash", "file_id"],
+                                        kind="mergesort")
+        first = group_starts(dfm["minhash"].to_numpy())
+        group_idx = np.cumsum(first) - 1
+        fid = dfm["file_id"].to_numpy()
+        rep_of = fid[first][group_idx]
+        reps = dfm.iloc[np.flatnonzero(first)].copy()
+        reps["edge_to"] = ""
+        members = dfm.iloc[np.flatnonzero(~first)].copy()
+        members["edge_to"] = rep_of[~first]
+        return pd.concat([reps, members, solo], ignore_index=True)
 
     schema = pa.schema([("file_id", pa.string()), ("minhash", pa.binary()),
-                        ("simhash", pa.int64()), ("sig_kind", pa.string())])
-    return partitioned_group_map(
-        sigs.select_columns(["sha256", "file_id", "minhash", "simhash",
-                             "sig_kind"]),
-        ["sha256"], block, num_partitions, out_schema=schema)
+                        ("simhash", pa.int64()), ("sig_kind", pa.string()),
+                        ("edge_to", pa.string())])
+    tagged = partitioned_group_map(proj, ["minhash"], rep_block,
+                                   num_partitions, out_schema=schema)
+    tagged = tagged.materialize()  # consumed twice (reps + edges)
+
+    import pyarrow.compute as pc
+
+    reps = tagged.map_batches(
+        lambda t: t.filter(pc.equal(t["edge_to"], ""))
+        .select(["file_id", "minhash", "simhash", "sig_kind"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sig_edges = tagged.map_batches(
+        lambda t: pa.table({
+            "a": t.filter(pc.not_equal(t["edge_to"], ""))["edge_to"],
+            "b": t.filter(pc.not_equal(t["edge_to"], ""))["file_id"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return reps, sig_edges
 
 
 def exact_dup_edges(sigs: ray.data.Dataset,

@@ -107,8 +107,8 @@ def test_actions_lineage(corpus_run):
 
 def test_all_stages_checkpointed(corpus_run):
     _, out_dir, _, _, _ = corpus_run
-    for stage in ["signatures", "edges_exact", "pairs", "verified",
-                  "edges_cont", "edges", "clusters", "actions"]:
+    for stage in ["signatures", "edges_exact", "edges_sig", "pairs",
+                  "verified", "edges_cont", "edges", "clusters", "actions"]:
         mpath = os.path.join(out_dir, stage, "_MANIFEST.json")
         assert os.path.exists(mpath), stage
         with open(mpath) as fh:
