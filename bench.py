@@ -66,7 +66,9 @@ def _run_flagship(num_cpus: int) -> tuple[float, int]:
     corpus, n_files = _ensure_corpus()
     out = f"/tmp/idr_bench_out_{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
-    cfg = DedupConfig(sig_concurrency=(1, num_cpus))
+    # min pool size = half the cpus: Ray's actor-pool autoscaler ramps
+    # slowly from 1 and the stage finishes before reaching full width
+    cfg = DedupConfig(sig_concurrency=(max(1, num_cpus // 2), num_cpus))
     t0 = time.time()
     run_pipeline(corpus, out, cfg, resume=False)
     return time.time() - t0, n_files

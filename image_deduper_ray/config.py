@@ -56,8 +56,8 @@ class DedupConfig:
 
     # --- batch / scale knobs ---
     sig_batch_size: int = 512        # rows per signature-actor batch
-    pair_partitions: int = 64        # hash partitions for LSH pair-gen blocks
-    hot_sample_k: int = 8            # hot-bucket counting samples 1/k of rows
+    pair_partitions: int = 32        # hash partitions for LSH pair-gen blocks
+    hot_sample_k: int = 16           # hot-bucket counting samples 1/k of rows
     sig_concurrency: int | tuple[int, int] | None = None  # actor pool size (None = tasks sizing by Ray)
     join_num_partitions: int = 48    # hash-join partition count for pair-verify joins
     max_content_bytes: int = 262144  # rows larger than this use the windowed signature path (M6/M7)
