@@ -213,6 +213,21 @@ def _q_media_decode(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_windowed_counts(sf_dir: str):
+    from image_deduper_ray.pipelines.events import windowed_event_counts
+    return windowed_event_counts(sf_dir)
+
+
+def _q_sessionize(sf_dir: str):
+    from image_deduper_ray.pipelines.events import sessionize
+    return sessionize(sf_dir)
+
+
+def _q_orders_by_segment(sf_dir: str):
+    from image_deduper_ray.pipelines.events import orders_by_segment
+    return orders_by_segment(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -234,6 +249,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_clusters": _q_minhash_clusters,
         "simhash_groups": _q_simhash_groups,
         "media_decode_features": _q_media_decode,
+        "e_windowed_counts": _q_windowed_counts,
+        "e_sessionize": _q_sessionize,
+        "j_orders_by_segment": _q_orders_by_segment,
     }
 
 
@@ -306,6 +324,24 @@ def oracle_sql() -> dict[str, str]:
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.35",
+        "e_windowed_counts":
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "COUNT(*) AS n_events, "
+            "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents "
+            "FROM events GROUP BY 1, 2",
+        "e_sessionize":
+            "WITH x AS (SELECT user_id, ts, "
+            "  ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap "
+            "  FROM events) "
+            "SELECT user_id, "
+            "COUNT(CASE WHEN gap IS NULL OR gap > INTERVAL 1800 SECONDS "
+            "THEN 1 END) AS n_sessions, COUNT(*) AS n_events "
+            "FROM x GROUP BY user_id",
+        "j_orders_by_segment":
+            "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+            "SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS sum_total_cents FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
         # rows-only (non-SQL-expressible): t_lang_id, t_mislabel_flags,
         # ann_topk_lsh, minhash_lsh_clusters, simhash_groups,
         # media_decode_features

@@ -247,8 +247,10 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
         return pa.table({"doc_id": pa.array(out_d, pa.int64()),
                          "gram": pa.array(out_g, pa.string())})
 
+    from ..functions.groups import group_starts, partitioned_group_map
+
     exploded = ds.map_batches(grams, batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              zero_copy_batch=True).materialize()
 
     # per-doc distinct gram counts — small (one int per doc), broadcast
     counts_df = (exploded.groupby("doc_id").count().to_pandas())
@@ -256,38 +258,51 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
                           counts_df["count()"].astype(int)))
     cnt_ref = ray.put(doc_counts)
 
-    def cooccur(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique().astype(np.int64))
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64)})
-        r, c = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[r], "b": ids[c]})
-
-    pairs = exploded.groupby("gram").map_groups(cooccur,
-                                                batch_format="pandas")
-
-    def add_key(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            t["a"].cast(pa.string()), t["b"].cast(pa.string()), ":")
-        return t.append_column("pair", key)
-
-    inter = (pairs.map_batches(add_key, batch_format="pyarrow")
-             .groupby("pair").count())
-
-    def jaccard_filter(t: pa.Table) -> pa.Table:
-        cnts = ray.get(cnt_ref)
-        pairs_ = t["pair"].to_pylist()
-        i = t["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def cooccur_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64)})
+        if df.empty:
+            return empty
+        df = df.sort_values(["gram", "doc_id"], kind="mergesort")
+        g = df["gram"].to_numpy()
+        d = df["doc_id"].to_numpy(np.int64)
+        new = group_starts(g)
+        bounds = np.append(np.flatnonzero(new), len(g))
         out_a, out_b = [], []
-        for k, p in enumerate(pairs_):
-            a_s, b_s = p.split(":")
-            a, b = int(a_s), int(b_s)
-            u = cnts[a] + cnts[b] - int(i[k])
-            if u > 0 and i[k] / u >= tau:
-                out_a.append(a)
-                out_b.append(b)
-        return pa.table({"a": pa.array(out_a, pa.int64()),
-                         "b": pa.array(out_b, pa.int64())})
+        for s in range(len(bounds) - 1):
+            lo, hi = bounds[s], bounds[s + 1]
+            if hi - lo >= 2:
+                ids = d[lo:hi]  # already sorted, distinct per doc
+                r, c = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[r])
+                out_b.append(ids[c])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
 
-    return inter.map_batches(jaccard_filter, batch_format="pyarrow")
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    pairs = partitioned_group_map(exploded, ["gram"], cooccur_block, 16,
+                                  out_schema=pair_schema)
+
+    def count_filter_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64)})
+        if df.empty:
+            return empty
+        cnts = ray.get(cnt_ref)
+        df = df.sort_values(["a", "b"], kind="mergesort")
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        new = group_starts(a, b)
+        gidx = np.cumsum(new) - 1
+        inter = np.bincount(gidx).astype(np.int64)
+        ua, ub = a[new], b[new]
+        ca = np.array([cnts[x] for x in ua], dtype=np.int64)
+        cb = np.array([cnts[x] for x in ub], dtype=np.int64)
+        union = ca + cb - inter
+        keep = (union > 0) & (inter / np.maximum(union, 1) >= tau)
+        return pd.DataFrame({"a": ua[keep], "b": ub[keep]})
+
+    return partitioned_group_map(pairs, ["a", "b"], count_filter_block, 16,
+                                 out_schema=pair_schema)

@@ -1,0 +1,146 @@
+"""Windowed / sessionized operators over the ``events`` table, plus a
+join-aggregate over the TPC-H-ish tables.
+
+These are the streaming-shaped custom operators SURVEY.md §2 notes the
+reference lacks (§2.9: none — batch tool): a tumbling-window aggregate
+and gap-based sessionization, expressed Ray-Data-first — the window key
+is a derived column (one vectorized pass), the aggregate is a
+hash-partitioned block groupby, and sessionization partitions by user
+so each block scans its users' ordered event times with numpy. No
+driver-side loops, no per-group Python calls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.groups import group_starts, partitioned_group_map
+
+
+def windowed_event_counts(sf_dir: str,
+                          window: str = "hour") -> ray.data.Dataset:
+    """Tumbling-window aggregate: (window_start, event_type, n_events,
+    sum_value-as-cents) — matches DuckDB date_trunc semantics."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": pc.floor_temporal(t["ts"], unit=window),
+            "event_type": t["event_type"],
+            "value": t["value"]})
+
+    out_schema = pa.schema([("window_start", pa.timestamp("us")),
+                            ("event_type", pa.string()),
+                            ("n_events", pa.int64()),
+                            ("sum_value_cents", pa.int64())])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"window_start": pd.Series([], dtype="datetime64[us]"),
+                                 "event_type": pd.Series([], dtype=object),
+                                 "n_events": pd.Series([], dtype=np.int64),
+                                 "sum_value_cents": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["window_start", "event_type"], kind="mergesort")
+        w = df["window_start"].to_numpy()
+        e = df["event_type"].to_numpy()
+        # integer cents (floor(x*100+.5): same half-up rule as the SQL
+        # oracle) avoid float-sum order sensitivity
+        cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        new = group_starts(w.view(np.int64), e)
+        gidx = np.cumsum(new) - 1
+        return pd.DataFrame({
+            "window_start": w[new],
+            "event_type": e[new],
+            "n_events": np.bincount(gidx).astype(np.int64),
+            "sum_value_cents": np.bincount(gidx, weights=cents).astype(np.int64)})
+
+    derived = ds.map_batches(derive, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partitioned_group_map(derived, ["window_start", "event_type"],
+                                 block, 16, out_schema=out_schema)
+
+
+def sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
+    """Gap-based sessionization: (user_id, n_sessions, n_events) — a new
+    session starts when the inter-event gap exceeds ``gap_s``. Shuffle
+    key = user_id; each block handles all its users vectorized."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_sessions", pa.int64()),
+                            ("n_events", pa.int64())])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "n_sessions": pd.Series([], dtype=np.int64),
+                                 "n_events": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        new_user = group_starts(u)
+        gidx = np.cumsum(new_user) - 1
+        gap = np.empty(len(u), dtype=np.int64)
+        gap[0] = np.iinfo(np.int64).max
+        gap[1:] = ts[1:] - ts[:-1]
+        gap[new_user] = np.iinfo(np.int64).max  # first event of each user
+        starts = (gap > gap_s * 1_000_000).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": u[new_user],
+            "n_sessions": np.bincount(gidx, weights=starts).astype(np.int64),
+            "n_events": np.bincount(gidx).astype(np.int64)})
+
+    return partitioned_group_map(ds, ["user_id"], block, 16,
+                                 out_schema=out_schema)
+
+
+def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
+    """Join-aggregate over orders ⨝ customer: (c_mktsegment, n_orders,
+    sum_total_cents) — exercises the partitioned hash join against a
+    SQL oracle."""
+    from ..functions.joins import hash_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+
+    def okey(t: pa.Table) -> pa.Table:
+        return t.append_column("k", t["o_custkey"].cast(pa.string()))
+
+    def ckey(t: pa.Table) -> pa.Table:
+        return t.append_column("k", t["c_custkey"].cast(pa.string()))
+
+    j = hash_join(orders.map_batches(okey, batch_format="pyarrow"),
+                  cust.map_batches(ckey, batch_format="pyarrow"),
+                  "k", "k",
+                  pa.schema([("o_totalprice", pa.float64())]),
+                  pa.schema([("c_mktsegment", pa.string())]),
+                  num_partitions=8)
+
+    out_schema = pa.schema([("c_mktsegment", pa.string()),
+                            ("n_orders", pa.int64()),
+                            ("sum_total_cents", pa.int64())])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"c_mktsegment": pd.Series([], dtype=object),
+                                 "n_orders": pd.Series([], dtype=np.int64),
+                                 "sum_total_cents": pd.Series([], dtype=np.int64)})
+        df = df.sort_values("c_mktsegment", kind="mergesort")
+        seg = df["c_mktsegment"].to_numpy()
+        cents = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        new = group_starts(seg)
+        gidx = np.cumsum(new) - 1
+        return pd.DataFrame({
+            "c_mktsegment": seg[new],
+            "n_orders": np.bincount(gidx).astype(np.int64),
+            "sum_total_cents": np.bincount(gidx, weights=cents).astype(np.int64)})
+
+    return partitioned_group_map(j, ["c_mktsegment"], block, 8,
+                                 out_schema=out_schema)
