@@ -80,6 +80,14 @@ class DedupConfig:
     # --- per-row time budget (analog of timeout_utils.rs:27-58) ---
     row_time_budget_s: float = 5.0
 
+    # --- vectorized batch signature kernel (functions/fastsig.py):
+    #     byte-class lexer + reduceat hashing, ~no per-row Python. The
+    #     oracle switches with it, so recall is exact either way.
+    #     Default OFF: on repetitive corpora the scalar path's
+    #     actor-local token/signature caches win; flip ON for
+    #     heterogeneous content where cache hit rates collapse. ---
+    vectorized_signatures: bool = False
+
     # --- fast-signature mode (analog of ultra_fast_phash,
     #     core.rs:158-199: strided sampling instead of the full pass) ---
     # keep every k-th shingle (post-sort): k=1 is exact; k>1 trades

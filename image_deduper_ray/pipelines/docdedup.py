@@ -295,7 +295,7 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
         a = df["a"].to_numpy(np.int64)
         b = df["b"].to_numpy(np.int64)
         new = group_starts(a, b)
-        gidx = np.cumsum(new) - 1
+        gidx = np.cumsum(new, dtype=np.int32) - 1
         inter = np.bincount(gidx).astype(np.int64)
         ua, ub = a[new], b[new]
         ca = np.array([cnts[x] for x in ua], dtype=np.int64)

@@ -52,7 +52,7 @@ def windowed_event_counts(sf_dir: str,
         # oracle) avoid float-sum order sensitivity
         cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
         new = group_starts(w.view(np.int64), e)
-        gidx = np.cumsum(new) - 1
+        gidx = np.cumsum(new, dtype=np.int32) - 1
         return pd.DataFrame({
             "window_start": w[new],
             "event_type": e[new],
@@ -84,7 +84,7 @@ def sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
         u = df["user_id"].to_numpy(np.int64)
         ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
         new_user = group_starts(u)
-        gidx = np.cumsum(new_user) - 1
+        gidx = np.cumsum(new_user, dtype=np.int32) - 1
         gap = np.empty(len(u), dtype=np.int64)
         gap[0] = np.iinfo(np.int64).max
         gap[1:] = ts[1:] - ts[:-1]
@@ -136,7 +136,7 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
         seg = df["c_mktsegment"].to_numpy()
         cents = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
         new = group_starts(seg)
-        gidx = np.cumsum(new) - 1
+        gidx = np.cumsum(new, dtype=np.int32) - 1
         return pd.DataFrame({
             "c_mktsegment": seg[new],
             "n_orders": np.bincount(gidx).astype(np.int64),

@@ -22,31 +22,55 @@ from ..functions import hashing, minhash as mh, tokenize as tok
 
 
 def oracle_signatures(table: pa.Table, cfg: DedupConfig = DEFAULT_CONFIG) -> dict:
-    """file_id -> dict(sig, sha256, n_bytes, meta…) — same kernels as the
-    distributed SignatureStage, minus the distribution."""
+    """file_id -> dict(sig, sha256, n_bytes, meta…) — the SAME kernels
+    as the distributed SignatureStage, minus the distribution. With
+    ``cfg.vectorized_signatures`` (default) it calls the identical
+    shared batch kernel (stages/signatures.compute_signature_batch), so
+    recall is measured at byte-identical semantics."""
     a, b = mh.make_perms(cfg.num_perms, cfg.minhash_seed)
-    out = {}
-    for row in table.to_pylist():
-        content = row["content"]
-        n_bytes = len(content.encode("utf-8", "surrogatepass"))
-        fid = hashing.file_ids([row["repo"]], [row["path"]], [row["commit"]])[0]
-        sha = hashlib.sha256(content.encode("utf-8", "surrogatepass")).hexdigest()
-        if n_bytes == 0:
-            sig, kind = np.zeros(cfg.num_perms, np.uint64), "empty"
-        else:
+    rows = table.to_pylist()
+    repos = [r["repo"] for r in rows]
+    paths = [r["path"] for r in rows]
+    commits = [r["commit"] for r in rows]
+    langs = [r["lang"] for r in rows]
+    contents = [r["content"] for r in rows]
+    n_bytes = np.array([len(c.encode("utf-8", "surrogatepass"))
+                        for c in contents], dtype=np.int64)
+    fids = hashing.file_ids(repos, paths, commits)
+    shas = hashing.sha256_hex(contents)
+
+    if cfg.vectorized_signatures:
+        from ..stages.signatures import compute_signature_batch
+
+        sigs, _, _, _, kinds, _ = compute_signature_batch(
+            repos, paths, langs, contents, n_bytes, cfg, a, b)
+    else:
+        sigs = np.zeros((len(rows), cfg.num_perms), dtype=np.uint64)
+        kinds = []
+        for i, content in enumerate(contents):
+            if n_bytes[i] == 0:
+                kinds.append("empty")
+                continue
             body = content[: cfg.max_content_bytes]
-            tokens = tok.tokenize(body, row["lang"])
+            tokens = tok.tokenize(body, langs[i])
             if not tokens:
-                sh = hashing.fallback_shingles(row["repo"], row["path"], n_bytes)
-                sig, kind = mh.minhash_signature(sh, a, b), "fallback"
+                sh = hashing.fallback_shingles(repos[i], paths[i],
+                                               int(n_bytes[i]))
+                sigs[i] = mh.minhash_signature(sh, a, b)
+                kinds.append("fallback")
             else:
-                th = np.array([hashing.token_hash64(t) for t in tokens], dtype=np.uint64)
+                th = np.array([hashing.token_hash64(t) for t in tokens],
+                              dtype=np.uint64)
                 sh = hashing.shingle_hashes(th, cfg.shingle_k)
-                sig, kind = mh.minhash_signature(sh, a, b), "ok"
-        out[fid] = {"sig": sig, "sha256": sha, "n_bytes": n_bytes,
-                    "sig_kind": kind, "content": content,
-                    "repo": row["repo"], "path": row["path"],
-                    "commit": row["commit"]}
+                sigs[i] = mh.minhash_signature(sh, a, b)
+                kinds.append("ok")
+
+    out = {}
+    for i in range(len(rows)):
+        out[fids[i]] = {"sig": sigs[i], "sha256": shas[i],
+                        "n_bytes": int(n_bytes[i]), "sig_kind": kinds[i],
+                        "content": contents[i], "repo": repos[i],
+                        "path": paths[i], "commit": commits[i]}
     return out
 
 

@@ -60,7 +60,7 @@ def canonical_actions(members: ray.data.Dataset, cfg: DedupConfig,
         cid = g["cluster_id"].to_numpy()
         fid = g["file_id"].to_numpy()
         new = group_starts(cid)
-        group_idx = np.cumsum(new) - 1
+        group_idx = np.cumsum(new, dtype=np.int32) - 1
         canonical = fid[new][group_idx]
         return pd.DataFrame({
             "file_id": fid, "cluster_id": cid,

@@ -105,7 +105,7 @@ def _distributed_label_prop(edges: ray.data.Dataset, cfg: DedupConfig) -> ray.da
         label = df["label"].to_numpy()
         is_self = df["is_self"].to_numpy()
         new = group_starts(node)
-        group_idx = np.cumsum(new) - 1
+        group_idx = np.cumsum(new, dtype=np.int32) - 1
         best = label[new]                       # min label per node
         n_groups = len(best)
         old = np.full(n_groups, None, dtype=object)

@@ -431,7 +431,7 @@ def candidate_pairs(sigs: ray.data.Dataset, cfg: DedupConfig,
         last = np.zeros(len(a), dtype=bool)
         last[-1] = True
         last[:-1] = first[1:]
-        group_idx = np.cumsum(first) - 1
+        group_idx = np.cumsum(first, dtype=np.int32) - 1
         counts = np.bincount(group_idx)
         cont_only = c[first] == 1        # min is_cont (sort asc) == 1
         keep = ~cont_only | (counts >= min_hits)

@@ -33,7 +33,89 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import DedupConfig
-from ..functions import hashing, minhash as mh, tokenize as tok
+from ..functions import fastsig, hashing, minhash as mh, tokenize as tok
+
+_U64_MAX = np.iinfo(np.uint64).max
+
+
+def compute_signature_batch(repos, paths, langs, contents, n_bytes,
+                            cfg: DedupConfig, a: np.ndarray, b: np.ndarray,
+                            poison: set[str] | None = None):
+    """Vectorized batch signature kernel — shared verbatim by the
+    distributed SignatureStage and the single-process oracle (so the
+    recall comparison runs at byte-identical semantics).
+
+    Returns (sigs (n, P) uint64, simhash uint64[n], n_tokens[n],
+    n_shingles[n], kinds list[str], errors list[str])."""
+    n = len(contents)
+    P = cfg.num_perms
+    sigs = np.zeros((n, P), dtype=np.uint64)
+    simh = np.zeros(n, dtype=np.uint64)
+    n_tokens = np.zeros(n, dtype=np.int64)
+    n_shingles = np.zeros(n, dtype=np.int64)
+    kinds = ["ok"] * n
+    errors = [""] * n
+
+    ok_rows: list[int] = []
+    norm_texts: list[str] = []
+    fallback_rows: list[tuple[int, str]] = []
+    for i in range(n):
+        c = contents[i]
+        if n_bytes[i] == 0:
+            kinds[i] = "empty"
+            continue
+        key = f"{repos[i]}\x1f{paths[i]}"
+        if poison is not None and key in poison:
+            kinds[i] = "fallback"
+            fallback_rows.append((i, "poisoned"))
+            continue
+        if tok.is_binary(c):
+            kinds[i] = "fallback"
+            fallback_rows.append((i, "binary-or-empty-after-normalize"))
+            continue
+        if len(c) > cfg.max_content_bytes:
+            c = c[: cfg.max_content_bytes]  # windowed path (M6/M7)
+        ok_rows.append(i)
+        norm_texts.append(tok.normalize(c, langs[i]))
+
+    if ok_rows:
+        th, tok_row = fastsig.token_hashes_batch(norm_texts)
+        tcounts = np.bincount(tok_row, minlength=len(ok_rows)) \
+            if len(th) else np.zeros(len(ok_rows), dtype=np.int64)
+        # rows that lexed to zero tokens fall back (M8 semantics)
+        zero = np.flatnonzero(tcounts == 0)
+        for z in zero:
+            i = ok_rows[z]
+            kinds[i] = "fallback"
+            fallback_rows.append((i, "binary-or-empty-after-normalize"))
+        sh, sh_row = fastsig.shingles_batch(th, tok_row, len(ok_rows),
+                                            cfg.shingle_k)
+        if cfg.shingle_stride > 1 and len(sh):
+            seg = np.ones(len(sh_row), dtype=bool)
+            seg[1:] = sh_row[1:] != sh_row[:-1]
+            starts = np.flatnonzero(seg)
+            base = starts[np.cumsum(seg) - 1]
+            keep = ((np.arange(len(sh)) - base) % cfg.shingle_stride) == 0
+            sh, sh_row = sh[keep], sh_row[keep]
+        sig_ok, simh_ok = fastsig.minhash_simhash_batch(
+            sh, sh_row, len(ok_rows), a, b)
+        scounts = np.bincount(sh_row, minlength=len(ok_rows)) \
+            if len(sh) else np.zeros(len(ok_rows), dtype=np.int64)
+        for j, i in enumerate(ok_rows):
+            if kinds[i] != "ok":
+                continue
+            sigs[i] = sig_ok[j]
+            simh[i] = simh_ok[j]
+            n_tokens[i] = tcounts[j]
+            n_shingles[i] = scounts[j]
+
+    for i, err in fallback_rows:
+        fsh = hashing.fallback_shingles(repos[i], paths[i], int(n_bytes[i]))
+        sigs[i] = mh.minhash_signature(fsh, a, b)
+        simh[i] = np.uint64(mh.simhash64(fsh))
+        n_shingles[i] = 1
+        errors[i] = err
+    return sigs, simh, n_tokens, n_shingles, kinds, errors
 
 
 class SignatureStage:
@@ -98,30 +180,37 @@ class SignatureStage:
         n_bytes = np.array([len(c.encode("utf-8", "surrogatepass")) for c in contents],
                            dtype=np.int64)
 
-        sigs = np.empty((n, cfg.num_perms), dtype=np.uint64)
-        simhashes = np.empty(n, dtype=np.uint64)
-        n_tokens = np.empty(n, dtype=np.int64)
-        n_shingles = np.empty(n, dtype=np.int64)
-        kinds: list[str] = []
-        errors: list[str] = []
-        cache = self.sig_cache
-        for i in range(n):
-            hit = cache.get(sha[i])
-            if hit is not None and hit[4] == "ok":
-                sig, simh, nt, ns, kind, err = hit
-            else:
-                sig, simh, nt, ns, kind, err = self._row_signature(
-                    repos[i], paths[i], langs[i], contents[i], int(n_bytes[i]))
-                if kind == "ok":  # fallback/poison results are identity-specific
-                    if len(cache) > self.cfg.sig_cache_capacity:
-                        cache.clear()
-                    cache[sha[i]] = (sig, simh, nt, ns, kind, err)
-            sigs[i] = sig
-            simhashes[i] = np.uint64(simh)
-            n_tokens[i] = nt
-            n_shingles[i] = ns
-            kinds.append(kind)
-            errors.append(err)
+        if cfg.vectorized_signatures:
+            sigs, simhashes, n_tokens, n_shingles, kinds, errors = \
+                compute_signature_batch(repos, paths, langs, contents,
+                                        n_bytes, cfg, self.a, self.b,
+                                        poison=self.poison)
+        else:
+            sigs = np.empty((n, cfg.num_perms), dtype=np.uint64)
+            simhashes = np.empty(n, dtype=np.uint64)
+            n_tokens = np.empty(n, dtype=np.int64)
+            n_shingles = np.empty(n, dtype=np.int64)
+            kinds = []
+            errors = []
+            cache = self.sig_cache
+            for i in range(n):
+                hit = cache.get(sha[i])
+                if hit is not None and hit[4] == "ok":
+                    sig, simh, nt, ns, kind, err = hit
+                else:
+                    sig, simh, nt, ns, kind, err = self._row_signature(
+                        repos[i], paths[i], langs[i], contents[i],
+                        int(n_bytes[i]))
+                    if kind == "ok":  # fallback/poison results are identity-specific
+                        if len(cache) > self.cfg.sig_cache_capacity:
+                            cache.clear()
+                        cache[sha[i]] = (sig, simh, nt, ns, kind, err)
+                sigs[i] = sig
+                simhashes[i] = np.uint64(simh)
+                n_tokens[i] = nt
+                n_shingles[i] = ns
+                kinds.append(kind)
+                errors.append(err)
 
         # packed little-endian u64s (the analog of the reference's packed
         # u64 phash serialization, db.rs:287-331); plain binary so the

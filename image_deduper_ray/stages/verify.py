@@ -232,7 +232,7 @@ def exact_dup_edges(sigs: ray.data.Dataset,
         order = np.lexsort((fid, sha))
         sha, fid = sha[order], fid[order]
         new = group_starts(sha)
-        group_idx = np.cumsum(new) - 1
+        group_idx = np.cumsum(new, dtype=np.int32) - 1
         first_fid = fid[new][group_idx]  # group's min file_id, broadcast
         mask = ~new                      # every non-first row is an edge
         return pd.DataFrame({"a": first_fid[mask], "b": fid[mask]})

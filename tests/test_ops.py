@@ -15,7 +15,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["documents", "embeddings"]:
+    for t in ["documents", "embeddings", "events", "orders", "customer"]:
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
               f"read_parquet('{SF}/{t}.parquet')")
     return c
@@ -37,6 +37,7 @@ SQL_CHECKED = [
     "a4_canonical_pick", "s2_discovery_filter", "a3_stats_by_lang",
     "j1_anti_join_resume", "t_token_count", "t_quality", "t_fingerprint",
     "ann_topk_cosine", "emb_near_dup_pairs",
+    "e_windowed_counts", "e_sessionize", "j_orders_by_segment",
 ]
 
 

@@ -141,6 +141,20 @@ def test_salting_preserves_recall(tmp_path):
     assert dup_pair_recall(engine, ref_pairs) >= 0.99
 
 
+def test_vectorized_signature_path_recall(tmp_path):
+    """The vectorized batch lexer/signature kernel must reach the same
+    recall vs ITS oracle (both switch on cfg.vectorized_signatures)."""
+    from image_deduper_ray.config import DedupConfig
+
+    cfg = DedupConfig(vectorized_signatures=True)
+    d, _ = write_corpus(str(tmp_path / "corpus"), n_clusters=8)
+    res = run_pipeline(d, str(tmp_path / "out"), cfg)
+    engine = _engine_clusters(res)
+    table, _ = generate_corpus(8)
+    ref_pairs = oracle_pairs(oracle_signatures(table, cfg), cfg)
+    assert dup_pair_recall(engine, ref_pairs) >= 0.99
+
+
 def test_distributed_cc_matches_driver(corpus_run):
     """Label propagation (distributed path) must produce exactly the
     driver union-find components."""
