@@ -7,9 +7,10 @@ of the ``ImageDeduper::run`` / ``hash_and_persist`` drivers
 (/root/reference/crates/image-deduper-core/src/lib.rs:110-243):
 
   read files -> SignatureStage (actor pool)    [checkpoint signatures]
-  -> exact sha256 edges (groupby)              [checkpoint edges_exact]
-  -> LSH candidate pairs (salted groupby)      [checkpoint pairs]
-  -> Jaccard verification (hash joins)         [checkpoint verified]
+  -> exact sha256 edges (partition blocks)     [checkpoint edges_exact]
+  -> signature-identical collapse              [checkpoint edges_sig]
+  -> LSH candidate pairs (salted, on reps)     [checkpoint pairs]
+  -> Jaccard verification (broadcast matrix)   [checkpoint verified]
   -> containment verification (substring pass) [checkpoint edges_cont]
   -> union edges                               [checkpoint edges]
   -> connected components                      [checkpoint clusters]

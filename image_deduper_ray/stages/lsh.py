@@ -8,23 +8,30 @@ dev_notes.md:28-38) — recast as MinHash-LSH (SURVEY.md §2.5 A2):
 
   explode: sig (P=128) -> b bands x r rows; band_key = rolling hash of
            the band's r values  (vectorized, one reshape + r fused ops)
-  shuffle: groupby(band_id, band_key, salt)
-  pairs:   all pairs within a bucket, emitted inside map_groups
+  shuffle: hash-partition on (band_id, band_key, SALT) — a hot bucket's
+           sub-buckets land on DIFFERENT reducers
+  pairs:   one vectorized block per partition segments its sub-buckets
+           (lexsort + boundary scan) and emits pairs numpy-only
 
 Skew (vendored/boilerplate code — the north rule's explicit case):
 buckets are Zipf-skewed, and pair-gen is quadratic in bucket size. Two
 passes make the salting explicit and bounded:
 
-  pass 1: partial bucket counts inside map_batches (np.unique per
-          batch) -> tiny groupby-sum -> keys with count > bucket_cap
-          become the HOT set, broadcast once via ray.put.
-  pass 2: explode with salt = hash(file_id) % n_sub for hot keys
-          (n_sub = ceil(count / bucket_cap)), 0 otherwise.
+  pass 1: SAMPLED partial bucket counts (1/hot_sample_k of rows) ->
+          small groupby-sum -> keys estimated over bucket_cap become
+          the HOT set {key: n_sub}, broadcast once via ray.put.
+          Mega-buckets are found w.h.p.; a marginal miss is harmless
+          (the pair-gen block windows any over-cap sub-bucket).
+  pass 2: explode with salt = hash(file_id) % n_sub for hot keys.
 
 Each salted sub-bucket emits its pairs plus ONE representative row
-(min file_id); representatives of the same original bucket are then
-all-paired in a second, tiny groupby — preserving cluster connectivity
-across sub-buckets without any reducer ever seeing more than ~cap rows.
+(min file_id); representatives of the same original bucket are
+all-paired by a second, tiny shuffle on (band_id, band_key) —
+preserving cluster connectivity across sub-buckets while no reducer
+holds more than ~cap rows of one bucket. Note that exact-copy and
+reformat-twin skew never reaches this stage at all: signature-identical
+rows are collapsed to one representative upstream
+(stages/verify.signature_representatives).
 
 Containment candidates (for the suffix-array substring pass) ride the
 same machinery as r=``containment_rows`` bands over the first
