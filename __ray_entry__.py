@@ -275,25 +275,26 @@ def oracle_sql() -> dict[str, str]:
             "WHERE lang IN ('en', 'de') AND n_chars >= 100 "
             "AND source NOT LIKE 'src1%'",
         "a3_stats_by_lang":
-            "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+            "SELECT lang, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY lang",
         "j1_anti_join_resume":
             "SELECT doc_id FROM documents WHERE doc_id NOT IN ("
             "  SELECT doc_id FROM documents WHERE doc_id % 10 < 3)",
         "t_token_count":
-            "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) "
+            "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) "
             "AS n_tokens FROM documents",
         "t_quality":
             "SELECT doc_id, length(text) AS n_chars_actual, "
-            "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_tokens, "
             "length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) "
             "AS n_punct, "
             "len(regexp_extract_all(lower(text), "
             "'\\b(the|a|and|of|in|to|is|for|on|with)\\b')) AS n_stopwords "
             "FROM documents",
         "t_fingerprint":
-            "SELECT doc_id, sha256(lower(regexp_replace(trim(text), "
-            "'\\s+', ' ', 'g'))) AS fp FROM documents",
+            "SELECT doc_id, sha256(lower(trim(regexp_replace(text, "
+            "'\\s+', ' ', 'g'), ' '))) AS fp FROM documents",
         "ngram_jaccard_pairs":
             "WITH toks AS (SELECT doc_id, "
             "  regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
@@ -327,7 +328,8 @@ def oracle_sql() -> dict[str, str]:
         "e_windowed_counts":
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "COUNT(*) AS n_events, "
-            "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents "
+            "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_cents "
             "FROM events GROUP BY 1, 2",
         "e_sessionize":
             "WITH x AS (SELECT user_id, ts, "
@@ -339,8 +341,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM x GROUP BY user_id",
         "j_orders_by_segment":
             "SELECT c_mktsegment, COUNT(*) AS n_orders, "
-            "SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
-            "AS sum_total_cents FROM orders "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sum_total_cents FROM orders "
             "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
         # rows-only (non-SQL-expressible): t_lang_id, t_mislabel_flags,
         # ann_topk_lsh, minhash_lsh_clusters, simhash_groups,

@@ -46,11 +46,19 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 def load_queries(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray]:
     """The (small) query side: lowest ``num_queries`` vec_ids. Loaded on
-    the driver once — at scale this is the broadcast side."""
+    the driver once — at scale this is the broadcast side. Only the id
+    column is scanned in full; the (wide) embedding column is read with a
+    row filter so untouched row groups never leave storage."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
+    path = f"{sf_dir}/embeddings.parquet"
+    ids_only = pq.read_table(path, columns=["vec_id"])["vec_id"] \
+        .to_numpy(zero_copy_only=False)
+    if len(ids_only) == 0:
+        return np.empty(0, np.int64), np.empty((0, 0), np.float64)
+    cut = np.sort(ids_only)[min(num_queries, len(ids_only)) - 1]
+    t = pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<=", int(cut))])
     ids, m = _to_matrix(t)
     order = np.argsort(ids, kind="stable")[:num_queries]
     return ids[order], _normalize(m[order])
@@ -70,19 +78,30 @@ def knn_brute(sf_dir: str, k: int = 10, num_queries: int = 8) -> ray.data.Datase
         out_q, out_n, out_s = [], [], []
         for j, qid in enumerate(qids_):
             col = sims[:, j]
-            mask = ids != qid
-            cand_idx = np.nonzero(mask)[0]
-            if len(cand_idx) == 0:
+            cand = np.flatnonzero(ids != qid)
+            if len(cand) == 0:
                 continue
-            take = min(k, len(cand_idx))
-            top = cand_idx[np.argpartition(-col[cand_idx], take - 1)[:take]] \
-                if len(cand_idx) > take else cand_idx
-            out_q.extend([int(qid)] * len(top))
-            out_n.extend(int(i) for i in ids[top])
-            out_s.extend(float(c) for c in col[top])
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "neighbor_id": pa.array(out_n, pa.int64()),
-                         "sim": pa.array(out_s, pa.float64())})
+            take = min(k, len(cand))
+            vals = col[cand]
+            if len(cand) > take:
+                # tie-aware partial: keep k plus ALL candidates tied at
+                # the k-th boundary, so the final (sim desc, id asc)
+                # order can't lose a smaller-id tie dropped here.
+                kth = np.partition(vals, len(vals) - take)[len(vals) - take]
+                keep = vals >= kth
+                cand, vals = cand[keep], vals[keep]
+            order = np.lexsort((ids[cand], -vals))[:take]
+            sel = cand[order]
+            out_q.append(np.full(len(sel), qid, np.int64))
+            out_n.append(ids[sel].astype(np.int64))
+            out_s.append(col[sel].astype(np.float64))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "neighbor_id": pa.array(np.concatenate(out_n)),
+                         "sim": pa.array(np.concatenate(out_s))})
 
     cands = _read_embeddings(sf_dir).map_batches(
         partial_topk, batch_format="pyarrow", zero_copy_batch=True)
@@ -98,37 +117,141 @@ def knn_brute(sf_dir: str, k: int = 10, num_queries: int = 8) -> ray.data.Datase
                                                 batch_format="pandas")
 
 
-def near_dup_pairs(sf_dir: str, tau: float = 0.35) -> ray.data.Dataset:
+def _as_arrow(block) -> pa.Table:
+    if isinstance(block, pa.Table):
+        return block
+    return pa.Table.from_pandas(block, preserve_index=False)
+
+
+@ray.remote
+def _block_pair_task(tau: float, block_a, block_b, same: bool) -> pa.Table:
+    """Exact cosine pairs >= tau between two blocks (one block-pair of
+    the distributed all-pairs tiling). Blocks arrive as plasma object
+    refs — zero-copy reads, nothing routed through the driver."""
+    ids_a, Ma = _to_matrix(_as_arrow(block_a))
+    if same:
+        ids_b, Nb = ids_a, _normalize(Ma)
+        Na = Nb
+    else:
+        ids_b, Mb = _to_matrix(_as_arrow(block_b))
+        Na, Nb = _normalize(Ma), _normalize(Mb)
+    if len(ids_a) == 0 or len(ids_b) == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    sims = Na @ Nb.T
+    r, c = np.nonzero(sims >= tau)
+    a = ids_a[r].astype(np.int64)
+    b = ids_b[c].astype(np.int64)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    keep = lo < hi                      # drop self-sims; orient a < b
+    if same:
+        keep &= a < b                   # each unordered pair once
+    return pa.table({"a": pa.array(lo[keep]), "b": pa.array(hi[keep])})
+
+
+def near_dup_pairs(sf_dir: str, tau: float = 0.35, method: str = "auto",
+                   exact_max_rows: int = 2_000_000,
+                   n_planes: int = 4, n_tables: int = 24,
+                   seed: int = 7) -> ray.data.Dataset:
     """Embedding-cosine near-dup pairs (a < b) with cosine >= tau.
 
-    Single-node-exact formulation: the full normalized matrix is small
-    per-dimension (n x dim doubles), broadcast once; each batch matmuls
-    against it and emits only its above-threshold pairs. At 100 TB the
-    broadcast side flips to the IVF/LSH bucket route (knn_lsh below).
+    Two routes:
+      - ``exact`` (default up to ``exact_max_rows``): distributed
+        block-pair tiling — the dataset's blocks stay in the object
+        store; one Ray task per block pair (i <= j) computes its exact
+        sim tile and emits only above-threshold pairs. Nothing is
+        materialized on the driver (it only handles block refs), results
+        hash-match the DuckDB all-pairs oracle.
+      - ``lsh`` (the 100-TB path, where all-pairs is quadratic-infeasible):
+        multi-table random-hyperplane buckets -> exact in-bucket cosine
+        rerank -> pair dedup. Approximate (recall tuned by
+        n_planes/n_tables); same output schema.
     """
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    all_ids, M = _to_matrix(t)
-    ref = ray.put((all_ids, _normalize(M)))
+    ds = _read_embeddings(sf_dir)
+    if method == "auto":
+        n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+        method = "exact" if n <= exact_max_rows else "lsh"
 
-    def emit(t: pa.Table) -> pa.Table:
-        all_ids_, N = ray.get(ref)
-        ids, Mb = _to_matrix(t)
-        sims = _normalize(Mb) @ N.T
-        rows_a, rows_b = [], []
-        hit_r, hit_c = np.nonzero(sims >= tau)
-        for r, c in zip(hit_r, hit_c):
-            a, b = int(ids[r]), int(all_ids_[c])
-            if a < b:
-                rows_a.append(a)
-                rows_b.append(b)
-        return pa.table({"a": pa.array(rows_a, pa.int64()),
-                         "b": pa.array(rows_b, pa.int64())})
+    if method == "exact":
+        bundles = ds.iter_internal_ref_bundles()
+        refs = [r for bundle in bundles for r in bundle.block_refs]
+        if not refs:
+            return ray.data.from_arrow(pa.table({
+                "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
+        out = []
+        for i in range(len(refs)):
+            for j in range(i, len(refs)):
+                out.append(_block_pair_task.remote(
+                    tau, refs[i], refs[j], i == j))
+        return ray.data.from_arrow_refs(out)
 
-    return _read_embeddings(sf_dir).map_batches(
-        emit, batch_format="pyarrow", zero_copy_batch=True)
+    # --- LSH-bucketed route (scale path) ---
+    from ..functions.groups import group_starts, partitioned_group_map
+
+    def sketch(t: pa.Table) -> pa.Table:
+        ids, M = _to_matrix(t)
+        if len(ids) == 0:
+            return pa.table({"tbl": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "embedding": t["embedding"]})
+        N = _normalize(M)
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, N.shape[1], n_planes))
+        tbls, buckets = [], []
+        for tb in range(n_tables):
+            bits = (N @ planes[tb]) > 0
+            buckets.append((bits @ (1 << np.arange(n_planes))).astype(np.int64))
+            tbls.append(np.full(len(ids), tb, np.int32))
+        rep = pa.chunked_array([t["embedding"].combine_chunks()] * n_tables)
+        return pa.table({"tbl": pa.array(np.concatenate(tbls)),
+                         "bucket": pa.array(np.concatenate(buckets)),
+                         "vec_id": pa.array(np.tile(ids, n_tables).astype(np.int64)),
+                         "embedding": rep})
+
+    banded = ds.map_batches(sketch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def bucket_pairs(df):
+        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64)})
+        if df.empty:
+            return empty
+        df = df.sort_values(["tbl", "bucket", "vec_id"], kind="mergesort")
+        key_t = df["tbl"].to_numpy(np.int32)
+        key_b = df["bucket"].to_numpy(np.int64)
+        ids = df["vec_id"].to_numpy(np.int64)
+        embs = df["embedding"].to_numpy()
+        new = group_starts(key_t, key_b)
+        bounds = np.append(np.flatnonzero(new), len(ids))
+        out_a, out_b = [], []
+        for s in range(len(bounds) - 1):
+            lo, hi = bounds[s], bounds[s + 1]
+            if hi - lo < 2:
+                continue
+            M = _normalize(np.stack(
+                [np.asarray(e, dtype=np.float64) for e in embs[lo:hi]]))
+            sims = M @ M.T
+            r, c = np.nonzero(np.triu(sims >= tau, k=1))
+            bid = ids[lo:hi]
+            out_a.append(bid[r])
+            out_b.append(bid[c])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    pairs = partitioned_group_map(banded, ["tbl", "bucket"], bucket_pairs,
+                                  32, out_schema=pair_schema)
+
+    def distinct_block(df):
+        return df.drop_duplicates(["a", "b"])
+
+    return partitioned_group_map(pairs, ["a", "b"], distinct_block, 16,
+                                 out_schema=pair_schema)
 
 
 def knn_lsh(sf_dir: str, k: int = 10, num_queries: int = 8,

@@ -62,6 +62,9 @@ def oracle_signatures(table: pa.Table, cfg: DedupConfig = DEFAULT_CONFIG) -> dic
                 th = np.array([hashing.token_hash64(t) for t in tokens],
                               dtype=np.uint64)
                 sh = hashing.shingle_hashes(th, cfg.shingle_k)
+                if cfg.shingle_stride > 1 and len(sh) > cfg.shingle_stride:
+                    # identical stride rule to SignatureStage._row_signature
+                    sh = sh[:: cfg.shingle_stride]
                 sigs[i] = mh.minhash_signature(sh, a, b)
                 kinds.append("ok")
 

@@ -75,9 +75,13 @@ def fingerprint(sf_dir: str) -> ray.data.Dataset:
     ds = read_documents(sf_dir, ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
+        # collapse ALL runs of \s to one space, then strip the (single)
+        # leading/trailing space — identical on the DuckDB oracle side as
+        # trim(regexp_replace(text, '\s+', ' ', 'g'), ' '); avoids the
+        # utf8_trim_whitespace-vs-trim() whitespace-set mismatch.
         norm = pc.utf8_lower(
-            pc.replace_substring_regex(pc.utf8_trim_whitespace(t["text"]),
-                                       _NORM_WS_RE, " "))
+            pc.utf8_trim(pc.replace_substring_regex(t["text"],
+                                                    _NORM_WS_RE, " "), " "))
         fps = [hashlib.sha256(s.encode("utf-8", "surrogatepass")).hexdigest()
                for s in norm.to_pylist()]
         return pa.table({"doc_id": t["doc_id"],

@@ -91,11 +91,15 @@ def compute_signature_batch(repos, paths, langs, contents, n_bytes,
         sh, sh_row = fastsig.shingles_batch(th, tok_row, len(ok_rows),
                                             cfg.shingle_k)
         if cfg.shingle_stride > 1 and len(sh):
+            # identical semantics to the scalar path: stride ONLY rows
+            # with more than `stride` shingles; tiny rows keep all.
             seg = np.ones(len(sh_row), dtype=bool)
             seg[1:] = sh_row[1:] != sh_row[:-1]
             starts = np.flatnonzero(seg)
-            base = starts[np.cumsum(seg) - 1]
-            keep = ((np.arange(len(sh)) - base) % cfg.shingle_stride) == 0
+            base = starts[np.cumsum(seg, dtype=np.int32) - 1]
+            row_counts = np.bincount(sh_row, minlength=len(ok_rows))
+            keep = (((np.arange(len(sh)) - base) % cfg.shingle_stride) == 0) \
+                | (row_counts[sh_row] <= cfg.shingle_stride)
             sh, sh_row = sh[keep], sh_row[keep]
         sig_ok, simh_ok = fastsig.minhash_simhash_batch(
             sh, sh_row, len(ok_rows), a, b)
@@ -194,7 +198,10 @@ class SignatureStage:
             errors = []
             cache = self.sig_cache
             for i in range(n):
-                hit = cache.get(sha[i])
+                # keyed (sha256, lang): normalization is lang-dependent, so
+                # identical bytes under two langs must not share a signature
+                ck = (sha[i], langs[i])
+                hit = cache.get(ck)
                 if hit is not None and hit[4] == "ok":
                     sig, simh, nt, ns, kind, err = hit
                 else:
@@ -204,7 +211,7 @@ class SignatureStage:
                     if kind == "ok":  # fallback/poison results are identity-specific
                         if len(cache) > self.cfg.sig_cache_capacity:
                             cache.clear()
-                        cache[sha[i]] = (sig, simh, nt, ns, kind, err)
+                        cache[ck] = (sig, simh, nt, ns, kind, err)
                 sigs[i] = sig
                 simhashes[i] = np.uint64(simh)
                 n_tokens[i] = nt
