@@ -19,7 +19,6 @@ import ray.data
 
 from ..config import DedupConfig
 from ..functions import hashing
-from ..functions import minhash as mh
 
 
 def documents_as_files(sf_dir: str) -> ray.data.Dataset:
@@ -137,172 +136,240 @@ def minhash_lsh_clusters(sf_dir: str, out_dir: str,
                                                      batch_format="pandas")
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Elementwise popcount of a uint64 array via a byte LUT."""
+    return _POP8[np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)] \
+        .sum(axis=1, dtype=np.int16)
+
+
 def simhash_groups(sf_dir: str, max_hamming: int = 3,
-                   cfg: DedupConfig | None = None) -> ray.data.Dataset:
-    """SimHash near-dup grouping: 64-bit SimHash per doc, banded into 4
+                   cfg: DedupConfig | None = None,
+                   max_bucket: int = 4096,
+                   band_window: int = 8) -> ray.data.Dataset:
+    """SimHash near-dup grouping, end-to-end distributed: 64-bit SimHash
+    per doc via the SHARED SignatureStage actor pool (same tokenize /
+    shingle / simhash kernels and caches as the flagship), banded into 4
     16-bit chunks (pigeonhole: Hamming<=3 pairs share at least one exact
-    chunk), candidate pairs verified by exact Hamming, then co-grouped.
-    Returns (doc_id, group_id = min doc_id). Rows-only oracle."""
+    chunk), candidate pairs generated per hash partition (vectorized
+    XOR-popcount, over-cap buckets windowed along the sorted-simhash
+    order), components via stages/cc.connected_components, labels
+    attached back with a partitioned left hash join — no driver
+    union-find, no label-dict broadcast, no ``to_pandas``.
+    Returns (doc_id, group_id = min doc_id). Rows-only oracle.
+    SimHash threshold-grouping is the analog of the reference's Standard
+    pHash Hamming intent (src/processing/types.rs:22-43)."""
     cfg = cfg or DedupConfig()
+    from ..functions.groups import group_starts, partitioned_group_map
+    from ..functions.joins import hash_join
+    from ..stages.cc import connected_components
+    from .dedup import compute_signatures
 
-    def sigs(t: pa.Table) -> pa.Table:
-        from ..functions import tokenize as tok
-        out_id, out_sh = [], []
-        for did, text, lang in zip(t["doc_id"].to_pylist(),
-                                   t["text"].to_pylist(),
-                                   t["lang"].to_pylist()):
-            tokens = tok.tokenize(text, lang)
-            th = np.array([hashing.token_hash64(x) for x in tokens],
-                          dtype=np.uint64)
-            sh = hashing.shingle_hashes(th, cfg.shingle_k)
-            out_id.append(did)
-            out_sh.append(mh.simhash64(sh))
-        sh64 = np.array(out_sh, dtype=np.uint64).view(np.int64)
-        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
-                         "simhash": pa.array(sh64, pa.int64())})
+    def project(t: pa.Table) -> pa.Table:
+        dids = pc.cast(pc.utf8_slice_codeunits(t["path"], 4, 2**31 - 1),
+                       pa.int64())
+        return pa.table({"doc_id": dids, "simhash": t["simhash"]})
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text", "lang"])
-    sig = ds.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
+    # 16 bytes/row after projection: materializing the narrow signature
+    # table (consumed by banding AND the final label join) is cheap and
+    # avoids signing every document twice.
+    sig = (compute_signatures(documents_as_files(sf_dir), cfg)
+           .map_batches(project, batch_format="pyarrow")
+           .materialize())
 
     def band(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "simhash": pa.array([], pa.int64())})
         sh = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        bids, keys, dids, shs = [], [], [], []
-        for chunk in range(4):
-            part = (sh >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)
-            bids.extend([chunk] * len(ids))
-            keys.extend(int(x) for x in part)
-            dids.extend(int(x) for x in ids)
-            shs.extend(int(x) for x in sh.view(np.int64))
-        bk = [f"{b}:{k}" for b, k in zip(bids, keys)]
-        return pa.table({"band_key": pa.array(bk, pa.string()),
-                         "doc_id": pa.array(dids, pa.int64()),
-                         "simhash": pa.array(shs, pa.int64())})
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        keys = np.empty(4 * n, np.int64)
+        for c in range(4):
+            part = ((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)) \
+                .astype(np.int64)
+            keys[c * n:(c + 1) * n] = (np.int64(c) << np.int64(16)) | part
+        return pa.table({"band_key": pa.array(keys),
+                         "doc_id": pa.array(np.tile(ids, 4)),
+                         "simhash": pa.array(np.tile(sh.view(np.int64), 4))})
 
-    banded = sig.map_batches(band, batch_format="pyarrow")
+    banded = sig.map_batches(band, batch_format="pyarrow",
+                             zero_copy_batch=True)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy(np.int64)
-        sh = g["simhash"].to_numpy(np.int64).view(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64)})
-        x = np.bitwise_xor(sh[:, None], sh[None, :])
-        ham = np.unpackbits(
-            x.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2).sum(axis=2)
-        r, c = np.nonzero(np.triu(ham <= max_hamming, k=1))
-        return pd.DataFrame({"a": ids[r], "b": ids[c]})
-
-    pairs = banded.groupby("band_key").map_groups(bucket_pairs,
-                                                  batch_format="pandas")
-
-    pdf = pairs.to_pandas().drop_duplicates()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(pdf["a"], pdf["b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    labels = {x: find(x) for x in list(parent)}
-    ref = ray.put(labels)
-
-    def assign(t: pa.Table) -> pa.Table:
-        lab = ray.get(ref)
-        ids = t["doc_id"].to_pylist()
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "group_id": pa.array([lab.get(i, i) for i in ids],
-                                              pa.int64())})
-
-    return sig.map_batches(assign, batch_format="pyarrow")
-
-
-def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
-                        tau: float = 0.1) -> ray.data.Dataset:
-    """Exact word n-gram Jaccard pairs (a < b, jaccard >= tau) via the
-    distributed inverted-index formulation: explode distinct n-grams,
-    groupby(gram) emits co-occurrence pairs, groupby(pair) counts the
-    intersection, per-doc distinct-gram counts are broadcast, Jaccard =
-    i / (|A| + |B| - i). Exact (no LSH loss), so it hash-matches the
-    DuckDB self-join oracle. Scale note: df-hot grams (stopword-ish)
-    are the skew risk — at 100 TB add a document-frequency cap before
-    pair-gen; kept exact here because the oracle joins all grams too."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-
-    def grams(t: pa.Table) -> pa.Table:
-        out_d, out_g = [], []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = text.split()
-            gs = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
-            out_d.extend([did] * len(gs))
-            out_g.extend(gs)
-        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
-                         "gram": pa.array(out_g, pa.string())})
-
-    from ..functions.groups import group_starts, partitioned_group_map
-
-    exploded = ds.map_batches(grams, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
-
-    # per-doc distinct gram counts — small (one int per doc), broadcast
-    counts_df = (exploded.groupby("doc_id").count().to_pandas())
-    doc_counts = dict(zip(counts_df["doc_id"].astype(int),
-                          counts_df["count()"].astype(int)))
-    cnt_ref = ray.put(doc_counts)
-
-    def cooccur_block(df: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                               "b": pd.Series([], dtype=np.int64)})
         if df.empty:
             return empty
-        df = df.sort_values(["gram", "doc_id"], kind="mergesort")
-        g = df["gram"].to_numpy()
+        df = df.sort_values(["band_key", "doc_id"], kind="mergesort")
+        k = df["band_key"].to_numpy(np.int64)
         d = df["doc_id"].to_numpy(np.int64)
-        new = group_starts(g)
-        bounds = np.append(np.flatnonzero(new), len(g))
+        s = df["simhash"].to_numpy(np.int64).view(np.uint64)
+        bounds = np.append(np.flatnonzero(group_starts(k)), len(k))
         out_a, out_b = [], []
-        for s in range(len(bounds) - 1):
-            lo, hi = bounds[s], bounds[s + 1]
-            if hi - lo >= 2:
-                ids = d[lo:hi]  # already sorted, distinct per doc
-                r, c = np.triu_indices(len(ids), k=1)
-                out_a.append(ids[r])
-                out_b.append(ids[c])
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            m = hi - lo
+            if m < 2:
+                continue
+            ids_b, sh_b = d[lo:hi], s[lo:hi]
+            if m > max_bucket:
+                # boilerplate mega-bucket (one 16-bit chunk shared by
+                # >max_bucket docs): windowed pairs along the sorted
+                # simhash order bound work at m*band_window — the same
+                # over-cap discipline as the LSH stage's salt_window.
+                order = np.argsort(sh_b, kind="mergesort")
+                ids_s, sh_s = ids_b[order], sh_b[order]
+                for w in range(1, band_window + 1):
+                    if w >= m:
+                        break
+                    hv = _popcount64(np.bitwise_xor(sh_s[:-w], sh_s[w:]))
+                    hit = np.flatnonzero(hv <= max_hamming)
+                    if len(hit):
+                        pa_, pb_ = ids_s[hit], ids_s[hit + w]
+                        out_a.append(np.minimum(pa_, pb_))
+                        out_b.append(np.maximum(pa_, pb_))
+                continue
+            x = np.bitwise_xor(sh_b[:, None], sh_b[None, :])
+            ham = _POP8[x.view(np.uint8).reshape(m, m, 8)] \
+                .sum(axis=2, dtype=np.int16)
+            r, c = np.nonzero(np.triu(ham <= max_hamming, k=1))
+            if len(r):
+                out_a.append(ids_b[r])
+                out_b.append(ids_b[c])
         if not out_a:
             return empty
         return pd.DataFrame({"a": np.concatenate(out_a),
                              "b": np.concatenate(out_b)})
 
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
-    pairs = partitioned_group_map(exploded, ["gram"], cooccur_block, 16,
+    pairs = partitioned_group_map(banded, ["band_key"], bucket_pairs_block,
+                                  cfg.pair_partitions,
                                   out_schema=pair_schema)
+
+    # duplicate edges across bands are harmless to CC (union-find and
+    # label-prop are idempotent per edge) — no dedup shuffle needed
+    labels = connected_components(pairs, cfg)
+
+    lab = labels.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["file_id"], pa.string()),
+                            "group_id": pc.cast(t["cluster_id"], pa.int64())}),
+        batch_format="pyarrow")
+    left = sig.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "k": pc.cast(t["doc_id"], pa.string())}),
+        batch_format="pyarrow")
+    j = hash_join(left, lab, "k", "node",
+                  pa.schema([("doc_id", pa.int64()), ("k", pa.string())]),
+                  pa.schema([("group_id", pa.int64())]), how="left",
+                  num_partitions=16)
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "group_id": pa.array([], pa.int64())})
+        gid = pc.coalesce(t["group_id"], t["doc_id"])
+        return pa.table({"doc_id": t["doc_id"],
+                         "group_id": pc.cast(gid, pa.int64())})
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.1,
+                        df_cap: int | None = None,
+                        num_partitions: int = 16) -> ray.data.Dataset:
+    """Exact word n-gram Jaccard pairs (a < b, jaccard >= tau) via the
+    distributed inverted-index formulation, single streaming pass:
+    explode distinct n-grams with the per-doc distinct-gram count |A|
+    CARRIED ON EVERY GRAM ROW (known at emission — no count shuffle, no
+    driver dict, no materialization), groupby(gram) emits co-occurrence
+    pairs carrying (|A|, |B|), groupby(pair) counts the intersection and
+    filters Jaccard = i / (|A| + |B| - i). Exact (no LSH loss), so it
+    hash-matches the DuckDB self-join oracle.
+
+    ``df_cap``: document-frequency cap — grams shared by more than
+    df_cap docs are skipped in pair-gen (the stopword-ish skew guard for
+    the 100-TB regime). Default None = exact, matching the oracle,
+    which joins all grams too."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def grams(t: pa.Table) -> pa.Table:
+        out_d, out_g, out_c = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = text.split()
+            gs = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+            out_d.extend([did] * len(gs))
+            out_g.extend(gs)
+            out_c.extend([len(gs)] * len(gs))
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "gram": pa.array(out_g, pa.string()),
+                         "n_grams": pa.array(out_c, pa.int64())})
+
+    from ..functions.groups import group_starts, partitioned_group_map
+
+    exploded = ds.map_batches(grams, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def cooccur_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64),
+                              "ca": pd.Series([], dtype=np.int64),
+                              "cb": pd.Series([], dtype=np.int64)})
+        if df.empty:
+            return empty
+        df = df.sort_values(["gram", "doc_id"], kind="mergesort")
+        g = df["gram"].to_numpy()
+        d = df["doc_id"].to_numpy(np.int64)
+        c = df["n_grams"].to_numpy(np.int64)
+        new = group_starts(g)
+        bounds = np.append(np.flatnonzero(new), len(g))
+        out_a, out_b, out_ca, out_cb = [], [], [], []
+        for s in range(len(bounds) - 1):
+            lo, hi = bounds[s], bounds[s + 1]
+            m = hi - lo
+            if m < 2 or (df_cap is not None and m > df_cap):
+                continue
+            ids = d[lo:hi]  # already sorted, distinct per doc
+            cnt = c[lo:hi]
+            r, cc_ = np.triu_indices(m, k=1)
+            out_a.append(ids[r])
+            out_b.append(ids[cc_])
+            out_ca.append(cnt[r])
+            out_cb.append(cnt[cc_])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b),
+                             "ca": np.concatenate(out_ca),
+                             "cb": np.concatenate(out_cb)})
+
+    cooc_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("ca", pa.int64()), ("cb", pa.int64())])
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    pairs = partitioned_group_map(exploded, ["gram"], cooccur_block,
+                                  num_partitions, out_schema=cooc_schema)
 
     def count_filter_block(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                               "b": pd.Series([], dtype=np.int64)})
         if df.empty:
             return empty
-        cnts = ray.get(cnt_ref)
         df = df.sort_values(["a", "b"], kind="mergesort")
         a = df["a"].to_numpy(np.int64)
         b = df["b"].to_numpy(np.int64)
+        ca = df["ca"].to_numpy(np.int64)
+        cb = df["cb"].to_numpy(np.int64)
         new = group_starts(a, b)
         gidx = np.cumsum(new, dtype=np.int32) - 1
         inter = np.bincount(gidx).astype(np.int64)
         ua, ub = a[new], b[new]
-        ca = np.array([cnts[x] for x in ua], dtype=np.int64)
-        cb = np.array([cnts[x] for x in ub], dtype=np.int64)
-        union = ca + cb - inter
+        union = ca[new] + cb[new] - inter
         keep = (union > 0) & (inter / np.maximum(union, 1) >= tau)
         return pd.DataFrame({"a": ua[keep], "b": ub[keep]})
 
-    return partitioned_group_map(pairs, ["a", "b"], count_filter_block, 16,
-                                 out_schema=pair_schema)
+    return partitioned_group_map(pairs, ["a", "b"], count_filter_block,
+                                 num_partitions, out_schema=pair_schema)

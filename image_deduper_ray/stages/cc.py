@@ -57,18 +57,29 @@ def _driver_union_find(edge_batches) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def _node_type(edges: ray.data.Dataset):
+    """pyarrow type of the edge endpoints (string file_ids in the
+    flagship; int64 doc_ids in the documents-table pipelines)."""
+    import pyarrow as pa
+    s = edges.schema(fetch_if_missing=True)
+    if s is None:        # executed-empty dataset: Ray 2.49 reports None
+        return pa.string()
+    return dict(zip(s.names, s.types))["a"]
+
+
 def _distributed_label_prop(edges: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
     """Min-label propagation with partition-level blocks: per round, one
     shuffle keyed on node to attach labels to outgoing edges (pandas
     C-speed merge per partition), one shuffle keyed on receiving node to
     take the min (vectorized segment-min per partition). Terminates on a
     changed-count aggregate of zero; log-rounds expected (PAPERS.md
-    map-reduce CC)."""
+    map-reduce CC). Node type (string/int64) follows the edge schema."""
     import pyarrow as pa
 
     from ..functions.groups import group_starts, partitioned_group_map
 
     P = cfg.pair_partitions
+    nt = _node_type(edges)
 
     def to_bidir(t: pa.Table) -> pa.Table:
         a, b = t["a"], t["b"]
@@ -81,9 +92,9 @@ def _distributed_label_prop(edges: ray.data.Dataset, cfg: DedupConfig) -> ray.da
         batch_format="pyarrow").groupby("key").min("label").map_batches(
         lambda t: t.rename_columns(["key", "label"]), batch_format="pyarrow")
 
-    msg_schema = pa.schema([("node", pa.string()), ("label", pa.string()),
+    msg_schema = pa.schema([("node", nt), ("label", nt),
                             ("is_self", pa.int8())])
-    lab_schema = pa.schema([("key", pa.string()), ("label", pa.string()),
+    lab_schema = pa.schema([("key", nt), ("label", nt),
                             ("changed", pa.int64())])
 
     def block_msgs(df: pd.DataFrame) -> pd.DataFrame:
@@ -118,11 +129,11 @@ def _distributed_label_prop(edges: ray.data.Dataset, cfg: DedupConfig) -> ray.da
     for _round in range(cfg.cc_max_rounds):
         lab_rows = labels.map_batches(
             lambda t: pa.table({"key": t["key"], "label": t["label"],
-                                "neigh": pa.nulls(t.num_rows, pa.string())}),
+                                "neigh": pa.nulls(t.num_rows, nt)}),
             batch_format="pyarrow")
         edge_rows = bidir.map_batches(
             lambda t: pa.table({"key": t["key"],
-                                "label": pa.nulls(t.num_rows, pa.string()),
+                                "label": pa.nulls(t.num_rows, nt),
                                 "neigh": t["neigh"]}),
             batch_format="pyarrow")
         msgs = partitioned_group_map(lab_rows.union(edge_rows), ["key"],
@@ -152,8 +163,9 @@ def connected_components(edges: ray.data.Dataset, cfg: DedupConfig,
                 batch_size=65536, batch_format="pyarrow"))
         if df.empty:
             import pyarrow as pa
+            nt = _node_type(edges)
             return ray.data.from_arrow(pa.table({
-                "file_id": pa.array([], pa.string()),
-                "cluster_id": pa.array([], pa.string())}))
+                "file_id": pa.array([], nt),
+                "cluster_id": pa.array([], nt)}))
         return ray.data.from_pandas(df)
     return _distributed_label_prop(edges, cfg)

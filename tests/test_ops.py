@@ -129,3 +129,71 @@ def test_entry_smoke():
     assert len(df) >= 0
     assert {"doc_id", "cluster_id"} <= set(df.columns)
     assert len(df) == 500
+
+
+def test_simhash_groups_matches_scalar_reference():
+    """The distributed rebuild (shared SignatureStage kernel, partitioned
+    pair-gen, connected_components, join-based label attach) must produce
+    the SAME partition as the straightforward scalar reference:
+    per-doc simhash -> 4x16-bit bands -> Hamming<=3 pairs -> union-find."""
+    import pyarrow.parquet as pq
+    from image_deduper_ray.functions import hashing, minhash as mh
+    from image_deduper_ray.functions import tokenize as tok
+    from image_deduper_ray.pipelines.docdedup import simhash_groups
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+    sims = {}
+    for did, text, lang in zip(t["doc_id"].to_pylist(),
+                               t["text"].to_pylist(), t["lang"].to_pylist()):
+        tokens = tok.tokenize(text, lang)
+        th = np.array([hashing.token_hash64(x) for x in tokens],
+                      dtype=np.uint64)
+        sims[did] = mh.simhash64(hashing.shingle_hashes(th, 5))
+
+    buckets: dict = {}
+    for did, sh in sims.items():
+        for c in range(4):
+            buckets.setdefault((c, (sh >> (16 * c)) & 0xFFFF), []).append(did)
+    parent = {d: d for d in sims}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in buckets.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                if bin(sims[a] ^ sims[b]).count("1") <= 3:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    expect = {d: find(d) for d in sims}
+
+    got = simhash_groups(SF).to_pandas()
+    got_map = dict(zip(got.doc_id, got.group_id))
+    assert got_map == expect
+
+
+def test_ngram_df_cap_subset():
+    from image_deduper_ray.pipelines.docdedup import ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(SF, n=3, tau=0.1).to_pandas()
+    capped = ngram_jaccard_pairs(SF, n=3, tau=0.1, df_cap=3).to_pandas()
+    e = set(zip(exact.a, exact.b))
+    c = set(zip(capped.a, capped.b))
+    assert c <= e  # df-capped pair-gen only drops, never invents
+
+
+def test_near_dup_lsh_route_recall():
+    from image_deduper_ray.pipelines.ann import near_dup_pairs
+
+    exact = near_dup_pairs(SF, tau=0.35, method="exact").to_pandas()
+    approx = near_dup_pairs(SF, tau=0.35, method="lsh").to_pandas()
+    e = set(zip(exact.a, exact.b))
+    a = set(zip(approx.a, approx.b))
+    assert a <= e                      # in-bucket rerank is exact: no FPs
+    assert len(e & a) / max(len(e), 1) > 0.5   # multi-table recall
