@@ -181,6 +181,11 @@ def _q_ann_lsh(sf_dir: str):
     return knn_lsh(sf_dir, k=10, num_queries=8)
 
 
+def _q_ann_range(sf_dir: str):
+    from image_deduper_ray.pipelines.ann import range_search
+    return range_search(sf_dir, tau=0.35, num_queries=8)
+
+
 def _q_emb_near_dup(sf_dir: str):
     import pyarrow as pa
     from image_deduper_ray.functions.arrow_utils import collect_arrow
@@ -245,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ann_topk_cosine": _q_ann_topk,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_range_search": _q_ann_range,
         "emb_near_dup_pairs": _q_emb_near_dup,
         "minhash_lsh_clusters": _q_minhash_clusters,
         "simhash_groups": _q_simhash_groups,
@@ -325,6 +331,62 @@ def oracle_sql() -> dict[str, str]:
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.35",
+        "ann_range_search":
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "  FROM embeddings ORDER BY vec_id LIMIT 8) "
+            "SELECT q.query_id, e.vec_id AS neighbor_id "
+            "FROM embeddings e, q WHERE e.vec_id <> q.query_id "
+            "AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.qe AS DOUBLE[])) >= 0.35",
+        "t_lang_id":
+            "WITH s AS (SELECT doc_id, "
+            "len(regexp_extract_all(lower(text), "
+            "'\\b(the|and|of|is|with|for)\\b')) AS c_en, "
+            "len(regexp_extract_all(lower(text), "
+            "'\\b(der|die|das|und|nicht|ist)\\b')) AS c_de, "
+            "len(regexp_extract_all(lower(text), "
+            "'\\b(le|la|les|des|est|une)\\b')) AS c_fr, "
+            "len(regexp_extract_all(lower(text), "
+            "'\\b(el|los|las|una|que|para)\\b')) AS c_es, "
+            "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS c_zh "
+            "FROM documents) "
+            "SELECT doc_id, CASE WHEN c_zh > 0 THEN 'zh' "
+            "WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und' "
+            "WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en' "
+            "WHEN c_de >= c_fr AND c_de >= c_es THEN 'de' "
+            "WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END AS lang_pred "
+            "FROM s",
+        "t_mislabel_flags":
+            "WITH s AS (SELECT doc_id, lang, "
+            "len(regexp_extract_all(lower(text), "
+            "'\\b(the|and|of|is|with|for)\\b')) AS c_en, "
+            "len(regexp_extract_all(lower(text), "
+            "'\\b(der|die|das|und|nicht|ist)\\b')) AS c_de, "
+            "len(regexp_extract_all(lower(text), "
+            "'\\b(le|la|les|des|est|une)\\b')) AS c_fr, "
+            "len(regexp_extract_all(lower(text), "
+            "'\\b(el|los|las|una|que|para)\\b')) AS c_es, "
+            "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS c_zh "
+            "FROM documents), "
+            "p AS (SELECT doc_id, lang, CASE WHEN c_zh > 0 THEN 'zh' "
+            "WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und' "
+            "WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en' "
+            "WHEN c_de >= c_fr AND c_de >= c_es THEN 'de' "
+            "WHEN c_fr >= c_es THEN 'fr' ELSE 'es' END AS lang_pred "
+            "FROM s) "
+            "SELECT doc_id, lang, lang_pred, lang <> lang_pred AS mismatch "
+            "FROM p",
+        "media_decode_features":
+            "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
+            "CASE CAST(i AS INT) % 3 WHEN 0 THEN 'image' "
+            "WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+            "repeat(sha256('media-' || i || '-42'), "
+            "1 + (CAST(i AS INT) % 4)) AS p FROM range(64) t(i)) "
+            "SELECT media_id, kind, CAST(64 AS BIGINT) AS width, "
+            "CAST(64 AS BIGINT) AS height, "
+            "CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + "
+            "((strpos('0123456789abcdef', substr(sha256(p), 17, 1)) - 1) "
+            "% 10) END AS BIGINT) AS n_frames FROM m",
         "e_windowed_counts":
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "COUNT(*) AS n_events, "
@@ -344,7 +406,6 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
             "AS BIGINT) AS sum_total_cents FROM orders "
             "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
-        # rows-only (non-SQL-expressible): t_lang_id, t_mislabel_flags,
-        # ann_topk_lsh, minhash_lsh_clusters, simhash_groups,
-        # media_decode_features
+        # rows-only (genuinely non-SQL-expressible — approximate or
+        # iterative): ann_topk_lsh, minhash_lsh_clusters, simhash_groups
     }

@@ -117,6 +117,34 @@ def knn_brute(sf_dir: str, k: int = 10, num_queries: int = 8) -> ray.data.Datase
                                                 batch_format="pandas")
 
 
+def range_search(sf_dir: str, tau: float = 0.35,
+                 num_queries: int = 8) -> ray.data.Dataset:
+    """Exact cosine range search: every (query_id, neighbor_id) with
+    cosine >= tau, self excluded. Same broadcast-queries shape as
+    knn_brute but with NO top-k truncation — one matmul per batch, only
+    above-threshold hits cross the wire. Hash-matches the DuckDB
+    all-neighbors oracle."""
+    qids, Q = load_queries(sf_dir, num_queries)
+    q_ref = ray.put((qids, Q))
+
+    def emit(t: pa.Table) -> pa.Table:
+        qids_, Q_ = ray.get(q_ref)
+        ids, M = _to_matrix(t)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64())})
+        sims = _normalize(M) @ Q_.T       # (batch, nq)
+        r, c = np.nonzero(sims >= tau)
+        nb = ids[r].astype(np.int64)
+        qq = qids_[c].astype(np.int64)
+        keep = nb != qq
+        return pa.table({"query_id": pa.array(qq[keep]),
+                         "neighbor_id": pa.array(nb[keep])})
+
+    return _read_embeddings(sf_dir).map_batches(
+        emit, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _as_arrow(block) -> pa.Table:
     if isinstance(block, pa.Table):
         return block

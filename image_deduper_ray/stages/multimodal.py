@@ -62,12 +62,15 @@ class DecodeStage:
 
     def _fake_decode(self, payload: bytes, kind: str) -> tuple[int, int, int, np.ndarray]:
         """Deterministic 'decode': dims and features seeded from the
-        payload digest — stable across runs/workers (resume-safe)."""
-        digest = hashlib.sha256(payload).digest()
-        seed = int.from_bytes(digest[:8], "little")
-        rng = np.random.default_rng(seed)
+        payload digest — stable across runs/workers (resume-safe), and
+        independently reproducible in SQL (hex-digest arithmetic only),
+        so the driver's DuckDB oracle can verify the full
+        payload->digest->feature plumbing."""
+        hd = hashlib.sha256(payload).hexdigest()
+        rng = np.random.default_rng(int(hd[:16], 16))
         w, h = self.target_size
-        n_frames = 1 if kind == "image" else 1 + (digest[8] % 100) // self.frame_stride
+        n_frames = 1 if kind == "image" \
+            else 1 + (int(hd[16], 16) % self.frame_stride)
         feats = rng.standard_normal(self.feature_dim).astype(np.float32)
         return w, h, n_frames, feats
 
@@ -104,12 +107,16 @@ def decode_features(media: ray.data.Dataset, *, fake: bool = False,
 
 
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media rows for plumbing tests (payloads
-    are junk bytes — only the fake decoder ever reads them)."""
-    rng = np.random.default_rng(seed)
+    """Deterministic synthetic media rows for plumbing tests. Payload
+    bytes are ASCII hex junk derived from sha256 so the identical bytes
+    are constructible in plain SQL (repeat(sha256('media-i-seed'),
+    1+i%4)) — the fake-decode output is then DuckDB-oracle-checkable
+    end to end. Variable lengths keep the batch-sizing realistic."""
     kinds = [["image", "audio", "video"][i % 3] for i in range(n)]
-    payloads = [rng.integers(0, 256, size=int(rng.integers(64, 2048)),
-                             dtype=np.uint8).tobytes() for _ in range(n)]
+    payloads = [
+        (hashlib.sha256(f"media-{i}-{seed}".encode()).hexdigest()
+         * (1 + i % 4)).encode()
+        for i in range(n)]
     metas = ['{"claimed": "%s"}' % k for k in kinds]
     return pa.table({
         "media_id": pa.array(range(n), pa.int64()),

@@ -36,7 +36,8 @@ SQL_CHECKED = [
     "m1_sha256", "a1_exact_dup_groups", "a1_exact_dedup_keep_first",
     "a4_canonical_pick", "s2_discovery_filter", "a3_stats_by_lang",
     "j1_anti_join_resume", "t_token_count", "t_quality", "t_fingerprint",
-    "ann_topk_cosine", "emb_near_dup_pairs",
+    "ann_topk_cosine", "emb_near_dup_pairs", "ann_range_search",
+    "t_lang_id", "t_mislabel_flags", "media_decode_features",
     "e_windowed_counts", "e_sessionize", "j_orders_by_segment",
 ]
 
@@ -64,10 +65,9 @@ def test_queries_have_oracle_or_reason():
     qs, sqls = entry.queries(), entry.oracle_sql()
     assert set(sqls) <= set(qs)
     rows_only = set(qs) - set(sqls)
-    # only genuinely non-SQL ops may omit the oracle
-    assert rows_only <= {"t_lang_id", "t_mislabel_flags", "ann_topk_lsh",
-                         "minhash_lsh_clusters", "simhash_groups",
-                         "media_decode_features"}
+    # only genuinely non-SQL ops (approximate / iterative) may omit it
+    assert rows_only <= {"ann_topk_lsh", "minhash_lsh_clusters",
+                         "simhash_groups"}
 
 
 def test_lang_id_detects_cjk():
