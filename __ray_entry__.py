@@ -218,6 +218,17 @@ def _q_media_decode(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_media_external(sf_dir: str):
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (external_probe,
+                                                     synth_media_table)
+
+    media = ray.data.from_arrow(synth_media_table(n=64))
+    return external_probe(media).map_batches(
+        lambda t: t.select(["media_id", "ext_sha256", "n_bytes"]),
+        batch_format="pyarrow")
+
+
 def _q_windowed_counts(sf_dir: str):
     from image_deduper_ray.pipelines.events import windowed_event_counts
     return windowed_event_counts(sf_dir)
@@ -255,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_clusters": _q_minhash_clusters,
         "simhash_groups": _q_simhash_groups,
         "media_decode_features": _q_media_decode,
+        "media_external_probe": _q_media_external,
         "e_windowed_counts": _q_windowed_counts,
         "e_sessionize": _q_sessionize,
         "j_orders_by_segment": _q_orders_by_segment,
@@ -387,6 +399,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + "
             "((strpos('0123456789abcdef', substr(sha256(p), 17, 1)) - 1) "
             "% 10) END AS BIGINT) AS n_frames FROM m",
+        "media_external_probe":
+            "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
+            "repeat(sha256('media-' || i || '-42'), "
+            "1 + (CAST(i AS INT) % 4)) AS p FROM range(64) t(i)) "
+            "SELECT media_id, sha256(p) AS ext_sha256, "
+            "CAST(length(p) AS BIGINT) AS n_bytes FROM m",
         "e_windowed_counts":
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "COUNT(*) AS n_events, "

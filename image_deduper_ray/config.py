@@ -66,6 +66,10 @@ class DedupConfig:
     # shuffles) while their total size stays under this; partitioned
     # joins past it
     cont_broadcast_max_bytes: int = 2_000_000_000
+    # the containment candidate-id SET is broadcast for the semi-join
+    # prune only while it stays under this many ids; past it the prune
+    # flips to a distributed hash semi-join (no driver set)
+    cont_max_broadcast_ids: int = 2_000_000
     # pair verification broadcasts the (collapsed-representative)
     # signature matrix while it fits; partitioned hash joins past it
     verify_broadcast_max_bytes: int = 4_000_000_000
@@ -78,7 +82,14 @@ class DedupConfig:
     canonical_order: tuple[str, ...] = ("-n_bytes", "repo", "path", "commit")
 
     # --- per-row time budget (analog of timeout_utils.rs:27-58) ---
+    # the reference scales its hash timeout 5-30 s by format (JPEG/PNG
+    # cheap, TIFF/RAW expensive); the code analog scales by lang —
+    # verbose/macro-heavy languages get a larger budget before the row
+    # is poisoned to the fallback signature.
     row_time_budget_s: float = 5.0
+    row_time_budget_by_lang: tuple[tuple[str, float], ...] = (
+        ("cpp", 30.0), ("c", 20.0), ("rs", 20.0), ("java", 15.0),
+        ("ts", 10.0), ("js", 10.0))
 
     # --- vectorized batch signature kernel (functions/fastsig.py):
     #     byte-class lexer + reduceat hashing, ~no per-row Python. The
@@ -116,6 +127,9 @@ class DedupConfig:
         d = json.loads(s)
         if "canonical_order" in d:
             d["canonical_order"] = tuple(d["canonical_order"])
+        if "row_time_budget_by_lang" in d:
+            d["row_time_budget_by_lang"] = tuple(
+                (lang, float(t)) for lang, t in d["row_time_budget_by_lang"])
         if isinstance(d.get("sig_concurrency"), list):
             d["sig_concurrency"] = tuple(d["sig_concurrency"])
         return cls(**d)

@@ -147,33 +147,62 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
                     pa.compute.equal(tb["verdict"], "containment_cand"))
                 .select(["a", "b"]),
                 batch_format="pyarrow", zero_copy_batch=True)
-            cand_ids = set()
+            # candidate-id collection is CAPPED: past
+            # cfg.cont_max_broadcast_ids the prune flips to a distributed
+            # hash semi-join instead of a driver-resident set
+            cand_ids: set | None = set()
             for b in cands.iter_batches(batch_size=65536,
                                         batch_format="pyarrow"):
                 cand_ids.update(b["a"].to_pylist())
                 cand_ids.update(b["b"].to_pylist())
-            if not cand_ids:
+                if len(cand_ids) > cfg.cont_max_broadcast_ids:
+                    cand_ids = None
+                    break
+            if cand_ids is not None and not cand_ids:
                 ce = ray.data.from_arrow(_EMPTY_EDGES)
             else:
-                # semi-join prune: broadcast the (small) candidate id
-                # set and filter content BEFORE anything shuffles —
-                # only the candidates' content is ever touched again
-                ids_ref = ray.put(cand_ids)
+                raw_content = (read_files(input_paths, langs=langs,
+                                          exclude_path_prefixes=exclude_path_prefixes)
+                               .map_batches(_add_file_id, batch_format="pyarrow",
+                                            zero_copy_batch=True)
+                               .select_columns(["file_id", "content"]))
+                if cand_ids is not None:
+                    # semi-join prune: broadcast the (small) candidate id
+                    # set and filter content BEFORE anything shuffles —
+                    # only the candidates' content is ever touched again
+                    ids_ref = ray.put(cand_ids)
 
-                def _only_cands(tb: pa.Table) -> pa.Table:
-                    wanted = ray.get(ids_ref)
-                    keep = pa.array([f in wanted
-                                     for f in tb["file_id"].to_pylist()],
-                                    pa.bool_())
-                    return tb.filter(keep)
+                    def _only_cands(tb: pa.Table) -> pa.Table:
+                        wanted = ray.get(ids_ref)
+                        keep = pa.array([f in wanted
+                                         for f in tb["file_id"].to_pylist()],
+                                        pa.bool_())
+                        return tb.filter(keep)
 
-                content = (read_files(input_paths, langs=langs,
-                                      exclude_path_prefixes=exclude_path_prefixes)
-                           .map_batches(_add_file_id, batch_format="pyarrow",
-                                        zero_copy_batch=True)
-                           .select_columns(["file_id", "content"])
-                           .map_batches(_only_cands, batch_format="pyarrow",
-                                        zero_copy_batch=True))
+                    content = raw_content.map_batches(
+                        _only_cands, batch_format="pyarrow",
+                        zero_copy_batch=True)
+                else:
+                    # over-cap: distinct candidate ids stay a Dataset and
+                    # the prune is a partitioned hash semi-join
+                    from ..functions.groups import partitioned_group_map
+
+                    flat = cands.map_batches(
+                        lambda tb: pa.table({"file_id": pa.concat_arrays(
+                            [tb["a"].combine_chunks(),
+                             tb["b"].combine_chunks()])}),
+                        batch_format="pyarrow", zero_copy_batch=True)
+                    ids_ds = partitioned_group_map(
+                        flat, ["file_id"],
+                        lambda df: df.drop_duplicates(["file_id"]),
+                        cfg.join_num_partitions,
+                        out_schema=pa.schema([("file_id", pa.string())]))
+                    content = hash_join(
+                        raw_content, ids_ds, "file_id", "file_id",
+                        pa.schema([("file_id", pa.string()),
+                                   ("content", pa.string())]),
+                        pa.schema([]),
+                        num_partitions=cfg.join_num_partitions)
                 # common case: candidate content fits a broadcast —
                 # collect it (streaming, byte-capped) and verify pairs
                 # in a single map_batches with no shuffle at all; fall

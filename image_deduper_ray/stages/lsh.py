@@ -68,9 +68,8 @@ def _combo(band_id: np.ndarray, band_key_i64: np.ndarray) -> np.ndarray:
 
 
 def _sig_matrix(batch: pa.Table, num_perms: int) -> np.ndarray:
-    col = batch["minhash"].combine_chunks()
-    flat = np.frombuffer(b"".join(col.to_pylist()), dtype=np.uint64)
-    return flat.reshape(-1, num_perms)
+    from .verify import _sig_of
+    return _sig_of(batch["minhash"], num_perms)
 
 
 def _band_keys(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
@@ -218,9 +217,11 @@ def find_hot_buckets(sigs: ray.data.Dataset, cfg: DedupConfig,
     def sample(t: pa.Table) -> pa.Table:
         if k == 1:
             return t
-        keep = pa.array([int(f[-4:], 16) % k == 0
-                         for f in t["file_id"].to_pylist()], pa.bool_())
-        return t.filter(keep)
+        # vectorized deterministic selector (same fixed-width hex trick
+        # as _salt_for) — no per-row int(f[-4:], 16)
+        sel = _salt_for(t["file_id"].to_pylist(),
+                        np.full(t.num_rows, k, dtype=np.int64))
+        return t.filter(pa.array(sel == 0))
 
     counts = (sigs.map_batches(sample, batch_format="pyarrow",
                                zero_copy_batch=True)

@@ -53,12 +53,33 @@ class DecodeStage:
         self.target_size = target_size
         self.frame_stride = frame_stride
         if not fake:
-            # real path: import the codec here (once per actor), e.g.
-            # PIL/ffmpeg/soundfile. Not available in this environment.
-            raise NotImplementedError(
-                "media codecs are not installed in this environment; "
-                "construct DecodeStage(fake=True) for the deterministic "
-                "fake-decode path (plumbing test mode)")
+            # capability probe: the real image path uses PIL if (and
+            # only if) it is importable — codec import happens HERE,
+            # once per actor, never per batch.
+            try:
+                from PIL import Image
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "media codecs (PIL) are not installed in this "
+                    "environment; construct DecodeStage(fake=True) for "
+                    "the deterministic fake-decode path") from exc
+            self._pil_image = Image
+
+    def _pil_decode(self, payload: bytes, kind: str) -> tuple[int, int, int, np.ndarray]:
+        """Real image decode via PIL: resize to target, grayscale,
+        mean-pooled pixel grid as the feature vector. Audio/video codecs
+        are out of scope — those kinds keep the deterministic fake so
+        every row stays scored (M8 fallback discipline)."""
+        if kind != "image":
+            return self._fake_decode(payload, kind)
+        import io
+
+        img = self._pil_image.open(io.BytesIO(payload)) \
+            .convert("L").resize(self.target_size)
+        px = np.asarray(img, dtype=np.float32) / 255.0
+        feats = px.reshape(self.feature_dim, -1).mean(axis=1)
+        w, h = img.size
+        return w, h, 1, feats.astype(np.float32)
 
     def _fake_decode(self, payload: bytes, kind: str) -> tuple[int, int, int, np.ndarray]:
         """Deterministic 'decode': dims and features seeded from the
@@ -78,9 +99,10 @@ class DecodeStage:
         ids = batch["media_id"].to_pylist()
         kinds = batch["kind"].to_pylist()
         payloads = batch["payload"].to_pylist()
+        decode = self._fake_decode if self.fake else self._pil_decode
         ws, hs, fs, feats = [], [], [], []
         for kind, payload in zip(kinds, payloads):
-            w, h, n, f = self._fake_decode(payload or b"", kind)
+            w, h, n, f = decode(payload or b"", kind)
             ws.append(w)
             hs.append(h)
             fs.append(n)
@@ -103,6 +125,62 @@ def decode_features(media: ray.data.Dataset, *, fake: bool = False,
         DecodeStage,
         fn_constructor_kwargs={"fake": fake, "feature_dim": feature_dim},
         batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=MEDIA_BATCH_SIZE, concurrency=concurrency)
+
+
+class ExternalProbeStage:
+    """External-process probe stage — the working instantiation of the
+    reference's platform-tool pattern (M15: sips/qlmanage subprocess
+    per file, /root/reference/crates/image-deduper-core/src/processing/
+    platform/macos.rs:53-209). One subprocess invocation per row, fed
+    the payload on stdin, inside an actor pool: tool availability is
+    probed once per actor in __init__ (the capability check), and a
+    non-zero exit becomes a row-level error column, never a task crash.
+    Default tool is ``sha256sum`` so the output is independently
+    verifiable (and SQL-oracle-checkable against the payload bytes)."""
+
+    def __init__(self, tool: tuple[str, ...] = ("sha256sum",),
+                 timeout_s: float = 30.0):
+        import shutil
+
+        self.tool = list(tool)
+        self.timeout_s = timeout_s
+        if shutil.which(self.tool[0]) is None:
+            raise NotImplementedError(
+                f"external tool {self.tool[0]!r} not on PATH")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import subprocess
+
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        outs, rcs = [], []
+        for p in payloads:
+            try:
+                proc = subprocess.run(self.tool, input=p or b"",
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.DEVNULL,
+                                      timeout=self.timeout_s)
+                outs.append(proc.stdout.decode("utf-8", "replace").split()[0]
+                            if proc.returncode == 0 and proc.stdout else "")
+                rcs.append(proc.returncode)
+            except subprocess.TimeoutExpired:
+                outs.append("")
+                rcs.append(-1)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "ext_sha256": pa.array(outs, pa.string()),
+            "tool_rc": pa.array(rcs, pa.int64()),
+            "n_bytes": pa.array([len(p or b"") for p in payloads],
+                                pa.int64())})
+
+
+def external_probe(media: ray.data.Dataset,
+                   concurrency=(1, 4)) -> ray.data.Dataset:
+    """Wired external-tool stage: small batches, actor pool (one
+    capability probe per actor), payload dropped on output."""
+    return media.map_batches(
+        ExternalProbeStage, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=MEDIA_BATCH_SIZE, concurrency=concurrency)
 
 

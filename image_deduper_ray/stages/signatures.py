@@ -128,6 +128,8 @@ class SignatureStage:
         self.a, self.b = mh.make_perms(config.num_perms, config.minhash_seed)
         self.token_cache = hashing.TokenHashCache()
         self.poison: set[str] = set()  # ST2: per-actor skip memo
+        # per-lang budget table (timeout_utils.rs:27-58 analog)
+        self.budget = dict(config.row_time_budget_by_lang)
         # ST3 (ImageCache analog, types.rs:78-113): identical content is
         # signed once per worker — keyed by sha256, bounded, cleared at
         # capacity like the reference's cache
@@ -164,7 +166,8 @@ class SignatureStage:
             shingles = shingles[:: cfg.shingle_stride]
         sig = mh.minhash_signature(shingles, self.a, self.b)
         simh = mh.simhash64(shingles)
-        if time.monotonic() - t0 > cfg.row_time_budget_s:
+        if time.monotonic() - t0 > self.budget.get(lang,
+                                                   cfg.row_time_budget_s):
             # cooperative budget exceeded: poison the key so a retry of
             # this task (or a later batch) falls back instantly.
             self.poison.add(key)
@@ -220,9 +223,12 @@ class SignatureStage:
                 errors.append(err)
 
         # packed little-endian u64s (the analog of the reference's packed
-        # u64 phash serialization, db.rs:287-331); plain binary so the
-        # column survives Acero hash joins as a payload field.
-        minhash_col = pa.array([sigs[i].tobytes() for i in range(n)], pa.binary())
+        # u64 phash serialization, db.rs:287-331) as fixed_size_binary:
+        # downstream signature-matrix readers reshape the Arrow buffer
+        # zero-copy instead of joining per-row Python bytes.
+        minhash_col = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(cfg.num_perms * 8), n,
+            [None, pa.py_buffer(np.ascontiguousarray(sigs).tobytes())])
         return pa.table({
             "repo": batch["repo"], "path": batch["path"],
             "commit": batch["commit"], "lang": batch["lang"],

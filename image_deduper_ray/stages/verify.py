@@ -24,9 +24,18 @@ from ..config import DedupConfig
 
 
 def _sig_of(batch_col: pa.ChunkedArray | pa.Array, num_perms: int) -> np.ndarray:
+    """(n, P) uint64 view of a packed-minhash column. fixed_size_binary
+    (the signature stage's native layout) reshapes the Arrow data buffer
+    ZERO-COPY; variable binary (post-join pandas round-trips) falls back
+    to one join+frombuffer."""
     if isinstance(batch_col, pa.ChunkedArray):
         batch_col = batch_col.combine_chunks()
-    flat = np.frombuffer(b"".join(batch_col.to_pylist()), dtype=np.uint64)
+    if pa.types.is_fixed_size_binary(batch_col.type):
+        w = batch_col.type.byte_width // 8
+        flat = np.frombuffer(batch_col.buffers()[1], dtype=np.uint64)
+        flat = flat[batch_col.offset * w:(batch_col.offset + len(batch_col)) * w]
+    else:
+        flat = np.frombuffer(b"".join(batch_col.to_pylist()), dtype=np.uint64)
     return flat.reshape(-1, num_perms)
 
 
@@ -190,7 +199,8 @@ def signature_representatives(sigs: ray.data.Dataset, cfg: DedupConfig,
         members["edge_to"] = rep_of[~first]
         return pd.concat([reps, members, solo], ignore_index=True)
 
-    schema = pa.schema([("file_id", pa.string()), ("minhash", pa.binary()),
+    schema = pa.schema([("file_id", pa.string()),
+                        ("minhash", pa.binary(cfg.num_perms * 8)),
                         ("simhash", pa.int64()), ("sig_kind", pa.string()),
                         ("edge_to", pa.string())])
     tagged = partitioned_group_map(proj, ["minhash"], rep_block,

@@ -38,6 +38,7 @@ SQL_CHECKED = [
     "j1_anti_join_resume", "t_token_count", "t_quality", "t_fingerprint",
     "ann_topk_cosine", "emb_near_dup_pairs", "ann_range_search",
     "t_lang_id", "t_mislabel_flags", "media_decode_features",
+    "media_external_probe",
     "e_windowed_counts", "e_sessionize", "j_orders_by_segment",
 ]
 
@@ -105,8 +106,12 @@ def test_media_decode_plumbing():
                                                      decode_features,
                                                      synth_media_table)
 
-    with pytest.raises(NotImplementedError):
-        DecodeStage(fake=False)  # real codecs absent: stub must declare
+    import importlib.util
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(NotImplementedError):
+            DecodeStage(fake=False)  # codec absent: probe must declare
+    else:
+        DecodeStage(fake=False)      # probe passes when PIL exists
 
     media = ray.data.from_arrow(synth_media_table(n=32))
     out1 = decode_features(media, fake=True).to_pandas()
@@ -197,3 +202,90 @@ def test_near_dup_lsh_route_recall():
     a = set(zip(approx.a, approx.b))
     assert a <= e                      # in-bucket rerank is exact: no FPs
     assert len(e & a) / max(len(e), 1) > 0.5   # multi-table recall
+
+
+def test_media_external_probe_matches_hashlib():
+    """M15 analog: the subprocess-per-row external tool stage must agree
+    with an in-process sha256 over the same payloads."""
+    import hashlib
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (external_probe,
+                                                     synth_media_table)
+
+    t = synth_media_table(n=16)
+    expect = {i: hashlib.sha256(p).hexdigest()
+              for i, p in zip(t["media_id"].to_pylist(),
+                              t["payload"].to_pylist())}
+    out = external_probe(ray.data.from_arrow(t)).to_pandas()
+    assert (out["tool_rc"] == 0).all()
+    got = dict(zip(out.media_id, out.ext_sha256))
+    assert got == expect
+
+
+def test_signature_poison_path_completes():
+    """ST2/ST4: a row that blows its per-lang budget is poisoned — the
+    NEXT encounter of the same key falls back instantly and the run
+    completes (rows never throw)."""
+    import pyarrow as pa
+    from image_deduper_ray.config import DedupConfig
+    from image_deduper_ray.stages.signatures import SignatureStage
+
+    batch = pa.table({
+        "repo": ["r1", "r1"], "path": ["a.py", "b.cpp"],
+        "commit": ["c", "c"], "lang": ["py", "cpp"],
+        "content": ["x = 1\n" * 50, "int x = 1;\n" * 50]})
+
+    # zero budget for py only: the py row poisons after its first (still
+    # successful) signature; cpp keeps its generous per-lang budget
+    cfg = DedupConfig(row_time_budget_s=0.0, sig_cache_capacity=0)
+    stage = SignatureStage(cfg)
+    first = stage(batch)
+    assert first["sig_kind"].to_pylist() == ["ok", "ok"]
+    assert "r1\x1fa.py" in stage.poison          # poisoned cooperatively
+    assert "r1\x1fb.cpp" not in stage.poison     # cpp budget = 20 s
+    second = stage(batch)
+    kinds = dict(zip(second["path"].to_pylist(),
+                     second["sig_kind"].to_pylist()))
+    errs = dict(zip(second["path"].to_pylist(),
+                    second["error"].to_pylist()))
+    assert kinds["a.py"] == "fallback" and errs["a.py"] == "poisoned"
+    assert kinds["b.cpp"] == "ok"
+    # fallback signature is deterministic (resume-safe)
+    third = stage(batch)
+    assert second["minhash"].to_pylist() == third["minhash"].to_pylist()
+
+
+def test_windowed_counts_hour_boundaries(tmp_path):
+    """Window semantics pinned at hour edges: ts exactly on the boundary
+    belongs to the NEW window (floor_temporal == date_trunc), one
+    microsecond before belongs to the old one."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from image_deduper_ray.pipelines.events import windowed_event_counts
+
+    ts = pa.array([
+        pd.Timestamp("2024-03-10 00:59:59.999999"),
+        pd.Timestamp("2024-03-10 01:00:00.000000"),
+        pd.Timestamp("2024-03-10 01:00:00.000001"),
+        pd.Timestamp("2024-03-10 01:59:59.999999"),
+        pd.Timestamp("2024-03-10 02:00:00.000000"),
+    ], pa.timestamp("us"))
+    t = pa.table({"ts": ts,
+                  "event_type": pa.array(["x"] * 5),
+                  "value": pa.array([1.005, 2.0, 3.0, 4.0, 5.0])})
+    d = str(tmp_path)
+    pq.write_table(t, f"{d}/events.parquet")
+
+    got = windowed_event_counts(d).to_pandas() \
+        .sort_values("window_start").reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.sql(
+        f"SELECT date_trunc('hour', ts) AS window_start, event_type, "
+        f"COUNT(*) AS n_events, "
+        f"CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+        f"AS sum_value_cents "
+        f"FROM read_parquet('{d}/events.parquet') GROUP BY 1, 2 "
+        f"ORDER BY window_start").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert list(got["n_events"]) == [1, 3, 1]

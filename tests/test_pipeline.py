@@ -186,3 +186,18 @@ def test_signature_antijoin_resume(corpus_run, tmp_path):
     os.remove(os.path.join(out2, "signatures", "_MANIFEST.json"))
     res2 = run_pipeline(d, out2)
     assert res2["signatures"].count() == n_before
+
+
+def test_containment_semijoin_fallback_recall(tmp_path):
+    """With cont_max_broadcast_ids=0 the candidate-id prune must flip to
+    the distributed hash semi-join (no driver id set) and still reach
+    full recall."""
+    from image_deduper_ray.config import DedupConfig
+
+    cfg = DedupConfig(cont_max_broadcast_ids=0)
+    d, _ = write_corpus(str(tmp_path / "corpus"), n_clusters=8)
+    res = run_pipeline(d, str(tmp_path / "out"), cfg)
+    engine = _engine_clusters(res)
+    table, _ = generate_corpus(8)
+    ref_pairs = oracle_pairs(oracle_signatures(table, cfg), cfg)
+    assert dup_pair_recall(engine, ref_pairs) >= 0.99
