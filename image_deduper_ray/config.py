@@ -44,8 +44,15 @@ class DedupConfig:
     # containment candidates must clear this estimated Jaccard before
     # the (content-joining) substring pass: real containment of ratio r
     # has J ~= r, while shared-boilerplate noise sits near 0. Pairs
-    # below it are rejects. Tiny-in-huge containment (J < this) is out
-    # of signature reach by construction — documented limitation.
+    # below it are rejects. NOTE the effective reach: this floor is the
+    # verification gate, but the BAND-HIT gate below dominates — with 16
+    # r=2 bands a pair at J=0.15 collides in >=2 bands w.p. only ~0.6%
+    # (per-band hit ~J^2), so containment is reliably surfaced from
+    # J >~ 0.4-0.5 downward-tapering, NOT from 0.15. Tiny-in-huge
+    # containment (J below the band-hit reach) is out of signature
+    # reach by construction — documented limitation; lower
+    # containment_min_band_hits to 1 (and accept the noise) or raise
+    # containment_perms if low-J reach is required.
     containment_est_jaccard_min: float = 0.15
     # containment-only pairs must agree in this many bands (noise hits
     # one band w.p. ~16*J^2, two w.p. ~120*J^4 — a 50x gate at J~0.05)

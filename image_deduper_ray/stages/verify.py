@@ -45,27 +45,35 @@ def attach_signatures(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
     hash joins (functions/joins.py)."""
     from ..functions.joins import hash_join
 
-    sig_a = sigs.select_columns(["file_id", "minhash"]).map_batches(
-        lambda t: t.rename_columns(["file_id", "minhash_a"]),
+    sig_a = sigs.select_columns(["file_id", "minhash", "simhash"]).map_batches(
+        lambda t: t.rename_columns(["file_id", "minhash_a", "simhash_a"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    sig_b = sigs.select_columns(["file_id", "minhash"]).map_batches(
-        lambda t: t.rename_columns(["file_id", "minhash_b"]),
+    sig_b = sigs.select_columns(["file_id", "minhash", "simhash"]).map_batches(
+        lambda t: t.rename_columns(["file_id", "minhash_b", "simhash_b"]),
         batch_format="pyarrow", zero_copy_batch=True)
     pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
                              ("is_cont", pa.int8())])
-    j = hash_join(pairs, sig_a, "a", "file_id", pair_schema,
-                  pa.schema([("minhash_a", pa.binary())]),
+    a_fields = pa.schema([("minhash_a", pa.binary()),
+                          ("simhash_a", pa.int64())])
+    j = hash_join(pairs, sig_a, "a", "file_id", pair_schema, a_fields,
                   num_partitions=cfg.join_num_partitions)
     j = hash_join(j, sig_b, "b", "file_id",
-                  pair_schema.append(pa.field("minhash_a", pa.binary())),
-                  pa.schema([("minhash_b", pa.binary())]),
+                  pa.schema(list(pair_schema) + list(a_fields)),
+                  pa.schema([("minhash_b", pa.binary()),
+                             ("simhash_b", pa.int64())]),
                   num_partitions=cfg.join_num_partitions)
     return j
 
 
 class ScorePairs:
     """Vectorized est-Jaccard per batch; splits verified near-dup edges
-    from containment candidates that still need the substring pass."""
+    from containment candidates that still need the substring pass.
+
+    Cross-variant rule (Enhanced<->Standard downgrade,
+    src/processing/types.rs:34-43 analog): a pair where EITHER side is
+    missing its full MinHash (rows resumed from an older checkpoint
+    schema) is compared on the shared 64-bit SimHash instead —
+    similarity = 1 - hamming/64 against the same thresholds."""
 
     def __init__(self, cfg: DedupConfig):
         self.cfg = cfg
@@ -77,9 +85,28 @@ class ScorePairs:
                              "b": pa.array([], pa.string()),
                              "jaccard": pa.array([], pa.float64()),
                              "verdict": pa.array([], pa.string())})
-        sa = _sig_of(batch["minhash_a"], self.cfg.num_perms)
-        sb = _sig_of(batch["minhash_b"], self.cfg.num_perms)
-        jac = (sa == sb).mean(axis=1)
+        ma, mb = batch["minhash_a"], batch["minhash_b"]
+        have_both = np.asarray(pa.compute.and_(ma.is_valid(), mb.is_valid()))
+        jac = np.zeros(n, dtype=np.float64)
+        if have_both.all():
+            sa = _sig_of(ma, self.cfg.num_perms)
+            sb = _sig_of(mb, self.cfg.num_perms)
+            jac = (sa == sb).mean(axis=1)
+        else:
+            idx = np.flatnonzero(have_both)
+            if len(idx):
+                keep = pa.array(have_both)
+                sa = _sig_of(ma.filter(keep), self.cfg.num_perms)
+                sb = _sig_of(mb.filter(keep), self.cfg.num_perms)
+                jac[idx] = (sa == sb).mean(axis=1)
+            down = np.flatnonzero(~have_both)
+            if len(down):
+                sha = batch["simhash_a"].to_numpy(zero_copy_only=False)
+                shb = batch["simhash_b"].to_numpy(zero_copy_only=False)
+                from ..functions.minhash import hamming64
+                d = hamming64(sha[down].astype(np.int64).view(np.uint64),
+                              shb[down].astype(np.int64).view(np.uint64))
+                jac[down] = 1.0 - d / 64.0
         is_cont = batch["is_cont"].to_numpy(zero_copy_only=False)
         # containment candidates must clear a signature floor before the
         # (content-joining) substring pass — see config.containment_est_jaccard_min

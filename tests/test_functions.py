@@ -139,3 +139,36 @@ class TestConfig:
     def test_json_roundtrip(self):
         cfg = DedupConfig(jaccard_threshold=0.7)
         assert DedupConfig.from_json(cfg.to_json()) == cfg
+
+
+def test_cross_variant_downgrade():
+    """Enhanced<->Standard interop (types.rs:34-43 analog): pairs missing
+    a full MinHash on either side compare on the shared 64 SimHash bits,
+    both in the kernel and through ScorePairs."""
+    import numpy as np
+    import pyarrow as pa
+    from image_deduper_ray.config import DedupConfig
+    from image_deduper_ray.functions.minhash import cross_variant_similarity
+    from image_deduper_ray.stages.verify import ScorePairs
+
+    sig = np.arange(128, dtype=np.uint64)
+    sim, basis = cross_variant_similarity(sig, sig.copy(), 1, 2, 128)
+    assert (sim, basis) == (1.0, "minhash")
+    sim, basis = cross_variant_similarity(None, sig, 0b1011, 0b0011, 128)
+    assert basis == "simhash64" and abs(sim - (1 - 1 / 64)) < 1e-12
+
+    cfg = DedupConfig()
+    full = sig.tobytes()
+    batch = pa.table({
+        "a": ["x", "x"], "b": ["y", "z"],
+        "is_cont": pa.array([0, 0], pa.int8()),
+        "minhash_a": pa.array([full, None], pa.binary()),
+        "minhash_b": pa.array([full, full], pa.binary()),
+        "simhash_a": pa.array([7, 0b111], pa.int64()),
+        "simhash_b": pa.array([7, 0b101], pa.int64())})
+    out = ScorePairs(cfg)(batch)
+    jac = out["jaccard"].to_pylist()
+    verd = out["verdict"].to_pylist()
+    assert jac[0] == 1.0 and verd[0] == "near_dup"     # full-width match
+    assert abs(jac[1] - (1 - 1 / 64)) < 1e-12          # downgraded pair
+    assert verd[1] == "near_dup"                       # 63/64 >= 0.8
