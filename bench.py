@@ -7,11 +7,21 @@ deterministic synthetic corpus of the BASELINE.json input shape
 operator battery over $GRAFT_SF_DIR (default /root/testdata/sf0.1) —
 and report per-query seconds.
 
---scaling: run the flagship dedup job twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input and report both
-throughputs (files/sec) plus scaling efficiency
-(thr_32 / (4 * thr_8)) — the in-sandbox evidence for the N-vs-4N
-cluster-size criterion (BASELINE.md).
+--scaling: run the flagship dedup job in FRESH processes at two
+parallelism levels (default num_cpus=2 and num_cpus=8, overridable via
+RAY_GRAFT_SCALING_LEVELS="lo,hi"), several interleaved samples each
+(RAY_GRAFT_SCALING_SAMPLES, default 3), and report per-level median
+throughput (files/sec) plus scaling efficiency
+(thr_hi / ((hi/lo) * thr_lo)) — the in-sandbox evidence for the
+N-vs-4N cluster-size criterion (BASELINE.md).
+
+Each child is CPU-PINNED (taskset -c 0-(n-1)) so level n really gets n
+cores: without pinning, Arrow/parquet thread pools inside each worker
+use every host core, silently inflating the low-cpu level and
+corrupting the ratio. The scaling corpus defaults to
+IDR_BENCH_CLUSTERS=48000 (~173k files) — large enough that per-stage
+fixed costs (executor spin-up, checkpoint round-trips, actor-pool
+startup; ~10-15 s/run) do not dominate the numerator.
 """
 
 from __future__ import annotations
@@ -93,28 +103,48 @@ def main() -> None:
         return
 
     if "--scaling" in sys.argv:
-        lo, hi = 8, 32
-        results = {}
-        for n in (lo, hi):
-            out = subprocess.run(
-                [sys.executable, __file__, "--child", str(n)],
-                capture_output=True, text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            if out.returncode != 0:
-                sys.stderr.write(out.stderr[-4000:])
-                raise SystemExit(
-                    f"scaling child num_cpus={n} failed rc={out.returncode}")
-            results[n] = json.loads(out.stdout.strip().splitlines()[-1])
-        thr = {n: results[n]["files"] / results[n]["wall"] for n in (lo, hi)}
+        levels = [int(x) for x in os.environ.get(
+            "RAY_GRAFT_SCALING_LEVELS", "2,8").split(",")]
+        samples = int(os.environ.get("RAY_GRAFT_SCALING_SAMPLES", "3"))
+        clusters = os.environ.get("IDR_BENCH_CLUSTERS", "48000")
+        lo, hi = levels
+        have_taskset = shutil.which("taskset") is not None
+        walls: dict[int, list[float]] = {n: [] for n in levels}
+        files = None
+        env = dict(os.environ, IDR_BENCH_CLUSTERS=clusters)
+        for s in range(samples):
+            for n in levels:            # interleaved: host drift hits both
+                cmd = [sys.executable, __file__, "--child", str(n)]
+                if have_taskset and n <= (os.cpu_count() or n):
+                    cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+                out = subprocess.run(
+                    cmd, capture_output=True, text=True, env=env,
+                    cwd=os.path.dirname(os.path.abspath(__file__)))
+                if out.returncode != 0:
+                    sys.stderr.write(out.stderr[-4000:])
+                    raise SystemExit(f"scaling child num_cpus={n} "
+                                     f"failed rc={out.returncode}")
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                walls[n].append(round(r["wall"], 1))
+                files = r["files"]
+
+        def med(xs):
+            xs = sorted(xs)
+            m = len(xs) // 2
+            return xs[m] if len(xs) % 2 else (xs[m - 1] + xs[m]) / 2
+
+        thr = {n: files / med(walls[n]) for n in levels}
         eff = thr[hi] / (thr[lo] * (hi / lo))
         print(json.dumps({
             "metric": "dedup_scaling_files_per_sec",
             "value": round(eff, 4), "unit": "efficiency",
-            "sf": BENCH_CLUSTERS,
-            "files": results[lo]["files"],
-            "throughput": {str(n): round(thr[n], 1) for n in (lo, hi)},
-            "wall": {str(n): round(results[n]["wall"], 1) for n in (lo, hi)},
-            "num_cpus": [lo, hi],
+            "sf": int(clusters),
+            "files": files,
+            "samples": samples,
+            "pinned": have_taskset,
+            "wall_samples": {str(n): walls[n] for n in levels},
+            "throughput_median": {str(n): round(thr[n], 1) for n in levels},
+            "num_cpus": levels,
             "scaling_efficiency": round(eff, 4)}))
         return
 

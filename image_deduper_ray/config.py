@@ -63,10 +63,13 @@ class DedupConfig:
 
     # --- batch / scale knobs ---
     sig_batch_size: int = 512        # rows per signature-actor batch
-    pair_partitions: int = 32        # hash partitions for LSH pair-gen blocks
+    # partition counts for the wide ops: None = derived from cluster CPU
+    # count at pipeline start (functions/groups.default_partitions) so a
+    # bigger cluster gets proportionally more reducers
+    pair_partitions: int | None = None   # LSH pair-gen blocks
     hot_sample_k: int = 16           # hot-bucket counting samples 1/k of rows
     sig_concurrency: int | tuple[int, int] | None = None  # actor pool size (None = tasks sizing by Ray)
-    join_num_partitions: int = 48    # hash-join partition count for pair-verify joins
+    join_num_partitions: int | None = None  # pair-verify hash joins
     max_content_bytes: int = 262144  # rows larger than this use the windowed signature path (M6/M7)
     cc_max_rounds: int = 50          # label-propagation round cap
     # containment-verify broadcasts the candidate contents (zero
@@ -125,6 +128,21 @@ class DedupConfig:
             raise ValueError("containment_perms > num_perms")
         if self.containment_perms % self.containment_rows != 0:
             raise ValueError("containment_perms % containment_rows != 0")
+
+    def resolved(self) -> "DedupConfig":
+        """Fill the cluster-derived knobs (partition counts) — called at
+        pipeline entry, once Ray is up. Explicit values pass through."""
+        if self.pair_partitions is not None \
+                and self.join_num_partitions is not None:
+            return self
+        from .functions.groups import default_partitions
+
+        return dataclasses.replace(
+            self,
+            pair_partitions=self.pair_partitions
+            or default_partitions(32, 4),
+            join_num_partitions=self.join_num_partitions
+            or default_partitions(48, 4))
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)

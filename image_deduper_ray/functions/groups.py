@@ -23,6 +23,18 @@ import ray.data
 _PK = "__pk"
 
 
+def default_partitions(min_parts: int = 32, per_cpu: int = 4) -> int:
+    """Partition count scaled to the cluster: reducer parallelism for
+    the wide ops follows CPU count instead of a fixed constant (a fixed
+    32 under-partitions a 32-cpu node — skewed partitions leave cores
+    idle; at multi-node scale this tracks total cluster CPUs)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return max(min_parts, per_cpu * cpus)
+
+
 def _key_hash(t: pa.Table, key_cols: list[str]) -> np.ndarray:
     """Deterministic uint64 hash of the key columns (pandas hash_array:
     fixed key, stable across processes — required for resume)."""
@@ -34,14 +46,16 @@ def _key_hash(t: pa.Table, key_cols: list[str]) -> np.ndarray:
 
 
 def partitioned_group_map(ds: ray.data.Dataset, key_cols: list[str],
-                          block_fn, num_partitions: int,
+                          block_fn, num_partitions: int | None,
                           out_schema: pa.Schema | None = None) -> ray.data.Dataset:
     """Hash-partition ``ds`` on ``key_cols`` and apply ``block_fn``
     (pandas DataFrame -> pandas DataFrame) once per partition. The block
     function sees every row of every key assigned to its partition and
     is responsible for its own group segmentation (sort + boundaries).
     If ``out_schema`` is given the output blocks are conformed to Arrow
-    (mixing pandas map_groups blocks with arrow blocks trips Ray 2.49)."""
+    (mixing pandas map_groups blocks with arrow blocks trips Ray 2.49).
+    ``num_partitions=None`` derives from cluster CPU count."""
+    num_partitions = num_partitions or default_partitions()
 
     def add_pk(t: pa.Table) -> pa.Table:
         pk = (_key_hash(t, key_cols) % np.uint64(num_partitions)).astype(np.int32)

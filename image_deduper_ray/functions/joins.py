@@ -45,7 +45,7 @@ def _bucket_of(keys: list[str], num_partitions: int) -> np.ndarray:
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
               key_left: str, key_right: str,
               left_schema: pa.Schema, right_schema: pa.Schema,
-              how: str = "inner", num_partitions: int = 32) -> ray.data.Dataset:
+              how: str = "inner", num_partitions: int | None = None) -> ray.data.Dataset:
     """Join two datasets on string keys.
 
     ``left_schema`` / ``right_schema``: the exact output columns taken
@@ -53,6 +53,9 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     are attached to matching left rows). Column names must be disjoint.
     how: "inner" or "left".
     """
+    from .groups import default_partitions
+
+    num_partitions = num_partitions or default_partitions()
     lcols = left_schema.names
     rcols = right_schema.names
     super_fields = ([pa.field(_KEY, pa.string()), pa.field(_BUCKET, pa.int32()),

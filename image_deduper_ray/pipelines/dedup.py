@@ -73,6 +73,7 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
                  exclude_path_prefixes: list[str] | None = None) -> dict:
     """Run (or resume) the full dedup pipeline. Returns handles to every
     stage's checkpoint Dataset plus summary counts."""
+    cfg = cfg.resolved()   # fill cluster-derived partition counts
     metrics = MetricsSink(out_dir)
     cfg_json = cfg.to_json()
 
@@ -133,7 +134,9 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
                     "jaccard": pa.array([], pa.float64()),
                     "verdict": pa.array([], pa.string())}))
             else:
-                v = verify_pairs(pairs, sigs, cfg)
+                v = verify_pairs(
+                    pairs, sigs, cfg,
+                    n_sigs=ckpt.read_manifest(out_dir, "signatures")["rows"])
             v = ckpt.write_stage(v, out_dir, "verified", cfg_json,
                                  schema=_VERIFIED_SCHEMA)
             t.done(ckpt.read_manifest(out_dir, "verified")["rows"])

@@ -161,7 +161,7 @@ def simhash_groups(sf_dir: str, max_hamming: int = 3,
     Returns (doc_id, group_id = min doc_id). Rows-only oracle.
     SimHash threshold-grouping is the analog of the reference's Standard
     pHash Hamming intent (src/processing/types.rs:22-43)."""
-    cfg = cfg or DedupConfig()
+    cfg = (cfg or DedupConfig()).resolved()
     from ..functions.groups import group_starts, partitioned_group_map
     from ..functions.joins import hash_join
     from ..stages.cc import connected_components

@@ -32,7 +32,7 @@ def _sort_key_cols(cfg: DedupConfig) -> tuple[list[str], list[bool]]:
 
 def canonical_actions(members: ray.data.Dataset, cfg: DedupConfig,
                       action: str = "symlink",
-                      num_partitions: int = 32) -> ray.data.Dataset:
+                      num_partitions: int | None = None) -> ray.data.Dataset:
     """members: (file_id, cluster_id, repo, path, commit, n_bytes).
     -> actions(file_id, cluster_id, role, canonical_file_id, action,
     success). Per-cluster LOCAL sort only — never a global ds.sort

@@ -154,6 +154,7 @@ def connected_components(edges: ray.data.Dataset, cfg: DedupConfig,
     """-> clusters(file_id, cluster_id) covering every node that appears
     in an edge. Nodes with no edges are absent (the pipeline assigns
     them singleton clusters via a left join)."""
+    cfg = cfg.resolved()
     if mode == "auto":
         n_edges = edges.count()
         mode = "driver" if n_edges <= cfg.cc_driver_max_edges else "distributed"

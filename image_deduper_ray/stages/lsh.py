@@ -99,6 +99,27 @@ def _salt_for(file_ids, n_sub: np.ndarray) -> np.ndarray:
     return (base % np.maximum(n_sub.astype(np.uint64), 1)).astype(np.int32)
 
 
+def fid64(file_ids) -> np.ndarray:
+    """uint64 view of the FIRST 16 hex chars of each file_id.
+
+    Band rows and pair-gen run on this 8-byte key instead of the
+    32-char id string: ~55% less shuffle volume and int64 lexsorts
+    instead of Python-object compares. 64 bits birthday-collide at
+    ~10^10 ids, so pair RESOLUTION back to file_ids expands colliding
+    keys to all their members (see candidate_pairs) — a collision can
+    only add candidate pairs (verification rejects the junk), never
+    drop one."""
+    arr = np.asarray(file_ids, dtype="S32")
+    view = arr.view(np.uint8).reshape(len(arr), -1)[:, :16]
+    d = view.astype(np.uint64)
+    d = np.where(d >= 97, d - 87, np.where(d >= 65, d - 55,
+                 np.where(d >= 48, d - 48, np.uint64(0))))
+    base = np.zeros(len(arr), dtype=np.uint64)
+    for i in range(16):
+        base = base * np.uint64(16) + d[:, i]
+    return base
+
+
 class ExplodeBands:
     """map_batches fn: signature rows -> (band_id, band_key, salt,
     file_id, simhash) rows. ``hot_ref`` is the broadcast dict
@@ -135,10 +156,11 @@ class ExplodeBands:
             return pa.table({"band_id": pa.array([], pa.int32()),
                              "band_key": pa.array([], pa.int64()),
                              "salt": pa.array([], pa.int32()),
-                             "file_id": pa.array([], pa.string()),
+                             "n_sub": pa.array([], pa.int32()),
+                             "fid": pa.array([], pa.int64()),
                              "simhash": pa.array([], pa.int64())})
         sigs = _sig_matrix(batch, cfg.num_perms)
-        fids = batch["file_id"].to_pylist()
+        f64 = fid64(batch["file_id"].to_pylist())
         simhash = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
 
         bk = _band_keys(sigs, cfg.lsh_bands, cfg.lsh_rows)          # (n, b)
@@ -156,7 +178,7 @@ class ExplodeBands:
         B = bid.shape[1]
         flat_bid = bid.reshape(-1)
         flat_bkey = bkey.reshape(-1)
-        flat_fid = np.repeat(np.array(fids, dtype=object), B)
+        flat_fid = np.repeat(f64, B)                                 # uint64
         flat_sim = np.repeat(simhash, B)
 
         n_sub = np.ones(len(flat_bid), dtype=np.int64)
@@ -167,7 +189,8 @@ class ExplodeBands:
             pos[pos >= len(self._hot_combos)] = 0
             hit = self._hot_combos[pos] == combos
             n_sub[hit] = self._hot_nsub[pos[hit]]
-            salt = _salt_for(list(flat_fid), n_sub)
+            salt = (flat_fid % np.maximum(n_sub.astype(np.uint64), 1)) \
+                .astype(np.int32)
         else:
             salt = np.zeros(len(flat_bid), dtype=np.int32)
 
@@ -176,7 +199,7 @@ class ExplodeBands:
                          "band_key": pa.array(flat_bkey.view(np.int64)),
                          "salt": pa.array(salt),
                          "n_sub": pa.array(n_sub.astype(np.int32)),
-                         "file_id": pa.array(flat_fid.tolist(), pa.string()),
+                         "fid": pa.array(flat_fid.view(np.int64)),
                          "simhash": pa.array(flat_sim.view(np.int64))})
 
 
@@ -241,7 +264,7 @@ def find_hot_buckets(sigs: ray.data.Dataset, cfg: DedupConfig,
 
 
 _EMPTY_RAW = {
-    "a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object),
+    "a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
     "is_cont": pd.Series([], dtype=np.int8),
     "band_id": pd.Series([], dtype=np.int32),
     "band_key": pd.Series([], dtype=np.int64),
@@ -262,7 +285,7 @@ def _pairs_block(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
     bkey = df["band_key"].to_numpy(np.int64)
     salt = df["salt"].to_numpy(np.int32)
     n_sub = df["n_sub"].to_numpy(np.int32)
-    fid = df["file_id"].to_numpy()
+    fid = df["fid"].to_numpy(np.int64)
     sim = df["simhash"].to_numpy(np.int64)
 
     order = np.lexsort((fid, sim, salt, bkey, bid))
@@ -317,8 +340,8 @@ def _pairs_block(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
             rep_cont.append(is_cont)
 
     cands = pd.DataFrame({
-        "a": np.concatenate(a_out) if a_out else np.array([], dtype=object),
-        "b": np.concatenate(b_out) if b_out else np.array([], dtype=object),
+        "a": np.concatenate(a_out) if a_out else np.array([], dtype=np.int64),
+        "b": np.concatenate(b_out) if b_out else np.array([], dtype=np.int64),
         "is_cont": (np.concatenate(cont_out) if cont_out
                     else np.array([], dtype=np.int8))})
     cands["band_id"] = np.int32(-1)
@@ -326,8 +349,8 @@ def _pairs_block(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
     cands["kind"] = "cand"
     if rep_a:
         reps = pd.DataFrame({
-            "a": np.array(rep_a, dtype=object),
-            "b": np.full(len(rep_a), "", dtype=object),
+            "a": np.array(rep_a, dtype=np.int64),
+            "b": np.zeros(len(rep_a), dtype=np.int64),
             "is_cont": np.array(rep_cont, dtype=np.int8),
             "band_id": np.array(rep_bid, dtype=np.int32),
             "band_key": np.array(rep_bkey, dtype=np.int64),
@@ -339,14 +362,15 @@ def _pairs_block(df: pd.DataFrame, cap: int, window: int) -> pd.DataFrame:
 def _link_reps_block(df: pd.DataFrame) -> pd.DataFrame:
     """Second (tiny) shuffle: all-pair the sub-bucket representatives of
     each hot bucket so salting never disconnects a component."""
+    empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                          "b": pd.Series([], dtype=np.int64),
+                          "is_cont": pd.Series([], dtype=np.int8)})
     if df.empty:
-        return pd.DataFrame({"a": pd.Series([], dtype=object),
-                             "b": pd.Series([], dtype=object),
-                             "is_cont": pd.Series([], dtype=np.int8)})
+        return empty
     df = df.sort_values(["band_id", "band_key", "a"], kind="mergesort")
     bid = df["band_id"].to_numpy(np.int32)
     bkey = df["band_key"].to_numpy(np.int64)
-    rep = df["a"].to_numpy()
+    rep = df["a"].to_numpy(np.int64)
     cont = df["is_cont"].to_numpy(np.int8)
     new = np.zeros(len(bid), dtype=bool)
     new[0] = True
@@ -362,35 +386,39 @@ def _link_reps_block(df: pd.DataFrame) -> pd.DataFrame:
             b_out.append(r[ib])
             c_out.append(np.full(len(ia), cont[lo], dtype=np.int8))
     if not a_out:
-        return pd.DataFrame({"a": pd.Series([], dtype=object),
-                             "b": pd.Series([], dtype=object),
-                             "is_cont": pd.Series([], dtype=np.int8)})
+        return empty
     return pd.DataFrame({"a": np.concatenate(a_out),
                          "b": np.concatenate(b_out),
                          "is_cont": np.concatenate(c_out)})
 
 
 def candidate_pairs(sigs: ray.data.Dataset, cfg: DedupConfig,
-                    include_containment: bool = True) -> ray.data.Dataset:
+                    include_containment: bool = True,
+                    n_sigs: int | None = None) -> ray.data.Dataset:
     """Full LSH candidate generation: counting pass, salted explode,
     partition-block pair-gen (reducers bounded by salt), representative
-    linking (tiny second shuffle), then pair dedup.
+    linking (tiny second shuffle), pair dedup, then fid64 -> file_id
+    resolution (the band rows and every pair shuffle run on 8-byte
+    keys; only the final, small pair set touches id strings again).
 
     Returns distinct pairs (a, b, is_cont) with a < b; ``is_cont`` is
     the max over generating bands, so a pair seen only by containment
-    bands is routed to the substring pass if Jaccard rejects it."""
+    bands is routed to the substring pass if Jaccard rejects it.
+    ``n_sigs``: known signature row count (skips a counting pass when
+    sizing the resolution broadcast)."""
     import pyarrow.compute as pc
 
     from ..functions.groups import partitioned_group_map
 
+    cfg = cfg.resolved()
     hot_ref = find_hot_buckets(sigs, cfg, include_containment)
     bands = sigs.map_batches(ExplodeBands(cfg, hot_ref, include_containment),
                              batch_format="pyarrow", zero_copy_batch=True)
 
-    raw_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+    raw_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                             ("is_cont", pa.int8()), ("band_id", pa.int32()),
                             ("band_key", pa.int64()), ("kind", pa.string())])
-    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                              ("is_cont", pa.int8())])
     raw = partitioned_group_map(
         bands, ["band_id", "band_key", "salt"],
@@ -426,12 +454,12 @@ def candidate_pairs(sigs: ray.data.Dataset, cfg: DedupConfig,
 
     def dedup_block(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
-            return pd.DataFrame({"a": pd.Series([], dtype=object),
-                                 "b": pd.Series([], dtype=object),
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
                                  "is_cont": pd.Series([], dtype=np.int8)})
         df = df.sort_values(["a", "b", "is_cont"], kind="mergesort")
-        a = df["a"].to_numpy()
-        b = df["b"].to_numpy()
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
         c = df["is_cont"].to_numpy(np.int8)
         first = np.zeros(len(a), dtype=bool)
         first[0] = True
@@ -446,6 +474,138 @@ def candidate_pairs(sigs: ray.data.Dataset, cfg: DedupConfig,
         return pd.DataFrame({"a": a[last][keep], "b": b[last][keep],
                              "is_cont": c[last][keep]})  # max = last
 
-    return partitioned_group_map(all_pairs, ["a", "b"], dedup_block,
-                                 cfg.pair_partitions,
-                                 out_schema=pair_schema)
+    deduped = partitioned_group_map(all_pairs, ["a", "b"], dedup_block,
+                                    cfg.pair_partitions,
+                                    out_schema=pair_schema)
+    return _resolve_pairs(deduped, sigs, cfg, n_sigs)
+
+
+def _resolve_pairs(pairs64: ray.data.Dataset, sigs: ray.data.Dataset,
+                   cfg: DedupConfig, n_sigs: int | None) -> ray.data.Dataset:
+    """fid64 pairs -> file_id pairs.
+
+    Broadcast path (fits cfg.verify_broadcast_max_bytes at 40 B/row):
+    the sorted (fid64 -> file_id) map ships once via ray.put; each batch
+    resolves with two searchsorted lookups. 64-bit COLLISIONS (two
+    file_ids sharing a fid64 — expected only in the 10^10+ regime) are
+    handled by expansion: a colliding endpoint resolves to ALL its
+    member ids, so a collision can only add candidate pairs for
+    verification to reject, never lose a true pair. Past the byte cap,
+    a partitioned hash join resolves each side instead; the join path
+    keeps ONE id per colliding key (hash_join supplies unique keys) —
+    at the scale where that path activates, raise the broadcast cap or
+    widen the key if collision-lossless resolution is required
+    (documented limitation; expected collisions at 10^12 ids: ~1e4
+    keys, each costing at most one member's LSH candidacy, with
+    sha-exact and sig-identical edges still covering exact copies)."""
+    import pyarrow.compute as pc
+
+    from ..functions.joins import hash_join
+
+    if n_sigs is None:
+        n_sigs = sigs.count()
+    if n_sigs * 48 <= cfg.verify_broadcast_max_bytes:
+        @ray.remote
+        def _pack(block):
+            t = block if isinstance(block, pa.Table) \
+                else pa.Table.from_pandas(block)
+            if t.num_rows == 0 or "file_id" not in t.column_names:
+                # Ray 2.49 empty partitions can arrive schema-less
+                return np.empty(0, np.uint64), np.empty(0, dtype="S32")
+            ids = t["file_id"].to_pylist()
+            return fid64(ids), np.array(ids, dtype="S32")
+
+        bundles = sigs.select_columns(["file_id"]).iter_internal_ref_bundles()
+        refs = [r for bundle in bundles for r in bundle.block_refs]
+        parts = [p for p in ray.get([_pack.remote(r) for r in refs])
+                 if len(p[0])]
+        if parts:
+            keys = np.concatenate([p[0] for p in parts])
+            vals = np.concatenate([p[1] for p in parts])
+            order = np.argsort(keys, kind="stable")
+            keys, vals = keys[order], vals[order]
+        else:
+            keys = np.empty(0, np.uint64)
+            vals = np.empty(0, dtype="S32")
+        map_ref = ray.put((keys, vals))
+
+        def resolve(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"a": pa.array([], pa.string()),
+                                 "b": pa.array([], pa.string()),
+                                 "is_cont": pa.array([], pa.int8())})
+            ks, vs = ray.get(map_ref)
+            a64 = t["a"].to_numpy(zero_copy_only=False).view(np.uint64)
+            b64 = t["b"].to_numpy(zero_copy_only=False).view(np.uint64)
+            cont = t["is_cont"].to_numpy(zero_copy_only=False)
+            lo_a = np.searchsorted(ks, a64, "left")
+            hi_a = np.searchsorted(ks, a64, "right")
+            lo_b = np.searchsorted(ks, b64, "left")
+            hi_b = np.searchsorted(ks, b64, "right")
+            ca, cb_ = hi_a - lo_a, hi_b - lo_b
+            simple = (ca == 1) & (cb_ == 1)
+            out_a = [vs[lo_a[simple]]]
+            out_b = [vs[lo_b[simple]]]
+            out_c = [cont[simple]]
+            for i in np.flatnonzero(~simple):       # collision expansion
+                fa = vs[lo_a[i]:hi_a[i]]
+                fb = vs[lo_b[i]:hi_b[i]]
+                if len(fa) == 0 or len(fb) == 0:
+                    continue
+                ga = np.repeat(fa, len(fb))
+                gb = np.tile(fb, len(fa))
+                keep = ga != gb
+                out_a.append(ga[keep])
+                out_b.append(gb[keep])
+                out_c.append(np.full(keep.sum(), cont[i], np.int8))
+            ra = np.concatenate(out_a)
+            rb = np.concatenate(out_b)
+            lt = ra <= rb               # np.minimum has no S32 loop
+            aa = np.where(lt, ra, rb)
+            bb = np.where(lt, rb, ra)
+            return pa.table({
+                "a": pa.array(aa.astype("U32")),
+                "b": pa.array(bb.astype("U32")),
+                "is_cont": pa.array(np.concatenate(out_c), pa.int8())})
+
+        return pairs64.map_batches(resolve, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    # beyond-broadcast: partitioned joins on stringified fid64 keys
+    # stringify the SIGNED bit-view on both sides (pairs store fid64 as
+    # an int64 bit-view, so unsigned stringification would mismatch)
+    id_map = sigs.select_columns(["file_id"]).map_batches(
+        lambda t: pa.table({
+            "k": pa.array([str(x) for x in
+                           fid64(t["file_id"].to_pylist()).view(np.int64)],
+                          pa.string()),
+            "file_id": t["file_id"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    str_pairs = pairs64.map_batches(
+        lambda t: pa.table({
+            "ka": pc.cast(t["a"], pa.string()),
+            "kb": pc.cast(t["b"], pa.string()),
+            "is_cont": t["is_cont"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    base = pa.schema([("ka", pa.string()), ("kb", pa.string()),
+                      ("is_cont", pa.int8())])
+    j = hash_join(str_pairs, id_map.map_batches(
+        lambda t: t.rename_columns(["k", "fa"]), batch_format="pyarrow"),
+        "ka", "k", base, pa.schema([("fa", pa.string())]),
+        num_partitions=cfg.join_num_partitions)
+    j = hash_join(j, id_map.map_batches(
+        lambda t: t.rename_columns(["k", "fb"]), batch_format="pyarrow"),
+        "kb", "k", base.append(pa.field("fa", pa.string())),
+        pa.schema([("fb", pa.string())]),
+        num_partitions=cfg.join_num_partitions)
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "is_cont": pa.array([], pa.int8())})
+        a = pc.min_element_wise(t["fa"], t["fb"])
+        b = pc.max_element_wise(t["fa"], t["fb"])
+        return pa.table({"a": a, "b": b, "is_cont": t["is_cont"]})
+
+    return j.map_batches(fin, batch_format="pyarrow")

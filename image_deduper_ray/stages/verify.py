@@ -119,8 +119,10 @@ class ScorePairs:
 
 
 def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
-                 cfg: DedupConfig) -> ray.data.Dataset:
+                 cfg: DedupConfig, n_sigs: int | None = None) -> ray.data.Dataset:
     """-> (a, b, jaccard, verdict) for every candidate pair.
+    ``n_sigs``: pass the known signature row count (stage manifest) to
+    skip a full counting pass over the checkpoint.
 
     Fast path: the signature matrix fits the broadcast budget — ship it
     ONCE via ray.put as (sorted ids, uint64 matrix); workers get
@@ -129,18 +131,39 @@ def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
     signature copies. Past the budget (the 10^12-file regime, where
     even collapsed representatives outgrow a node), fall back to the
     partitioned hash joins."""
-    n_sigs = sigs.count()
+    cfg = cfg.resolved()
+    if n_sigs is None:
+        n_sigs = sigs.count()
     sig_bytes = n_sigs * cfg.num_perms * 8
     if sig_bytes <= cfg.verify_broadcast_max_bytes:
-        ids_list: list[str] = []
-        chunks: list[np.ndarray] = []
-        for b in sigs.select_columns(["file_id", "minhash"]).iter_batches(
-                batch_size=8192, batch_format="pyarrow"):
-            ids_list.extend(b["file_id"].to_pylist())
-            chunks.append(_sig_of(b["minhash"], cfg.num_perms))
-        ids = np.array(ids_list, dtype="S32")
-        mat = (np.concatenate(chunks)
-               if chunks else np.empty((0, cfg.num_perms), np.uint64))
+        # parallel pack: one task per block converts (file_id, minhash)
+        # to (S32 ids, uint64 matrix) on the WORKERS; the driver only
+        # concatenates numpy buffers (memcpy) — no serial per-row
+        # deserialization on the driver.
+        P = cfg.num_perms
+
+        @ray.remote
+        def _pack(block):
+            t = block if isinstance(block, pa.Table) \
+                else pa.Table.from_pandas(block)
+            if t.num_rows == 0 or "file_id" not in t.column_names:
+                # Ray 2.49 empty partitions can arrive schema-less
+                return (np.empty(0, dtype="S32"),
+                        np.empty((0, P), np.uint64))
+            return (np.array(t["file_id"].to_pylist(), dtype="S32"),
+                    _sig_of(t["minhash"], P))
+
+        bundles = sigs.select_columns(["file_id", "minhash"]) \
+            .iter_internal_ref_bundles()
+        refs = [r for bundle in bundles for r in bundle.block_refs]
+        parts = ray.get([_pack.remote(r) for r in refs])
+        parts = [p for p in parts if len(p[0])]
+        if parts:
+            ids = np.concatenate([p[0] for p in parts])
+            mat = np.concatenate([p[1] for p in parts])
+        else:
+            ids = np.empty(0, dtype="S32")
+            mat = np.empty((0, cfg.num_perms), np.uint64)
         order = np.argsort(ids)
         ref = ray.put((ids[order], np.ascontiguousarray(mat[order])))
         tau, cont_min = cfg.jaccard_threshold, cfg.containment_est_jaccard_min
@@ -177,7 +200,7 @@ def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
 
 
 def signature_representatives(sigs: ray.data.Dataset, cfg: DedupConfig,
-                              num_partitions: int = 32
+                              num_partitions: int | None = None
                               ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """Collapse signature-identical rows before LSH.
 
@@ -195,8 +218,10 @@ def signature_representatives(sigs: ray.data.Dataset, cfg: DedupConfig,
     never merged by signature (their signature encodes identity, not
     content); 'empty' rows are dropped from both outputs (M16
     validator semantics)."""
-    from ..functions.groups import group_starts, partitioned_group_map
+    from ..functions.groups import (default_partitions, group_starts,
+                                    partitioned_group_map)
 
+    num_partitions = num_partitions or default_partitions()
     proj = sigs.select_columns(["file_id", "minhash", "simhash", "sig_kind"])
 
     def rep_block(df: pd.DataFrame) -> pd.DataFrame:
@@ -249,7 +274,7 @@ def signature_representatives(sigs: ray.data.Dataset, cfg: DedupConfig,
 
 
 def exact_dup_edges(sigs: ray.data.Dataset,
-                    num_partitions: int = 32) -> ray.data.Dataset:
+                    num_partitions: int | None = None) -> ray.data.Dataset:
     """A1: sha256-equal edges (first-vs-rest per group, deterministic
     by file_id order). Empty-content rows are excluded (M16 validator
     semantics, file_validation.rs:37-51).
@@ -257,7 +282,10 @@ def exact_dup_edges(sigs: ray.data.Dataset,
     Partition-level block processing (functions/groups.py): one shuffle
     on hash(sha256), then the whole partition's groups segment in one
     vectorized pass — no per-group Python overhead."""
-    from ..functions.groups import group_starts, partitioned_group_map
+    from ..functions.groups import (default_partitions, group_starts,
+                                    partitioned_group_map)
+
+    num_partitions = num_partitions or default_partitions()
 
     def block(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["sig_kind"] != "empty"]

@@ -172,3 +172,35 @@ def test_cross_variant_downgrade():
     assert jac[0] == 1.0 and verd[0] == "near_dup"     # full-width match
     assert abs(jac[1] - (1 - 1 / 64)) < 1e-12          # downgraded pair
     assert verd[1] == "near_dup"                       # 63/64 >= 0.8
+
+
+def test_fid64_collision_expansion():
+    """Two file_ids sharing their first 16 hex chars (a 64-bit fid
+    collision, the 10^10+ regime) must EXPAND at pair resolution: every
+    member pairs with the other endpoint — collisions add candidates
+    for verification to reject, never drop a true pair."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from image_deduper_ray.config import DedupConfig
+    from image_deduper_ray.stages.lsh import _resolve_pairs, fid64
+
+    ids = ["aaaaaaaaaaaaaaaa0000000000000001",   # collide on first 16
+           "aaaaaaaaaaaaaaaa0000000000000002",
+           "bbbbbbbbbbbbbbbb0000000000000003"]
+    f = fid64(ids)
+    assert f[0] == f[1] and f[0] != f[2]
+    sigs = ray.data.from_arrow(pa.table({"file_id": pa.array(ids)}))
+    pairs64 = ray.data.from_arrow(pa.table({
+        "a": pa.array(f[[0, 2]].view(np.int64)[:1]),
+        "b": pa.array(f[[2]].view(np.int64)),
+        "is_cont": pa.array([0], pa.int8())}))
+
+    for cap in (10**9, 0):   # broadcast path and join path
+        cfg = DedupConfig(verify_broadcast_max_bytes=cap)
+        out = _resolve_pairs(pairs64, sigs, cfg.resolved(), n_sigs=3) \
+            .to_pandas()
+        got = set(zip(out.a, out.b))
+        assert (ids[0], ids[2]) in got
+        if cap > 0:  # broadcast path expands the colliding endpoint
+            assert (ids[1], ids[2]) in got
