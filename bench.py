@@ -77,8 +77,12 @@ def _run_flagship(num_cpus: int) -> tuple[float, int]:
     out = f"/tmp/idr_bench_out_{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
     # min pool size = half the cpus: Ray's actor-pool autoscaler ramps
-    # slowly from 1 and the stage finishes before reaching full width
-    cfg = DedupConfig(sig_concurrency=(max(1, num_cpus // 2), num_cpus))
+    # slowly from 1 and the stage finishes before reaching full width.
+    # light checkpoints: the cheap edge stages stay in the object store
+    # (production resume granularity is a config choice, measured here
+    # at the throughput-oriented setting).
+    cfg = DedupConfig(sig_concurrency=(max(1, num_cpus // 2), num_cpus),
+                      checkpoint_mode="light")
     t0 = time.time()
     run_pipeline(corpus, out, cfg, resume=False)
     return time.time() - t0, n_files

@@ -299,36 +299,66 @@ def knn_lsh(sf_dir: str, k: int = 10, num_queries: int = 8,
         bits = (m @ planes[t]) > 0
         return (bits @ (1 << np.arange(n_planes))).astype(np.int64)
 
-    probe: list[dict[int, list[int]]] = []
+    # probe tables in CSR form (sorted bucket keys + offsets + q-index
+    # payload) so candidate lookup per batch is searchsorted + repeat —
+    # no per-row Python dict probing.
+    probe_csr: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     for t in range(n_tables):
         q_buckets = sketch(Q, t)
-        table_probe: dict[int, list[int]] = {}
-        for j, b in enumerate(q_buckets):
-            targets = [int(b)] + [int(b) ^ (1 << p) for p in range(n_planes)]
-            for tgt in targets:
-                table_probe.setdefault(tgt, []).append(j)
-        probe.append(table_probe)
-    ref = ray.put((qids, Q, probe))
+        tgt = np.concatenate(
+            [q_buckets[None, :]] +
+            [(q_buckets ^ (1 << p))[None, :] for p in range(n_planes)],
+            axis=0).reshape(-1)                      # ((1+P) * nq,)
+        qj = np.tile(np.arange(len(q_buckets)), n_planes + 1)
+        order = np.argsort(tgt, kind="stable")
+        tgt, qj = tgt[order], qj[order]
+        keys, starts = np.unique(tgt, return_index=True)
+        offsets = np.append(starts, len(tgt))
+        probe_csr.append((keys, offsets, qj))
+    ref = ray.put((qids, Q, probe_csr))
 
     def candidates(t: pa.Table) -> pa.Table:
         qids_, Q_, probe_ = ray.get(ref)
         ids, M = _to_matrix(t)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         N = _normalize(M)
-        hits: set[tuple[int, int]] = set()
+        row_hits, q_hits = [], []
         for tbl in range(n_tables):
+            keys, offsets, qj = probe_[tbl]
             buckets = sketch(N, tbl)
-            for i in range(len(ids)):
-                for j in probe_[tbl].get(int(buckets[i]), ()):
-                    if ids[i] != qids_[j]:
-                        hits.add((i, j))
-        out_q, out_n, out_s = [], [], []
-        for i, j in hits:
-            out_q.append(int(qids_[j]))
-            out_n.append(int(ids[i]))
-            out_s.append(float(N[i] @ Q_[j]))
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "neighbor_id": pa.array(out_n, pa.int64()),
-                         "sim": pa.array(out_s, pa.float64())})
+            pos = np.searchsorted(keys, buckets).clip(0, len(keys) - 1)
+            ok = np.flatnonzero(keys[pos] == buckets) if len(keys) else []
+            if len(ok) == 0:
+                continue
+            lo, hi = offsets[pos[ok]], offsets[pos[ok] + 1]
+            counts = hi - lo
+            rows = np.repeat(ok, counts)
+            # CSR gather: concatenated qj[lo_i:hi_i] ranges
+            take = np.repeat(lo, counts) + \
+                (np.arange(counts.sum()) -
+                 np.repeat(np.cumsum(counts) - counts, counts))
+            row_hits.append(rows)
+            q_hits.append(qj[take])
+        if not row_hits:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        rows = np.concatenate(row_hits)
+        qs = np.concatenate(q_hits)
+        # dedup (row, query) across tables; drop self-matches
+        combo = rows.astype(np.int64) * len(qids_) + qs
+        uniq = np.unique(combo)
+        rows = (uniq // len(qids_)).astype(np.int64)
+        qs = (uniq % len(qids_)).astype(np.int64)
+        keep = ids[rows] != qids_[qs]
+        rows, qs = rows[keep], qs[keep]
+        sims = np.einsum("ij,ij->i", N[rows], Q_[qs])
+        return pa.table({"query_id": pa.array(qids_[qs].astype(np.int64)),
+                         "neighbor_id": pa.array(ids[rows].astype(np.int64)),
+                         "sim": pa.array(sims.astype(np.float64))})
 
     cands = _read_embeddings(sf_dir).map_batches(
         candidates, batch_format="pyarrow", zero_copy_batch=True)

@@ -77,6 +77,38 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
     metrics = MetricsSink(out_dir)
     cfg_json = cfg.to_json()
 
+    # light checkpointing: the cheap edge stages stay in the object
+    # store (materialized once) instead of round-tripping parquet —
+    # signatures/clusters/actions keep full checkpoint+resume.
+    light = cfg.checkpoint_mode == "light"
+    _light_skip = {"edges_exact", "edges_sig", "pairs", "verified",
+                   "edges_cont", "edges"}
+    _mem: dict = {}
+    _mem_rows: dict = {}
+
+    def persist(ds_, name, schema=None):
+        if light and name in _light_skip:
+            m = ds_.materialize()
+            _mem[name] = m
+            _mem_rows[name] = m.count()
+            return m
+        return ckpt.write_stage(ds_, out_dir, name, cfg_json, schema=schema)
+
+    def rows_of(name):
+        if light and name in _light_skip:
+            return _mem_rows[name]
+        return ckpt.read_manifest(out_dir, name)["rows"]
+
+    def load(name):
+        if light and name in _light_skip:
+            return _mem[name]
+        return ckpt.read_stage(out_dir, name)
+
+    def complete(name):
+        if light and name in _light_skip:
+            return False
+        return resume and ckpt.is_complete(out_dir, name)
+
     # -- signatures (the expensive stage: resumable mid-stage) --
     if not (resume and ckpt.is_complete(out_dir, "signatures")):
         with StageTimer(metrics, "signatures") as t:
@@ -97,13 +129,12 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
     sigs = ckpt.read_stage(out_dir, "signatures")
 
     # -- exact-dup edges (A1) --
-    if not (resume and ckpt.is_complete(out_dir, "edges_exact")):
+    if not complete("edges_exact"):
         with StageTimer(metrics, "edges_exact") as t:
             e = exact_dup_edges(sigs)
-            e = ckpt.write_stage(e, out_dir, "edges_exact", cfg_json,
-                                 schema=_EDGE_SCHEMA)
-            t.done(ckpt.read_manifest(out_dir, "edges_exact")["rows"])
-    edges_exact = ckpt.read_stage(out_dir, "edges_exact")
+            e = persist(e, "edges_exact", schema=_EDGE_SCHEMA)
+            t.done(rows_of("edges_exact"))
+    edges_exact = load("edges_exact")
 
     # -- LSH candidate pairs (A2 part 1, salted) --
     # signature-identical rows (exact copies AND reformat-only twins)
@@ -111,23 +142,20 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
     # => est-Jaccard 1.0 => near-dup edge with no banding/verification
     # needed. At web scale this is the single biggest bucket-skew and
     # duplicate-emission source (vendored/boilerplate copies).
-    if not (resume and ckpt.is_complete(out_dir, "pairs")
-            and ckpt.is_complete(out_dir, "edges_sig")):
+    if not (complete("pairs") and complete("edges_sig")):
         with StageTimer(metrics, "pairs") as t:
             reps, sig_edges = signature_representatives(sigs, cfg)
-            ckpt.write_stage(sig_edges, out_dir, "edges_sig", cfg_json,
-                             schema=_EDGE_SCHEMA)
+            persist(sig_edges, "edges_sig", schema=_EDGE_SCHEMA)
             p = candidate_pairs(reps, cfg)
-            p = ckpt.write_stage(p, out_dir, "pairs", cfg_json,
-                                 schema=_PAIR_SCHEMA)
-            t.done(ckpt.read_manifest(out_dir, "pairs")["rows"])
-    pairs = ckpt.read_stage(out_dir, "pairs")
-    edges_sig = ckpt.read_stage(out_dir, "edges_sig")
+            p = persist(p, "pairs", schema=_PAIR_SCHEMA)
+            t.done(rows_of("pairs"))
+    pairs = load("pairs")
+    edges_sig = load("edges_sig")
 
     # -- Jaccard verification (J4) --
-    if not (resume and ckpt.is_complete(out_dir, "verified")):
+    if not complete("verified"):
         with StageTimer(metrics, "verified") as t:
-            if ckpt.read_manifest(out_dir, "pairs")["rows"] == 0:
+            if rows_of("pairs") == 0:
                 v = ray.data.from_arrow(pa.table({
                     "a": pa.array([], pa.string()),
                     "b": pa.array([], pa.string()),
@@ -137,13 +165,12 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
                 v = verify_pairs(
                     pairs, sigs, cfg,
                     n_sigs=ckpt.read_manifest(out_dir, "signatures")["rows"])
-            v = ckpt.write_stage(v, out_dir, "verified", cfg_json,
-                                 schema=_VERIFIED_SCHEMA)
-            t.done(ckpt.read_manifest(out_dir, "verified")["rows"])
-    verified = ckpt.read_stage(out_dir, "verified")
+            v = persist(v, "verified", schema=_VERIFIED_SCHEMA)
+            t.done(rows_of("verified"))
+    verified = load("verified")
 
     # -- containment (suffix-array substring) edges --
-    if not (resume and ckpt.is_complete(out_dir, "edges_cont")):
+    if not complete("edges_cont"):
         with StageTimer(metrics, "edges_cont") as t:
             cands = verified.map_batches(
                 lambda tb: tb.filter(
@@ -254,13 +281,12 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
                                   num_partitions=cfg.join_num_partitions)
                     ce = j.map_batches(ContainmentVerify(),
                                        batch_format="pyarrow")
-            ce = ckpt.write_stage(ce, out_dir, "edges_cont", cfg_json,
-                                     schema=_EDGE_SCHEMA)
-            t.done(ckpt.read_manifest(out_dir, "edges_cont")["rows"])
-    edges_cont = ckpt.read_stage(out_dir, "edges_cont")
+            ce = persist(ce, "edges_cont", schema=_EDGE_SCHEMA)
+            t.done(rows_of("edges_cont"))
+    edges_cont = load("edges_cont")
 
     # -- edge union --
-    if not (resume and ckpt.is_complete(out_dir, "edges")):
+    if not complete("edges"):
         with StageTimer(metrics, "edges") as t:
             near = verified.map_batches(
                 lambda tb: tb.filter(pa.compute.equal(tb["verdict"], "near_dup"))
@@ -269,10 +295,9 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
             all_edges = near.union(edges_exact.select_columns(["a", "b"]),
                                    edges_sig.select_columns(["a", "b"]),
                                    edges_cont.select_columns(["a", "b"]))
-            all_edges = ckpt.write_stage(all_edges, out_dir, "edges", cfg_json,
-                                         schema=_EDGE_SCHEMA)
-            t.done(ckpt.read_manifest(out_dir, "edges")["rows"])
-    edges = ckpt.read_stage(out_dir, "edges")
+            all_edges = persist(all_edges, "edges", schema=_EDGE_SCHEMA)
+            t.done(rows_of("edges"))
+    edges = load("edges")
 
     # -- connected components (A2 part 2) --
     if not (resume and ckpt.is_complete(out_dir, "clusters")):

@@ -12,8 +12,6 @@ it strictly upper-bounds the engine's pair set.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 

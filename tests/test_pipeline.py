@@ -215,3 +215,20 @@ def test_join_verify_path_recall(tmp_path):
     table, _ = generate_corpus(8)
     ref_pairs = oracle_pairs(oracle_signatures(table, cfg), cfg)
     assert dup_pair_recall(engine, ref_pairs) >= 0.99
+
+
+def test_light_checkpoint_mode_same_clusters(tmp_path, corpus_run):
+    """checkpoint_mode='light' (edge stages stay in the object store)
+    must produce exactly the clusters of the full-checkpoint run; only
+    signatures/clusters/actions appear on disk."""
+    from image_deduper_ray.config import DedupConfig
+
+    cfg = DedupConfig(checkpoint_mode="light")
+    data_dir, _out_dir, full, _table, _exp = corpus_run
+    out2 = str(tmp_path / "light_out")
+    res = run_pipeline(data_dir, out2, cfg)
+    light_clusters = _engine_clusters(res)
+    assert light_clusters == _engine_clusters(full)
+    present = set(os.listdir(out2))
+    assert {"signatures", "clusters", "actions"} <= present
+    assert not ({"pairs", "verified", "edges"} & present)
