@@ -424,6 +424,54 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
             "AS BIGINT) AS sum_total_cents FROM orders "
             "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
-        # rows-only (genuinely non-SQL-expressible — approximate or
-        # iterative): ann_topk_lsh, minhash_lsh_clusters, simhash_groups
+        # ann_topk_lsh is approximate by algorithm, but with adaptive
+        # sketch width + Hamming<=2 multiprobe its candidate set covers
+        # the true top-k at these table sizes (verified identical to
+        # brute at sf0.001/0.01/0.1), so the exact-top-k SQL is a real
+        # driver-checkable gate: any probe-coverage regression shows as
+        # a hash mismatch.
+        "ann_topk_lsh":
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "  FROM embeddings ORDER BY vec_id LIMIT 8) "
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "  SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY "
+            "      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "                             CAST(q.qe AS DOUBLE[])) DESC, "
+            "      e.vec_id) AS rank "
+            "  FROM embeddings e, q WHERE e.vec_id <> q.query_id) "
+            "WHERE rank <= 10",
+        # minhash_lsh_clusters: the engine thresholds on MinHash
+        # est-Jaccard (tau=0.8) over code-token shingles; the corpus'
+        # pair-similarity distribution is cleanly bimodal (J <= ~0.15 or
+        # J >= ~0.85 on word 3-grams), so an exact word-3-gram Jaccard
+        # cut at 0.5 + connected components (recursive CTE, min-id
+        # label) reconstructs the clustering exactly — verified
+        # identical at sf0.001 and sf0.01. Borderline-free by data
+        # construction; any engine clustering drift is driver-visible.
+        "minhash_lsh_clusters":
+            "WITH RECURSIVE toks AS (SELECT doc_id, "
+            "  regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, "
+            "  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM ("
+            "    SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i"
+            "    FROM toks)), "
+            "cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id), "
+            "inter AS (SELECT ga.doc_id AS a_id, gb.doc_id AS b_id, "
+            "  COUNT(*) AS i FROM grams ga JOIN grams gb "
+            "  ON ga.g = gb.g AND ga.doc_id < gb.doc_id GROUP BY 1, 2), "
+            "jp AS (SELECT a_id, b_id FROM inter "
+            "  JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id "
+            "  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5), "
+            "edges AS (SELECT a_id AS s, b_id AS d FROM jp "
+            "  UNION ALL SELECT b_id, a_id FROM jp), "
+            "reach AS (SELECT doc_id AS d, doc_id AS r FROM documents "
+            "  UNION "
+            "  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.d) "
+            "SELECT d AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id "
+            "FROM reach GROUP BY d",
+        # rows-only (genuinely non-SQL-expressible): simhash_groups —
+        # the 64-bit SimHash is built from blake2b token hashes, which
+        # DuckDB cannot compute; its grouping is pinned instead by the
+        # scalar-equality pytest (tests/test_ops.py).
     }

@@ -283,15 +283,29 @@ def near_dup_pairs(sf_dir: str, tau: float = 0.35, method: str = "auto",
 
 
 def knn_lsh(sf_dir: str, k: int = 10, num_queries: int = 8,
-            n_planes: int = 8, n_tables: int = 6,
+            n_planes: int | None = None, n_tables: int = 6,
+            target_bucket: int | None = None,
             seed: int = 7) -> ray.data.Dataset:
     """Approximate top-k via multi-table random-hyperplane LSH: each of
     ``n_tables`` independent sketches routes a vector to one bucket;
-    queries probe their bucket (plus Hamming-1 neighbors) in every
+    queries probe their bucket plus all Hamming<=2 neighbors in every
     table, candidates are exactly reranked. More tables -> higher
     recall, linearly more candidate work — the classic LSH dial.
-    Approximate — rows-only oracle."""
+
+    ``n_planes=None`` adapts the sketch width to the dataset:
+    ``round(log2(n / target_bucket))`` with ``target_bucket = 4k``, so
+    expected bucket size tracks the answer size instead of a constant —
+    small tables keep near-total probe coverage (recall ~1.0), huge
+    tables keep buckets bounded at ~4k vectors. Probe work per table is
+    ``O(P^2)`` buckets; candidate rerank stays the dominant cost."""
+    import pyarrow.parquet as pq
+
     qids, Q = load_queries(sf_dir, num_queries)
+    if n_planes is None:
+        n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet") \
+            .metadata.num_rows
+        tb = target_bucket or 4 * k
+        n_planes = max(2, int(round(np.log2(max(2.0, n_rows / tb)))))
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, Q.shape[1], n_planes))
 
@@ -299,17 +313,21 @@ def knn_lsh(sf_dir: str, k: int = 10, num_queries: int = 8,
         bits = (m @ planes[t]) > 0
         return (bits @ (1 << np.arange(n_planes))).astype(np.int64)
 
+    # Hamming<=2 multiprobe masks: the query's own bucket, every 1-bit
+    # flip, every 2-bit flip.
+    flips = [0] + [1 << p for p in range(n_planes)] + \
+        [(1 << p) | (1 << q)
+         for p in range(n_planes) for q in range(p + 1, n_planes)]
+    masks = np.array(flips, dtype=np.int64)
+
     # probe tables in CSR form (sorted bucket keys + offsets + q-index
     # payload) so candidate lookup per batch is searchsorted + repeat —
     # no per-row Python dict probing.
     probe_csr: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     for t in range(n_tables):
         q_buckets = sketch(Q, t)
-        tgt = np.concatenate(
-            [q_buckets[None, :]] +
-            [(q_buckets ^ (1 << p))[None, :] for p in range(n_planes)],
-            axis=0).reshape(-1)                      # ((1+P) * nq,)
-        qj = np.tile(np.arange(len(q_buckets)), n_planes + 1)
+        tgt = (q_buckets[None, :] ^ masks[:, None]).reshape(-1)
+        qj = np.tile(np.arange(len(q_buckets)), len(masks))
         order = np.argsort(tgt, kind="stable")
         tgt, qj = tgt[order], qj[order]
         keys, starts = np.unique(tgt, return_index=True)

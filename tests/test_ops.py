@@ -36,7 +36,8 @@ SQL_CHECKED = [
     "m1_sha256", "a1_exact_dup_groups", "a1_exact_dedup_keep_first",
     "a4_canonical_pick", "s2_discovery_filter", "a3_stats_by_lang",
     "j1_anti_join_resume", "t_token_count", "t_quality", "t_fingerprint",
-    "ann_topk_cosine", "emb_near_dup_pairs", "ann_range_search",
+    "ann_topk_cosine", "ann_topk_lsh", "emb_near_dup_pairs",
+    "ann_range_search", "minhash_lsh_clusters",
     "t_lang_id", "t_mislabel_flags", "media_decode_features",
     "media_external_probe",
     "e_windowed_counts", "e_sessionize", "j_orders_by_segment",
@@ -87,8 +88,10 @@ def test_ann_lsh_recall_vs_brute():
     approx = knn_lsh(SF, k=10, num_queries=8).to_pandas()
     e = set(zip(exact.query_id, exact.neighbor_id))
     a = set(zip(approx.query_id, approx.neighbor_id))
-    # approximate: probe buckets cover a reasonable share of true top-k
-    assert len(e & a) / len(e) > 0.2
+    # adaptive sketch width + Hamming<=2 multiprobe: near-total probe
+    # coverage at small table sizes — the driver oracle requires exact
+    # equality with brute at sf0.01, so hold the floor high here too
+    assert len(e & a) / len(e) >= 0.9
 
 
 def test_simhash_groups_shape():
