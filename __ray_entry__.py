@@ -186,6 +186,11 @@ def _q_ann_range(sf_dir: str):
     return range_search(sf_dir, tau=0.35, num_queries=8)
 
 
+def _q_ann_ivf(sf_dir: str):
+    from image_deduper_ray.pipelines.ann import knn_ivf
+    return knn_ivf(sf_dir, k=10, num_queries=8)
+
+
 def _q_emb_near_dup(sf_dir: str):
     import pyarrow as pa
     from image_deduper_ray.functions.arrow_utils import collect_arrow
@@ -261,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ann_topk_cosine": _q_ann_topk,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_ivf": _q_ann_ivf,
         "ann_range_search": _q_ann_range,
         "emb_near_dup_pairs": _q_emb_near_dup,
         "minhash_lsh_clusters": _q_minhash_clusters,
@@ -431,6 +437,21 @@ def oracle_sql() -> dict[str, str]:
         # driver-checkable gate: any probe-coverage regression shows as
         # a hash mismatch.
         "ann_topk_lsh":
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "  FROM embeddings ORDER BY vec_id LIMIT 8) "
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "  SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY "
+            "      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "                             CAST(q.qe AS DOUBLE[])) DESC, "
+            "      e.vec_id) AS rank "
+            "  FROM embeddings e, q WHERE e.vec_id <> q.query_id) "
+            "WHERE rank <= 10",
+        # ann_topk_ivf: same contract as ann_topk_lsh — IVF with
+        # sqrt(n) cells and nprobe = n_cells/2 covers the true top-k at
+        # these table sizes (verified identical to brute), so the exact
+        # SQL is a real probe-coverage regression gate.
+        "ann_topk_ivf":
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
             "  FROM embeddings ORDER BY vec_id LIMIT 8) "
             "SELECT query_id, neighbor_id, rank FROM ("

@@ -45,6 +45,95 @@ def _key_hash(t: pa.Table, key_cols: list[str]) -> np.ndarray:
     return h
 
 
+@ray.remote
+def _shuffle_map_task(key_cols: list[str], num_partitions: int, *blocks):
+    """One map task of the raw hash shuffle: split its blocks into
+    ``num_partitions`` zero-copy slices by key hash (one argsort, one
+    take). Returns ``num_partitions`` values (None for empty slices).
+    Takes SEVERAL upstream blocks (the driver coalesces small blocks)
+    so task count stays O(CPUs), not O(blocks)."""
+    ts = []
+    for block in blocks:
+        t = block if isinstance(block, pa.Table) \
+            else pa.Table.from_pandas(block, preserve_index=False)
+        # schema-less / empty blocks do arrive from upstream unions
+        # (Ray 2.49): skip rather than KeyError
+        if t.num_rows and all(c in t.column_names for c in key_cols):
+            ts.append(t)
+    if not ts:
+        return tuple(None for _ in range(num_partitions))
+    if len(ts) == 1:
+        t = ts[0]
+    else:
+        cols = ts[0].column_names
+        t = pa.concat_tables([x.select(cols) for x in ts])
+    pk = (_key_hash(t, key_cols) % np.uint64(num_partitions)).astype(np.int64)
+    order = np.argsort(pk, kind="stable")
+    t2 = t.take(pa.array(order))
+    pks = pk[order]
+    bounds = np.searchsorted(pks, np.arange(num_partitions + 1))
+    return tuple(
+        t2.slice(bounds[i], bounds[i + 1] - bounds[i])
+        if bounds[i + 1] > bounds[i] else None
+        for i in range(num_partitions))
+
+
+@ray.remote
+def _shuffle_reduce_task(block_fn, out_schema: pa.Schema, as_pandas: bool,
+                         *parts) -> pa.Table:
+    """One reduce task: concat this partition's slices from every map
+    task, run the block function once, conform to ``out_schema``."""
+    from .arrow_utils import ensure_schema
+
+    ts = [p for p in parts if p is not None and p.num_rows > 0]
+    if not ts:
+        return out_schema.empty_table()
+    t = pa.concat_tables(ts).combine_chunks()
+    if as_pandas:
+        out = block_fn(t.to_pandas())
+        out = pa.Table.from_pandas(out, preserve_index=False) \
+            if not isinstance(out, pa.Table) else out
+    else:
+        out = block_fn(t)
+    return ensure_schema(out, out_schema)
+
+
+def _manual_shuffle(ds: ray.data.Dataset, key_cols: list[str], block_fn,
+                    num_partitions: int, out_schema: pa.Schema,
+                    as_pandas: bool) -> ray.data.Dataset:
+    """Raw-task hash shuffle: one map task per upstream block (streamed
+    via ``iter_internal_ref_bundles`` — the driver only ever handles
+    refs), one reduce task per partition. Replaces Ray Data's sort-based
+    ``groupby().map_groups`` for the partition-block pattern: the sort
+    machinery costs ~9 s of mostly-serial overhead PER SHUFFLE at this
+    scale (measured, 173k rows / 8 cpus) vs <1 s for this path — that
+    overhead was the dominant scaling-efficiency loss across the wide
+    stages. Driver ref load is num_blocks x num_partitions; keep
+    ``num_partitions`` at O(4 x CPUs) (the default), not O(rows)."""
+    import ray as _ray
+
+    refs = [r for bundle in ds.iter_internal_ref_bundles()
+            for r in bundle.block_refs]
+    if not refs:
+        return ray.data.from_arrow(out_schema.empty_table())
+    # coalesce small upstream blocks: O(CPUs) map tasks, each slicing
+    # into num_partitions — task count stays bounded however many tiny
+    # blocks the upstream produced
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    n_maps = max(2, min(len(refs), 4 * cpus))
+    per = (len(refs) + n_maps - 1) // n_maps
+    maps = [
+        _shuffle_map_task.options(num_returns=num_partitions).remote(
+            key_cols, num_partitions, *refs[i:i + per])
+        for i in range(0, len(refs), per)]
+    outs = [
+        _shuffle_reduce_task.remote(block_fn, out_schema, as_pandas,
+                                    *(m[p] for m in maps))
+        for p in range(num_partitions)]
+    return ray.data.from_arrow_refs(outs)
+
+
 def partitioned_group_map(ds: ray.data.Dataset, key_cols: list[str],
                           block_fn, num_partitions: int | None,
                           out_schema: pa.Schema | None = None) -> ray.data.Dataset:
@@ -52,10 +141,18 @@ def partitioned_group_map(ds: ray.data.Dataset, key_cols: list[str],
     (pandas DataFrame -> pandas DataFrame) once per partition. The block
     function sees every row of every key assigned to its partition and
     is responsible for its own group segmentation (sort + boundaries).
-    If ``out_schema`` is given the output blocks are conformed to Arrow
-    (mixing pandas map_groups blocks with arrow blocks trips Ray 2.49).
-    ``num_partitions=None`` derives from cluster CPU count."""
-    num_partitions = num_partitions or default_partitions()
+    ``num_partitions=None`` derives from cluster CPU count.
+
+    With ``out_schema`` given (every hot path) the shuffle runs on raw
+    Ray tasks (``_manual_shuffle``) — Ray Data's sort-based groupby
+    costs ~9 s serial overhead per shuffle at bench scale. Without a
+    schema the legacy groupby path is kept (output schema of an empty
+    partition would be unknowable)."""
+    num_partitions = max(2, num_partitions or default_partitions())
+
+    if out_schema is not None:
+        return _manual_shuffle(ds, key_cols, block_fn, num_partitions,
+                               out_schema, as_pandas=True)
 
     def add_pk(t: pa.Table) -> pa.Table:
         pk = (_key_hash(t, key_cols) % np.uint64(num_partitions)).astype(np.int32)
@@ -64,14 +161,59 @@ def partitioned_group_map(ds: ray.data.Dataset, key_cols: list[str],
     def run_block(df: pd.DataFrame) -> pd.DataFrame:
         return block_fn(df.drop(columns=[_PK]))
 
-    out = (ds.map_batches(add_pk, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby(_PK).map_groups(run_block, batch_format="pandas"))
-    if out_schema is not None:
-        from .arrow_utils import ensure_schema
+    return (ds.map_batches(add_pk, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(_PK).map_groups(run_block, batch_format="pandas"))
 
-        out = out.map_batches(lambda t: ensure_schema(t, out_schema),
-                              batch_format="pyarrow")
-    return out
+
+def partitioned_group_map_arrow(ds: ray.data.Dataset, key_cols: list[str],
+                                block_fn, num_partitions: int | None,
+                                out_schema: pa.Schema | None = None
+                                ) -> ray.data.Dataset:
+    """``partitioned_group_map`` with an Arrow block function
+    (pa.Table -> pa.Table). Use when the payload carries binary/string
+    columns (e.g. 1 KB minhash signatures): the pandas path would turn
+    every value into a Python object on both sides of the block call,
+    while Arrow blocks keep them as C buffers end to end. Requires
+    ``out_schema`` (the raw-task shuffle must type empty partitions)."""
+    if out_schema is None:
+        raise ValueError("partitioned_group_map_arrow requires out_schema")
+    num_partitions = max(2, num_partitions or default_partitions())
+    return _manual_shuffle(ds, key_cols, block_fn, num_partitions,
+                           out_schema, as_pandas=False)
+
+
+def partitioned_sum(ds: ray.data.Dataset, key_cols: list[str],
+                    value_col: str, num_partitions: int | None,
+                    out_schema: pa.Schema,
+                    ) -> ray.data.Dataset:
+    """Distributed ``SELECT key_cols, SUM(value_col) GROUP BY key_cols``
+    as a hash-partitioned vectorized block aggregate. Ray 2.49's native
+    ``groupby().sum()`` runs a full sort-based shuffle that measures
+    ~10x slower on narrow high-cardinality keys; this shape is one
+    partition shuffle + one lexsort + one ``np.add.reduceat`` per
+    partition. Output column is named ``sum(value_col)`` (native-API
+    compatible)."""
+    out_name = f"sum({value_col})"
+    key_schema = []
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(key_cols + [value_col]).rename_columns(
+                key_cols + [out_name])
+        keys = [t[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort(tuple(reversed(keys)))
+        keys = [k[order] for k in keys]
+        vals = vals[order]
+        new = group_starts(*keys)
+        starts = np.flatnonzero(new)
+        sums = np.add.reduceat(vals, starts)
+        cols = {c: pa.array(k[starts]) for c, k in zip(key_cols, keys)}
+        cols[out_name] = pa.array(sums)
+        return pa.table(cols)
+
+    return partitioned_group_map_arrow(ds, key_cols, block, num_partitions,
+                                       out_schema=out_schema)
 
 
 def group_starts(*key_arrays: np.ndarray) -> np.ndarray:

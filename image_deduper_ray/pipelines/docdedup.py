@@ -54,28 +54,33 @@ def exact_dup_groups(sf_dir: str) -> ray.data.Dataset:
             "sha256": pa.array(hashing.sha256_hex(t["text"].to_pylist()),
                                pa.string())})
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) <= 1:
-            return pd.DataFrame({"sha256": pd.Series([], dtype=str),
-                                 "n_docs": pd.Series([], dtype=np.int64),
-                                 "min_doc_id": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({"sha256": [g["sha256"].iloc[0]],
-                             "n_docs": np.array([len(g)], np.int64),
-                             "min_doc_id": np.array([g["doc_id"].min()], np.int64)})
-
     out_schema = pa.schema([("sha256", pa.string()), ("n_docs", pa.int64()),
                             ("min_doc_id", pa.int64())])
 
-    def conform(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return out_schema.empty_table()
-        return pa.table({f.name: t[f.name].cast(f.type) for f in out_schema},
-                        schema=out_schema)
+    def dup_groups_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"sha256": pd.Series([], dtype=str),
+                              "n_docs": pd.Series([], dtype=np.int64),
+                              "min_doc_id": pd.Series([], dtype=np.int64)})
+        if df.empty:
+            return empty
+        df = df.sort_values(["sha256", "doc_id"], kind="mergesort")
+        sha = df["sha256"].to_numpy()
+        ids = df["doc_id"].to_numpy(np.int64)
+        from ..functions.groups import group_starts
+        new = group_starts(sha)
+        bounds = np.append(np.flatnonzero(new), len(sha))
+        sizes = np.diff(bounds).astype(np.int64)
+        keep = sizes > 1
+        if not keep.any():
+            return empty
+        lo = bounds[:-1][keep]
+        return pd.DataFrame({"sha256": sha[lo], "n_docs": sizes[keep],
+                             "min_doc_id": ids[lo]})
 
-    grouped = (ds.map_batches(add_sha, batch_format="pyarrow",
-                              zero_copy_batch=True)
-               .groupby("sha256").map_groups(per_group, batch_format="pandas")
-               .map_batches(conform, batch_format="pyarrow"))
+    from ..functions.groups import partitioned_group_map
+    grouped = partitioned_group_map(
+        ds.map_batches(add_sha, batch_format="pyarrow", zero_copy_batch=True),
+        ["sha256"], dup_groups_block, None, out_schema=out_schema)
     # a zero-match result must still carry the schema (Ray skips empty
     # blocks, so anchor it with an explicit empty Arrow block)
     return ray.data.from_arrow(out_schema.empty_table()).union(grouped)
@@ -93,11 +98,20 @@ def exact_dedup_keep_first(sf_dir: str) -> ray.data.Dataset:
             "sha256": pa.array(hashing.sha256_hex(t["text"].to_pylist()),
                                pa.string())})
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": np.array([g["doc_id"].min()], np.int64)})
+    def keep_first_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["sha256", "doc_id"], kind="mergesort")
+        from ..functions.groups import group_starts
+        first = group_starts(df["sha256"].to_numpy())
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64)[first]})
 
-    return (ds.map_batches(add_sha, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("sha256").map_groups(keep_first, batch_format="pandas"))
+    from ..functions.groups import partitioned_group_map
+    return partitioned_group_map(
+        ds.map_batches(add_sha, batch_format="pyarrow", zero_copy_batch=True),
+        ["sha256"], keep_first_block, None,
+        out_schema=pa.schema([("doc_id", pa.int64())]))
 
 
 def minhash_lsh_clusters(sf_dir: str, out_dir: str,

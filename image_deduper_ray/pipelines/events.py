@@ -99,15 +99,89 @@ def sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
                                  out_schema=out_schema)
 
 
-def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
+def orders_by_segment(sf_dir: str,
+                      broadcast_max_bytes: int = 256_000_000
+                      ) -> ray.data.Dataset:
     """Join-aggregate over orders ⨝ customer: (c_mktsegment, n_orders,
-    sum_total_cents) — exercises the partitioned hash join against a
-    SQL oracle."""
-    from ..functions.joins import hash_join
+    sum_total_cents).
+
+    Customer is the classic small side: its (custkey, segment-code) map
+    is put in the object store ONCE (``ray.put``) and every orders batch
+    does a searchsorted lookup + per-batch partial aggregate — only
+    (segment, count, cents) partials cross the wire, never the joined
+    rows. Past ``broadcast_max_bytes`` the same query falls back to the
+    partitioned hash join (both paths share the final combine)."""
+    import pyarrow.parquet as pq
+    import ray
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey", "o_totalprice"])
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+
+    out_schema = pa.schema([("c_mktsegment", pa.string()),
+                            ("n_orders", pa.int64()),
+                            ("sum_total_cents", pa.int64())])
+
+    def combine_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"c_mktsegment": pd.Series([], dtype=object),
+                                 "n_orders": pd.Series([], dtype=np.int64),
+                                 "sum_total_cents": pd.Series([], dtype=np.int64)})
+        g = df.groupby("c_mktsegment", sort=True)
+        out = g.agg(n_orders=("n_orders", "sum"),
+                    sum_total_cents=("sum_total_cents", "sum")).reset_index()
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        out["sum_total_cents"] = out["sum_total_cents"].astype(np.int64)
+        return out
+
+    cust_path = f"{sf_dir}/customer.parquet"
+    cust_bytes = pq.ParquetFile(cust_path).metadata.serialized_size + sum(
+        pq.ParquetFile(cust_path).metadata.row_group(i).total_byte_size
+        for i in range(pq.ParquetFile(cust_path).metadata.num_row_groups))
+    if cust_bytes <= broadcast_max_bytes:
+        ct = pq.read_table(cust_path, columns=["c_custkey", "c_mktsegment"])
+        keys = ct["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = ct["c_mktsegment"].to_numpy(zero_copy_only=False)
+        segs, codes = np.unique(seg, return_inverse=True)
+        order = np.argsort(keys, kind="stable")
+        ref = ray.put((keys[order], codes[order].astype(np.int32),
+                       [str(s) for s in segs]))
+
+        def partial(t: pa.Table) -> pa.Table:
+            k_sorted, code_sorted, segs_ = ray.get(ref)
+            n_seg = len(segs_)
+            if t.num_rows == 0 or n_seg == 0:
+                return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                                 "n_orders": pa.array([], pa.int64()),
+                                 "sum_total_cents": pa.array([], pa.int64())})
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cents = np.floor(
+                t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+                + 0.5).astype(np.int64)
+            pos = np.searchsorted(k_sorted, ck).clip(0, len(k_sorted) - 1)
+            hit = k_sorted[pos] == ck        # inner-join: unmatched drop
+            sc = code_sorted[pos[hit]]
+            return pa.table({
+                "c_mktsegment": pa.array(segs_, pa.string()),
+                "n_orders": pa.array(np.bincount(sc, minlength=n_seg)
+                                     .astype(np.int64)),
+                "sum_total_cents": pa.array(
+                    np.bincount(sc, weights=cents[hit], minlength=n_seg)
+                    .astype(np.int64))})
+
+        partials = orders.map_batches(partial, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+        def drop_empty(df: pd.DataFrame) -> pd.DataFrame:
+            out = combine_block(df)
+            return out[out["n_orders"] > 0]
+
+        return partitioned_group_map(partials, ["c_mktsegment"], drop_empty,
+                                     4, out_schema=out_schema)
+
+    # fallback: customer too big to broadcast -> partitioned hash join
+    from ..functions.joins import hash_join
+
+    cust = ray.data.read_parquet(cust_path,
                                  columns=["c_custkey", "c_mktsegment"])
 
     def okey(t: pa.Table) -> pa.Table:
@@ -123,15 +197,9 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
                   pa.schema([("c_mktsegment", pa.string())]),
                   num_partitions=8)
 
-    out_schema = pa.schema([("c_mktsegment", pa.string()),
-                            ("n_orders", pa.int64()),
-                            ("sum_total_cents", pa.int64())])
-
     def block(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
-            return pd.DataFrame({"c_mktsegment": pd.Series([], dtype=object),
-                                 "n_orders": pd.Series([], dtype=np.int64),
-                                 "sum_total_cents": pd.Series([], dtype=np.int64)})
+            return combine_block(df)
         df = df.sort_values("c_mktsegment", kind="mergesort")
         seg = df["c_mktsegment"].to_numpy()
         cents = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)

@@ -100,52 +100,54 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def lang_id(sf_dir: str) -> ray.data.Dataset:
-    """(doc_id, lang_pred) — stopword-marker vote + CJK codepoint check.
-    A heuristic operator (rows-only oracle): the point is the streaming
-    shape — one vectorized pass, one regex count per language."""
-    ds = read_documents(sf_dir, ["doc_id", "text"])
+def _predict_langs(t: pa.Table) -> pa.Array:
+    """Vectorized language prediction for a batch: one regex count per
+    language + a CJK codepoint check. Shared by lang_id and
+    mislabel_flags so both stay single-pass."""
+    import numpy as np
+
     markers = {lang: r"\b(" + "|".join(words) + r")\b"
                for lang, words in _LANG_MARKERS.items()}
+    low = pc.utf8_lower(t["text"])
+    scores = np.stack([
+        pc.count_substring_regex(low, pat).cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+        for pat in markers.values()])
+    langs = np.array(list(markers))
+    best = langs[scores.argmax(axis=0)]
+    hit = scores.max(axis=0) > 0
+    cjk = pc.count_substring_regex(t["text"], r"[\x{4e00}-\x{9fff}]") \
+        .cast(pa.int64()).to_numpy(zero_copy_only=False) > 0
+    pred = np.where(cjk, "zh", np.where(hit, best, "und"))
+    return pa.array(pred.tolist(), pa.string())
+
+
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, lang_pred) — stopword-marker vote + CJK codepoint check.
+    A heuristic operator: one vectorized pass, one regex count per
+    language."""
+    ds = read_documents(sf_dir, ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        low = pc.utf8_lower(t["text"])
-        import numpy as np
-        scores = np.stack([
-            pc.count_substring_regex(low, pat).cast(pa.int64()).to_numpy(zero_copy_only=False)
-            for pat in markers.values()])
-        langs = list(markers)
-        best = scores.argmax(axis=0)
-        hit = scores.max(axis=0) > 0
-        cjk = pc.count_substring_regex(t["text"], r"[\x{4e00}-\x{9fff}]") \
-            .cast(pa.int64()).to_numpy(zero_copy_only=False)
-        pred = [("zh" if cjk[i] > 0 else (langs[best[i]] if hit[i] else "und"))
-                for i in range(len(best))]
         return pa.table({"doc_id": t["doc_id"],
-                         "lang_pred": pa.array(pred, pa.string())})
+                         "lang_pred": _predict_langs(t)})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def mislabel_flags(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, lang, lang_pred, mismatch) — claimed vs sniffed language,
-    the fixsuffix QA projection (examples/fixsuffix.rs:13-60 analog)."""
-    pred = lang_id(sf_dir)
-    claimed = read_documents(sf_dir, ["doc_id", "lang"])
-    from ..functions.joins import hash_join
-
-    def with_key(t: pa.Table) -> pa.Table:
-        return t.append_column("k", t["doc_id"].cast(pa.string()))
-
-    j = hash_join(claimed.map_batches(with_key, batch_format="pyarrow"),
-                  pred.map_batches(with_key, batch_format="pyarrow"),
-                  "k", "k",
-                  pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
-                  pa.schema([("lang_pred", pa.string())]),
-                  num_partitions=8)
+    the fixsuffix QA projection (examples/fixsuffix.rs:13-60 analog).
+    Single pass: prediction and claimed label come from the same read —
+    no self-join of the table on doc_id."""
+    ds = read_documents(sf_dir, ["doc_id", "lang", "text"])
 
     def flag(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "mismatch", pc.invert(pc.equal(t["lang"], t["lang_pred"])))
+        pred = _predict_langs(t)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "lang_pred": pred,
+            "mismatch": pc.invert(pc.equal(t["lang"], pred))})
 
-    return j.map_batches(flag, batch_format="pyarrow")
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)

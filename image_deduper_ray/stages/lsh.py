@@ -246,12 +246,19 @@ def find_hot_buckets(sigs: ray.data.Dataset, cfg: DedupConfig,
                         np.full(t.num_rows, k, dtype=np.int64))
         return t.filter(pa.array(sel == 0))
 
-    counts = (sigs.map_batches(sample, batch_format="pyarrow",
-                               zero_copy_batch=True)
-              .map_batches(PartialBucketCounts(cfg, include_containment),
-                           batch_format="pyarrow", zero_copy_batch=True)
-              .groupby(["band_id", "band_key"])
-              .sum("partial"))
+    from ..functions.groups import partitioned_sum
+
+    # partitioned vectorized sum — Ray's native groupby().sum() is a
+    # full sort-based shuffle, ~10x slower on this narrow key shape
+    counts = partitioned_sum(
+        sigs.map_batches(sample, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .map_batches(PartialBucketCounts(cfg, include_containment),
+                     batch_format="pyarrow", zero_copy_batch=True),
+        ["band_id", "band_key"], "partial", cfg.pair_partitions,
+        out_schema=pa.schema([("band_id", pa.int32()),
+                              ("band_key", pa.int64()),
+                              ("sum(partial)", pa.int64())]))
     hot_ds = counts.map_batches(
         lambda t: t.filter(pa.compute.greater(t["sum(partial)"], threshold)),
         batch_format="pyarrow", zero_copy_batch=True)

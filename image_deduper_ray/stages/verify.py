@@ -218,45 +218,157 @@ def signature_representatives(sigs: ray.data.Dataset, cfg: DedupConfig,
     never merged by signature (their signature encodes identity, not
     content); 'empty' rows are dropped from both outputs (M16
     validator semantics)."""
-    from ..functions.groups import (default_partitions, group_starts,
-                                    partitioned_group_map)
+    from ..functions.groups import (default_partitions,
+                                    partitioned_group_map_arrow)
 
     num_partitions = num_partitions or default_partitions()
-    proj = sigs.select_columns(["file_id", "minhash", "simhash", "sig_kind"])
 
-    def rep_block(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "file_id": pd.Series([], dtype=object),
-            "minhash": pd.Series([], dtype=object),
-            "simhash": pd.Series([], dtype=np.int64),
-            "sig_kind": pd.Series([], dtype=object),
-            "edge_to": pd.Series([], dtype=object)})
-        if df.empty:
-            return empty
-        df = df[df["sig_kind"] != "empty"]
-        if df.empty:
-            return empty
-        mergeable = df["sig_kind"] == "ok"
-        solo = df[~mergeable].copy()
-        solo["edge_to"] = ""
-        dfm = df[mergeable].sort_values(["minhash", "file_id"],
-                                        kind="mergesort")
-        first = group_starts(dfm["minhash"].to_numpy())
+    # --- fast path: shuffle a 128-bit FOLD of the signature, not the
+    # 1 KB payload (~15x less shuffle volume; the payload shuffle was
+    # the dominant cost of this stage). Group membership by fold is
+    # byte-equality modulo a ~2^-128 collision (documented: a collision
+    # would merge two non-identical signatures — vanishingly unlikely
+    # even at 10^12 rows, and bounded to one spurious near-dup edge).
+    # Member ids are broadcast back as a C-level is_in filter; past the
+    # broadcast byte cap we fall back to the full payload shuffle.
+    import pyarrow.compute as pc
+
+    P = cfg.num_perms
+    mults1 = np.cumprod(np.full(P, 1099511628211, dtype=np.uint64),
+                        dtype=np.uint64)
+    mults2 = np.cumprod(np.full(P, 2654435769, dtype=np.uint64),
+                        dtype=np.uint64)
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"file_id": pa.array([], pa.string()),
+                             "h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64()),
+                             "sig_kind": pa.array([], pa.string())})
+        M = _sig_of(t["minhash"], P)
+        with np.errstate(over="ignore"):
+            h1 = (M * mults1[None, :]).sum(axis=1, dtype=np.uint64)
+            h2 = (M * mults2[None, :]).sum(axis=1, dtype=np.uint64)
+        return pa.table({"file_id": t["file_id"],
+                         "h1": pa.array(h1.view(np.int64)),
+                         "h2": pa.array(h2.view(np.int64)),
+                         "sig_kind": t["sig_kind"]})
+
+    narrow_schema = pa.schema([("file_id", pa.string()),
+                               ("edge_to", pa.string())])
+
+    def narrow_block(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["sig_kind"], "empty"))
+        if t.num_rows == 0:
+            return narrow_schema.empty_table()
+        mergeable = pc.equal(t["sig_kind"], "ok")
+        solo = t.filter(pc.invert(mergeable))
+        m = t.filter(mergeable).combine_chunks()
+        solo_out = pa.table({
+            "file_id": solo["file_id"],
+            "edge_to": pa.array([""] * solo.num_rows, pa.string())})
+        if m.num_rows == 0:
+            return pa.concat_tables([narrow_schema.empty_table(),
+                                     solo_out.cast(narrow_schema)])
+        m = m.take(pc.sort_indices(
+            m, sort_keys=[("h1", "ascending"), ("h2", "ascending"),
+                          ("file_id", "ascending")])).combine_chunks()
+        k1 = m["h1"].to_numpy(zero_copy_only=False)
+        k2 = m["h2"].to_numpy(zero_copy_only=False)
+        first = np.ones(m.num_rows, dtype=bool)
+        first[1:] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
         group_idx = np.cumsum(first) - 1
-        fid = dfm["file_id"].to_numpy()
-        rep_of = fid[first][group_idx]
-        reps = dfm.iloc[np.flatnonzero(first)].copy()
-        reps["edge_to"] = ""
-        members = dfm.iloc[np.flatnonzero(~first)].copy()
-        members["edge_to"] = rep_of[~first]
-        return pd.concat([reps, members, solo], ignore_index=True)
+        rep_idx = np.flatnonzero(first)[group_idx]
+        edge_to = pc.if_else(pa.array(first),
+                             pa.scalar("", pa.string()),
+                             pc.take(m["file_id"], pa.array(rep_idx)))
+        out = pa.table({"file_id": m["file_id"], "edge_to": edge_to})
+        return pa.concat_tables([out.cast(narrow_schema),
+                                 solo_out.cast(narrow_schema)])
+
+    tagged_narrow = partitioned_group_map_arrow(
+        sigs.select_columns(["file_id", "minhash", "sig_kind"])
+        .map_batches(fold, batch_format="pyarrow", zero_copy_batch=True),
+        ["h1", "h2"], narrow_block, num_partitions,
+        out_schema=narrow_schema)
+    members = tagged_narrow.map_batches(
+        lambda t: t.filter(pc.not_equal(t["edge_to"], "")),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n_members = members.count()
+
+    if n_members * 64 <= cfg.verify_broadcast_max_bytes:
+        import ray as _ray
+
+        # zero-row to_pandas drops columns (Ray 2.49) — guard
+        member_ids = pa.array(
+            members.to_pandas()["file_id"].tolist() if n_members else [],
+            pa.string())
+        mref = _ray.put(member_ids)
+
+        def filter_reps(t: pa.Table) -> pa.Table:
+            mids = _ray.get(mref)
+            keep = pc.and_(
+                pc.not_equal(t["sig_kind"], "empty"),
+                pc.invert(pc.is_in(t["file_id"], value_set=mids)))
+            return t.filter(keep)
+
+        # materialized: consumed by hot-bucket counting AND band explode
+        # (and the narrow projection is small next to the corpus)
+        reps = sigs.select_columns(
+            ["file_id", "minhash", "simhash", "sig_kind"]).map_batches(
+            filter_reps, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+        sig_edges = members.map_batches(
+            lambda t: pa.table({"a": t["edge_to"], "b": t["file_id"]}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return reps, sig_edges
+
+    # --- fallback: member set too large to broadcast -> original
+    # full-payload shuffle (same semantics, no broadcast)
+    proj = sigs.select_columns(["file_id", "minhash", "simhash", "sig_kind"])
 
     schema = pa.schema([("file_id", pa.string()),
                         ("minhash", pa.binary(cfg.num_perms * 8)),
                         ("simhash", pa.int64()), ("sig_kind", pa.string()),
                         ("edge_to", pa.string())])
-    tagged = partitioned_group_map(proj, ["minhash"], rep_block,
-                                   num_partitions, out_schema=schema)
+
+    # Arrow-native block: the 1 KB minhash payloads stay C buffers
+    # through the sort/compare (the pandas path turned every signature
+    # into a Python bytes object on both sides of the block call —
+    # measured as the dominant cost of this stage).
+    def rep_block(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.not_equal(t["sig_kind"], "empty"))
+        if t.num_rows == 0:
+            return schema.empty_table()
+        mergeable = pc.equal(t["sig_kind"], "ok")
+        solo = t.filter(pc.invert(mergeable))
+        solo = solo.append_column(
+            "edge_to", pa.array([""] * solo.num_rows, pa.string()))
+        m = t.filter(mergeable).combine_chunks()
+        if m.num_rows == 0:
+            return pa.concat_tables(
+                [schema.empty_table(), solo.cast(schema)])
+        m = m.take(pc.sort_indices(
+            m, sort_keys=[("minhash", "ascending"),
+                          ("file_id", "ascending")])).combine_chunks()
+        mh = m["minhash"].combine_chunks()
+        first = np.ones(m.num_rows, dtype=bool)
+        if m.num_rows > 1:
+            eq = pc.equal(mh.slice(1), mh.slice(0, len(mh) - 1))
+            first[1:] = np.invert(
+                eq.to_numpy(zero_copy_only=False).astype(bool))
+        group_idx = np.cumsum(first) - 1
+        rep_idx = np.flatnonzero(first)[group_idx]    # rep row per row
+        edge_to = pc.if_else(pa.array(first),
+                             pa.scalar("", pa.string()),
+                             pc.take(m["file_id"], pa.array(rep_idx)))
+        m = m.append_column("edge_to", edge_to)
+        return pa.concat_tables([m.cast(schema), solo.cast(schema)])
+
+    tagged = partitioned_group_map_arrow(proj, ["minhash"], rep_block,
+                                         num_partitions, out_schema=schema)
     tagged = tagged.materialize()  # consumed twice (reps + edges)
 
     import pyarrow.compute as pc

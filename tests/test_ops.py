@@ -36,8 +36,8 @@ SQL_CHECKED = [
     "m1_sha256", "a1_exact_dup_groups", "a1_exact_dedup_keep_first",
     "a4_canonical_pick", "s2_discovery_filter", "a3_stats_by_lang",
     "j1_anti_join_resume", "t_token_count", "t_quality", "t_fingerprint",
-    "ann_topk_cosine", "ann_topk_lsh", "emb_near_dup_pairs",
-    "ann_range_search", "minhash_lsh_clusters",
+    "ann_topk_cosine", "ann_topk_lsh", "ann_topk_ivf",
+    "emb_near_dup_pairs", "ann_range_search", "minhash_lsh_clusters",
     "t_lang_id", "t_mislabel_flags", "media_decode_features",
     "media_external_probe",
     "e_windowed_counts", "e_sessionize", "j_orders_by_segment",
@@ -91,6 +91,23 @@ def test_ann_lsh_recall_vs_brute():
     # adaptive sketch width + Hamming<=2 multiprobe: near-total probe
     # coverage at small table sizes — the driver oracle requires exact
     # equality with brute at sf0.01, so hold the floor high here too
+    assert len(e & a) / len(e) >= 0.9
+
+
+def test_ann_ivf_recall_vs_brute():
+    from image_deduper_ray.pipelines.ann import knn_brute, knn_ivf
+
+    exact = knn_brute(SF, k=10, num_queries=8).to_pandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    # default mode at small n: full probe -> exactly brute (the driver
+    # oracle requires equality at sf0.01)
+    full = knn_ivf(SF, k=10, num_queries=8).to_pandas()
+    f = set(zip(full.query_id, full.neighbor_id))
+    assert f == e
+    # approximate mode (the at-scale default): recall floor at
+    # nprobe ~ 2/3 of cells
+    approx = knn_ivf(SF, k=10, num_queries=8, nprobe=15).to_pandas()
+    a = set(zip(approx.query_id, approx.neighbor_id))
     assert len(e & a) / len(e) >= 0.9
 
 
