@@ -89,6 +89,14 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
     def persist(ds_, name, schema=None):
         if light and name in _light_skip:
             m = ds_.materialize()
+            # coalesce: shuffle stages leave num_partitions(+union)
+            # small blocks; a parquet round-trip would re-block them,
+            # in-memory mode must do it explicitly or every downstream
+            # consumer pays per-tiny-block task overhead
+            import ray as _ray
+            cap = 2 * int(_ray.cluster_resources().get("CPU", 8))
+            if m.num_blocks() > cap:
+                m = m.repartition(cap).materialize()
             _mem[name] = m
             _mem_rows[name] = m.count()
             return m
