@@ -249,6 +249,16 @@ def _q_orders_by_segment(sf_dir: str):
     return orders_by_segment(sf_dir)
 
 
+def _q_asof_join(sf_dir: str):
+    from image_deduper_ray.pipelines.events import asof_match
+    return asof_match(sf_dir)
+
+
+def _q_range_join(sf_dir: str):
+    from image_deduper_ray.pipelines.events import range_join
+    return range_join(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -275,6 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_external_probe": _q_media_external,
         "e_windowed_counts": _q_windowed_counts,
         "e_sessionize": _q_sessionize,
+        "e_asof_join": _q_asof_join,
+        "e_range_join": _q_range_join,
         "j_orders_by_segment": _q_orders_by_segment,
     }
 
@@ -425,6 +437,24 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(CASE WHEN gap IS NULL OR gap > INTERVAL 1800 SECONDS "
             "THEN 1 END) AS n_sessions, COUNT(*) AS n_events "
             "FROM x GROUP BY user_id",
+        # e_asof_join: the deterministic as-of rule (most recent 'view'
+        # at-or-before each 'click', ties on ts -> largest event_id) is
+        # written out with a window function instead of DuckDB's native
+        # ASOF JOIN, whose tie choice is unspecified.
+        "e_asof_join":
+            "SELECT c.event_id, v.event_id AS matched_event_id, "
+            "v.ts AS matched_ts "
+            "FROM events c JOIN events v "
+            "ON v.user_id = c.user_id AND v.ts <= c.ts "
+            "AND v.event_type = 'view' "
+            "WHERE c.event_type = 'click' "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY c.event_id "
+            "ORDER BY v.ts DESC, v.event_id DESC) = 1",
+        "e_range_join":
+            "SELECT e.event_id, c.event_id AS near_event_id "
+            "FROM events e JOIN events c ON c.user_id = e.user_id "
+            "AND c.ts BETWEEN e.ts - INTERVAL 3600 SECONDS AND e.ts "
+            "WHERE e.event_type = 'error' AND c.event_type = 'click'",
         "j_orders_by_segment":
             "SELECT c_mktsegment, COUNT(*) AS n_orders, "
             "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "

@@ -99,6 +99,182 @@ def sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
                                  out_schema=out_schema)
 
 
+def _read_typed_events(sf_dir: str, types: list[str]) -> ray.data.Dataset:
+    """events pruned at the scan: only the needed columns, only rows of
+    the given event types (row-group filter pushdown — untouched row
+    groups never leave storage)."""
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+        filter=pc.field("event_type").isin(types))
+
+
+def _packed_keys(u: np.ndarray, dt: np.ndarray) -> np.ndarray | None:
+    """Pack (user_id, rebased-ts-us) into one sortable int64, or None
+    when the value ranges genuinely can't share 62 bits (then callers
+    take the per-user-segment path). A multi-year span is ~2^45 us, so
+    packing holds for up to ~2^17 users per partition band — and user_id
+    is the shuffle key, so each partition sees a small id set."""
+    if len(u) == 0:
+        return np.zeros(0, np.int64)
+    span_bits = max(1, int(dt.max()).bit_length())
+    u_bits = max(1, int(u.max()).bit_length())
+    if span_bits + u_bits > 62:
+        return None
+    return (u << np.int64(span_bits)) | dt
+
+
+def asof_match(sf_dir: str, left_type: str = "click",
+               right_type: str = "view") -> ray.data.Dataset:
+    """Per-key as-of join within events: for each ``left_type`` event,
+    the most recent ``right_type`` event of the SAME user at-or-before
+    its timestamp (tie on ts -> largest event_id; inner semantics —
+    unmatched left rows drop). Returns (event_id, matched_event_id,
+    matched_ts).
+
+    Ray Data has no as-of join; this is the documented composition
+    (SURVEY.md custom-operator rule): hash-partition on the join key so
+    each partition owns whole users, then ONE vectorized searchsorted
+    per partition over (user, ts) packed sort keys — no per-row Python,
+    no per-group map_groups calls. Partitioning assumption: all rows of
+    a user fit one partition (they do — the key IS user_id)."""
+    ds = _read_typed_events(sf_dir, [left_type, right_type])
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("matched_event_id", pa.int64()),
+                            ("matched_ts", pa.timestamp("us"))])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_id": pd.Series([], dtype=np.int64),
+             "matched_event_id": pd.Series([], dtype=np.int64),
+             "matched_ts": pd.Series([], dtype="datetime64[us]")})
+        if df.empty:
+            return empty
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        is_r = df["event_type"].to_numpy() == right_type
+        is_l = df["event_type"].to_numpy() == left_type
+        if not is_r.any() or not is_l.any():
+            return empty
+        dt = ts - ts.min()
+        keys = _packed_keys(u, dt)
+        if keys is None:                      # per-user fallback (rare)
+            order = np.lexsort((eid, ts, u))
+            out = []
+            ui, ti, ei = u[order], ts[order], eid[order]
+            ri, li = is_r[order], is_l[order]
+            for uu in np.unique(ui):
+                seg = np.flatnonzero(ui == uu)
+                r = seg[ri[seg]]
+                l = seg[li[seg]]
+                if len(r) == 0 or len(l) == 0:
+                    continue
+                pos = np.searchsorted(ti[r], ti[l], side="right") - 1
+                ok = pos >= 0
+                out.append((ei[l[ok]], ei[r[pos[ok]]], ti[r[pos[ok]]]))
+            if not out:
+                return empty
+            le, me, mt = (np.concatenate(x) for x in zip(*out))
+        else:
+            rk, re_, rt = keys[is_r], eid[is_r], ts[is_r]
+            order = np.lexsort((re_, rk))     # eid asc within equal key
+            rk, re_, rt = rk[order], re_[order], rt[order]
+            lk, le_, lu = keys[is_l], eid[is_l], u[is_l]
+            pos = np.searchsorted(rk, lk, side="right") - 1
+            ok = pos >= 0
+            # the hit must be the SAME user (a user with no earlier
+            # right rows would otherwise match the previous user's band)
+            ru_sorted = u[is_r][order]
+            ok[ok] &= ru_sorted[pos[ok]] == lu[ok]
+            le, me, mt = le_[ok], re_[pos[ok]], rt[pos[ok]]
+        return pd.DataFrame({
+            "event_id": le, "matched_event_id": me,
+            "matched_ts": mt.astype("datetime64[us]")})
+
+    return partitioned_group_map(ds, ["user_id"], block, 16,
+                                 out_schema=out_schema)
+
+
+def range_join(sf_dir: str, left_type: str = "error",
+               right_type: str = "click",
+               window_s: int = 3600) -> ray.data.Dataset:
+    """Interval (range) join within events: every (left, right) pair of
+    the same user with ``right.ts`` in ``[left.ts - window_s, left.ts]``.
+    Returns (event_id, near_event_id) — all qualifying pairs, a set, so
+    no tie-break is needed.
+
+    Same shape as ``asof_match``: hash-partition by user, one
+    searchsorted pair per partition for the window bounds, CSR-style
+    expansion (repeat + offset arithmetic) for the hits — output size
+    is the true join cardinality, never a per-user cross product."""
+    ds = _read_typed_events(sf_dir, [left_type, right_type])
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("near_event_id", pa.int64())])
+    w_us = np.int64(window_s) * 1_000_000
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_id": pd.Series([], dtype=np.int64),
+             "near_event_id": pd.Series([], dtype=np.int64)})
+        if df.empty:
+            return empty
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        is_r = df["event_type"].to_numpy() == right_type
+        is_l = df["event_type"].to_numpy() == left_type
+        if not is_r.any() or not is_l.any():
+            return empty
+        dt = ts - ts.min()
+        keys = _packed_keys(u, dt)
+        if keys is None:
+            # per-user fallback mirrors asof_match's; window via two
+            # searchsorted calls per user segment
+            order = np.lexsort((eid, ts, u))
+            ui, ti, ei = u[order], ts[order], eid[order]
+            ri, li = is_r[order], is_l[order]
+            out_l, out_r = [], []
+            for uu in np.unique(ui):
+                seg = np.flatnonzero(ui == uu)
+                r = seg[ri[seg]]
+                l = seg[li[seg]]
+                if len(r) == 0 or len(l) == 0:
+                    continue
+                lo = np.searchsorted(ti[r], ti[l] - w_us, side="left")
+                hi = np.searchsorted(ti[r], ti[l], side="right")
+                cnt = hi - lo
+                rows = np.repeat(np.arange(len(l)), cnt)
+                take = np.repeat(lo, cnt) + (np.arange(cnt.sum()) -
+                                             np.repeat(np.cumsum(cnt) - cnt, cnt))
+                out_l.append(ei[l[rows]])
+                out_r.append(ei[r[take]])
+            if not out_l:
+                return empty
+            return pd.DataFrame({"event_id": np.concatenate(out_l),
+                                 "near_event_id": np.concatenate(out_r)})
+        rk, re_ = keys[is_r], eid[is_r]
+        order = np.argsort(rk, kind="stable")
+        rk, re_ = rk[order], re_[order]
+        lk, le_ = keys[is_l], eid[is_l]
+        # window bounds in packed space: dt-w clamped at 0 stays inside
+        # the same user's band (no right row of the user sorts below it)
+        span_bits = max(1, int(dt.max()).bit_length())
+        base = (u[is_l] << np.int64(span_bits))
+        lo_k = np.maximum(lk - w_us, base)
+        lo = np.searchsorted(rk, lo_k, side="left")
+        hi = np.searchsorted(rk, lk, side="right")
+        cnt = hi - lo
+        rows = np.repeat(np.arange(len(le_)), cnt)
+        take = np.repeat(lo, cnt) + (np.arange(cnt.sum()) -
+                                     np.repeat(np.cumsum(cnt) - cnt, cnt))
+        return pd.DataFrame({"event_id": le_[rows],
+                             "near_event_id": re_[take]})
+
+    return partitioned_group_map(ds, ["user_id"], block, 16,
+                                 out_schema=out_schema)
+
+
 def orders_by_segment(sf_dir: str,
                       broadcast_max_bytes: int = 256_000_000
                       ) -> ray.data.Dataset:

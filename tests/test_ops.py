@@ -41,6 +41,7 @@ SQL_CHECKED = [
     "t_lang_id", "t_mislabel_flags", "media_decode_features",
     "media_external_probe",
     "e_windowed_counts", "e_sessionize", "j_orders_by_segment",
+    "e_asof_join", "e_range_join",
 ]
 
 
@@ -309,3 +310,65 @@ def test_windowed_counts_hour_boundaries(tmp_path):
         f"ORDER BY window_start").df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert list(got["n_events"]) == [1, 3, 1]
+
+
+def _write_events(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([pd.Timestamp(r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string())})
+    d = str(tmp_path)
+    pq.write_table(t, f"{d}/events.parquet")
+    return d
+
+
+def test_asof_tie_break_and_user_isolation(tmp_path):
+    """As-of semantics pinned: ts tie -> largest event_id wins; equal ts
+    matches (<=); a user with no prior 'view' must NOT match another
+    user's rows (packed-key band isolation)."""
+    from image_deduper_ray.pipelines.events import asof_match
+
+    d = _write_events(tmp_path, [
+        (1, "2024-01-01 10:00:00", 7, "view"),
+        (2, "2024-01-01 10:00:00", 7, "view"),   # tie: same ts as id=1
+        (3, "2024-01-01 10:00:00", 7, "click"),  # equal ts -> match id=2
+        (4, "2024-01-01 11:00:00", 7, "click"),  # -> still id=2
+        (5, "2024-01-01 09:00:00", 8, "click"),  # user 8 has no view
+        (6, "2024-01-01 12:00:00", 9, "view"),
+        (7, "2024-01-01 11:59:59", 9, "click"),  # view is later -> drop
+    ])
+    got = asof_match(d).to_pandas().sort_values("event_id",
+                                                ignore_index=True)
+    assert list(got["event_id"]) == [3, 4]
+    assert list(got["matched_event_id"]) == [2, 2]
+
+
+def test_asof_and_range_fallback_path(tmp_path):
+    """user_id magnitudes that cannot pack with the ts span into 62
+    bits route both operators through the per-user-segment fallback;
+    results must equal the DuckDB reconstruction either way."""
+    import duckdb
+    from image_deduper_ray.pipelines.events import asof_match, range_join
+
+    big = 1 << 55
+    d = _write_events(tmp_path, [
+        (1, "2024-01-01 10:00:00", big, "view"),
+        (2, "2024-01-01 10:30:00", big, "click"),
+        (3, "2024-01-01 10:00:10", big + 1, "click"),
+        (4, "2024-01-01 09:59:00", big + 1, "view"),
+        (5, "2024-01-01 10:40:00", big, "error"),  # click id=2 in window
+        (6, "2025-06-01 00:00:00", big, "view"),  # multi-year span
+        (7, "2025-06-01 00:00:01", big, "click"),
+    ])
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')")
+    import __ray_entry__ as entry
+
+    _compare(asof_match(d), entry.oracle_sql()["e_asof_join"], con)
+    _compare(range_join(d), entry.oracle_sql()["e_range_join"], con)
