@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -242,16 +243,26 @@ def near_dup_pairs(sf_dir: str, tau: float = 0.35, method: str = "auto",
     banded = ds.map_batches(sketch, batch_format="pyarrow",
                             zero_copy_batch=True)
 
-    def bucket_pairs(df):
-        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                              "b": pd.Series([], dtype=np.int64)})
-        if df.empty:
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pair_schema.empty_table()
+        if t.num_rows == 0:
             return empty
-        df = df.sort_values(["tbl", "bucket", "vec_id"], kind="mergesort")
-        key_t = df["tbl"].to_numpy(np.int32)
-        key_b = df["bucket"].to_numpy(np.int64)
-        ids = df["vec_id"].to_numpy(np.int64)
-        embs = df["embedding"].to_numpy()
+        # Arrow block fn: the embedding column stays a list<float>
+        # buffer through sort and slicing — ONE zero-copy-ish flatten
+        # to a (n, dim) matrix per partition, per-bucket rows are then
+        # contiguous views (no per-row Python, no object arrays).
+        idx = pc.sort_indices(
+            pa.table({"tbl": t["tbl"], "bucket": t["bucket"],
+                      "vec_id": t["vec_id"]}),
+            sort_keys=[("tbl", "ascending"), ("bucket", "ascending"),
+                       ("vec_id", "ascending")])
+        t = t.take(idx)
+        key_t = t["tbl"].to_numpy(zero_copy_only=False)
+        key_b = t["bucket"].to_numpy(zero_copy_only=False)
+        ids, M = _to_matrix(t)
+        N = _normalize(M)
         new = group_starts(key_t, key_b)
         bounds = np.append(np.flatnonzero(new), len(ids))
         out_a, out_b = [], []
@@ -259,21 +270,22 @@ def near_dup_pairs(sf_dir: str, tau: float = 0.35, method: str = "auto",
             lo, hi = bounds[s], bounds[s + 1]
             if hi - lo < 2:
                 continue
-            M = _normalize(np.stack(
-                [np.asarray(e, dtype=np.float64) for e in embs[lo:hi]]))
-            sims = M @ M.T
+            Nb = N[lo:hi]
+            sims = Nb @ Nb.T
             r, c = np.nonzero(np.triu(sims >= tau, k=1))
             bid = ids[lo:hi]
             out_a.append(bid[r])
             out_b.append(bid[c])
         if not out_a:
             return empty
-        return pd.DataFrame({"a": np.concatenate(out_a),
-                             "b": np.concatenate(out_b)})
+        return pa.table({"a": pa.array(np.concatenate(out_a)),
+                         "b": pa.array(np.concatenate(out_b))})
 
-    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
-    pairs = partitioned_group_map(banded, ["tbl", "bucket"], bucket_pairs,
-                                  32, out_schema=pair_schema)
+    from ..functions.groups import partitioned_group_map_arrow
+
+    pairs = partitioned_group_map_arrow(banded, ["tbl", "bucket"],
+                                        bucket_pairs, 32,
+                                        out_schema=pair_schema)
 
     def distinct_block(df):
         return df.drop_duplicates(["a", "b"])
