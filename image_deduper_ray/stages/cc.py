@@ -30,31 +30,32 @@ from ..config import DedupConfig
 
 
 def _driver_union_find(edge_batches) -> pd.DataFrame:
-    parent: dict = {}
-
-    def find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    nodes: set = set()
+    """Vectorized driver-side CC: factorize node ids (np.unique sorts,
+    so min label index == min node id), then min-label relaxation over
+    the edge arrays + pointer jumping until fixpoint — O(log n) rounds
+    of pure C kernels, no per-edge Python loop."""
+    parts_a, parts_b = [], []
     for batch in edge_batches:
-        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            nodes.add(a)
-            nodes.add(b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # min root wins => cluster_id = min(file_id) at the end
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-    rows = {"file_id": [], "cluster_id": []}
-    for x in sorted(nodes):
-        rows["file_id"].append(x)
-        rows["cluster_id"].append(find(x))
-    return pd.DataFrame(rows)
+        parts_a.append(batch["a"].to_numpy(zero_copy_only=False))
+        parts_b.append(batch["b"].to_numpy(zero_copy_only=False))
+    if not parts_a:
+        return pd.DataFrame({"file_id": [], "cluster_id": []})
+    a = np.concatenate(parts_a)
+    b = np.concatenate(parts_b)
+    uniq, idx = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = idx[:len(a)], idx[len(a):]
+    label = np.arange(len(uniq))
+    while True:
+        np.minimum.at(label, ai, label[bi])
+        np.minimum.at(label, bi, label[ai])
+        while True:  # pointer jumping: compress chains label -> root
+            new = label[label]
+            if np.array_equal(new, label):
+                break
+            label = new
+        if np.all(label[ai] == label[bi]):
+            break
+    return pd.DataFrame({"file_id": uniq, "cluster_id": uniq[label]})
 
 
 def _node_type(edges: ray.data.Dataset):
