@@ -372,3 +372,28 @@ def test_asof_and_range_fallback_path(tmp_path):
 
     _compare(asof_match(d), entry.oracle_sql()["e_asof_join"], con)
     _compare(range_join(d), entry.oracle_sql()["e_range_join"], con)
+
+
+def test_asof_and_range_random_tie_heavy(tmp_path):
+    """Randomized engine-vs-DuckDB comparison on tie-heavy data: few
+    users, timestamps on a coarse grid so equal-ts collisions (the
+    tie-break-sensitive case) occur constantly."""
+    import duckdb
+    import __ray_entry__ as entry
+    from image_deduper_ray.pipelines.events import asof_match, range_join
+
+    rng = np.random.default_rng(42)
+    n = 400
+    rows = []
+    base = pd.Timestamp("2024-01-01").value // 1000
+    for i in range(n):
+        ts_us = base + int(rng.integers(0, 50)) * 600_000_000  # 10-min grid
+        rows.append((i, pd.Timestamp(ts_us * 1000),
+                     int(rng.integers(0, 5)),
+                     str(rng.choice(["view", "click", "error"]))))
+    d = _write_events(tmp_path, rows)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')")
+    _compare(asof_match(d), entry.oracle_sql()["e_asof_join"], con)
+    _compare(range_join(d), entry.oracle_sql()["e_range_join"], con)
