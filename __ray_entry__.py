@@ -234,6 +234,15 @@ def _q_media_external(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_media_frames(sf_dir: str):
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (frame_sample,
+                                                     synth_media_table)
+
+    media = ray.data.from_arrow(synth_media_table(n=64))
+    return frame_sample(media, k=4)
+
+
 def _q_windowed_counts(sf_dir: str):
     from image_deduper_ray.pipelines.events import windowed_event_counts
     return windowed_event_counts(sf_dir)
@@ -283,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_groups": _q_simhash_groups,
         "media_decode_features": _q_media_decode,
         "media_external_probe": _q_media_external,
+        "media_frame_sample": _q_media_frames,
         "e_windowed_counts": _q_windowed_counts,
         "e_sessionize": _q_sessionize,
         "e_asof_join": _q_asof_join,
@@ -423,6 +433,19 @@ def oracle_sql() -> dict[str, str]:
             "1 + (CAST(i AS INT) % 4)) AS p FROM range(64) t(i)) "
             "SELECT media_id, sha256(p) AS ext_sha256, "
             "CAST(length(p) AS BIGINT) AS n_bytes FROM m",
+        "media_frame_sample":
+            "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
+            "CASE CAST(i AS INT) % 3 WHEN 0 THEN 'image' "
+            "WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+            "repeat(sha256('media-' || i || '-42'), "
+            "1 + (CAST(i AS INT) % 4)) AS p FROM range(64) t(i)), "
+            "f AS (SELECT media_id, p, CAST(CASE WHEN kind = 'image' "
+            "THEN 1 ELSE 1 + ((strpos('0123456789abcdef', "
+            "substr(sha256(p), 17, 1)) - 1) % 10) END AS BIGINT) "
+            "AS n_frames FROM m) "
+            "SELECT DISTINCT media_id, (j * n_frames) // 4 AS frame_idx, "
+            "sha256(p || ':' || ((j * n_frames) // 4)) AS frame_sha "
+            "FROM f, range(4) r(j) WHERE (j * n_frames) // 4 < n_frames",
         "e_windowed_counts":
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "COUNT(*) AS n_events, "

@@ -128,6 +128,61 @@ def decode_features(media: ray.data.Dataset, *, fake: bool = False,
         batch_size=MEDIA_BATCH_SIZE, concurrency=concurrency)
 
 
+class FrameSampleStage:
+    """Actor-pool frame/segment sampling — the temporal analog of the
+    decode stage's spatial resize (reference intent: adaptive downscale
+    before hashing, file_processing.rs:106-179). For each media row, up
+    to ``k`` evenly-strided frame indices are selected from its
+    ``n_frames`` (``floor(j * n_frames / k)``, j=0..k-1, distinct —
+    deterministic, so resume-safe and SQL-reproducible) and each
+    sampled frame gets a content address ``sha256(payload ':' idx)``.
+    Real frame extraction would replace `_frame_sha` with the codec
+    call; the addressing/explode plumbing is the tested part.
+    Output: (media_id, frame_idx, frame_sha) — payload dropped,
+    one row per sampled frame."""
+
+    def __init__(self, k: int = 4, frame_stride: int = 10):
+        self.k = k
+        self.frame_stride = frame_stride
+
+    def _n_frames(self, payload: bytes, kind: str) -> int:
+        if kind == "image":
+            return 1
+        hd = hashlib.sha256(payload).hexdigest()
+        return 1 + (int(hd[16], 16) % self.frame_stride)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_id, out_idx, out_sha = [], [], []
+        for mid, kind, payload in zip(ids, kinds, payloads):
+            p = payload or b""
+            n = self._n_frames(p, kind)
+            idxs = np.unique(np.arange(self.k, dtype=np.int64) * n // self.k)
+            idxs = idxs[idxs < n]
+            for ix in idxs:
+                out_id.append(mid)
+                out_idx.append(int(ix))
+                out_sha.append(hashlib.sha256(
+                    p + b":" + str(int(ix)).encode()).hexdigest())
+        return pa.table({
+            "media_id": pa.array(out_id, pa.int64()),
+            "frame_idx": pa.array(out_idx, pa.int64()),
+            "frame_sha": pa.array(out_sha, pa.string())})
+
+
+def frame_sample(media: ray.data.Dataset, *, k: int = 4,
+                 concurrency=(1, 4)) -> ray.data.Dataset:
+    """Wired frame-sampling stage: small batches, actor pool, output is
+    the exploded (media_id, frame_idx) table — downstream per-frame
+    feature stages consume it without ever re-reading whole payloads."""
+    return media.map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"k": k},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=MEDIA_BATCH_SIZE, concurrency=concurrency)
+
+
 class ExternalProbeStage:
     """External-process probe stage — the working instantiation of the
     reference's platform-tool pattern (M15: sips/qlmanage subprocess

@@ -39,7 +39,7 @@ SQL_CHECKED = [
     "ann_topk_cosine", "ann_topk_lsh", "ann_topk_ivf",
     "emb_near_dup_pairs", "ann_range_search", "minhash_lsh_clusters",
     "t_lang_id", "t_mislabel_flags", "media_decode_features",
-    "media_external_probe",
+    "media_external_probe", "media_frame_sample",
     "e_windowed_counts", "e_sessionize", "j_orders_by_segment",
     "e_asof_join", "e_range_join",
 ]
