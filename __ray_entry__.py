@@ -329,7 +329,9 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT doc_id FROM documents WHERE doc_id % 10 < 3)",
         "t_token_count":
             "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) "
-            "AS n_tokens FROM documents",
+            "AS n_tokens, len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subtokens "
+            "FROM documents",
         "t_quality":
             "SELECT doc_id, length(text) AS n_chars_actual, "
             "len(regexp_extract_all(text, '\\S+')) AS n_tokens, "

@@ -33,14 +33,23 @@ def read_documents(sf_dir: str, columns: list[str] | None = None) -> ray.data.Da
                                  columns=columns or DOCS_COLUMNS)
 
 
+_SUBTOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
 def token_count(sf_dir: str) -> ray.data.Dataset:
-    """(doc_id, n_tokens) — whitespace tokens, vectorized regex count."""
+    """(doc_id, n_tokens, n_subtokens) — whitespace tokens plus a
+    BPE-ish pre-tokenizer count (letter runs / digit runs / one token
+    per punctuation byte: the GPT-2-style split shape, a cheap proxy
+    for model token cost). Both are single vectorized RE2 counts —
+    identical regex semantics in Arrow and the DuckDB oracle."""
     ds = read_documents(sf_dir, ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
         n = pc.count_substring_regex(t["text"], _WS_TOKEN_RE)
+        s = pc.count_substring_regex(t["text"], _SUBTOKEN_RE)
         return pa.table({"doc_id": t["doc_id"],
-                         "n_tokens": n.cast(pa.int64())})
+                         "n_tokens": n.cast(pa.int64()),
+                         "n_subtokens": s.cast(pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
