@@ -258,6 +258,11 @@ def _q_orders_by_segment(sf_dir: str):
     return orders_by_segment(sf_dir)
 
 
+def _q_stratified_sample(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import stratified_sample
+    return stratified_sample(sf_dir)
+
+
 def _q_asof_join(sf_dir: str):
     from image_deduper_ray.pipelines.events import asof_match
     return asof_match(sf_dir)
@@ -282,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_fingerprint": _q_fingerprint,
         "t_lang_id": _q_lang_id,
         "t_mislabel_flags": _q_mislabel,
+        "t_stratified_sample": _q_stratified_sample,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ann_topk_cosine": _q_ann_topk,
         "ann_topk_lsh": _q_ann_lsh,
@@ -435,6 +441,12 @@ def oracle_sql() -> dict[str, str]:
             "1 + (CAST(i AS INT) % 4)) AS p FROM range(64) t(i)) "
             "SELECT media_id, sha256(p) AS ext_sha256, "
             "CAST(length(p) AS BIGINT) AS n_bytes FROM m",
+        "t_stratified_sample":
+            "SELECT doc_id, lang FROM ("
+            "  SELECT doc_id, lang, ROW_NUMBER() OVER ("
+            "    PARTITION BY lang "
+            "    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            "  FROM documents) WHERE rn <= 50",
         "media_frame_sample":
             "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
             "CASE CAST(i AS INT) % 3 WHEN 0 THEN 'image' "

@@ -107,15 +107,7 @@ def knn_brute(sf_dir: str, k: int = 10, num_queries: int = 8) -> ray.data.Datase
     cands = _read_embeddings(sf_dir).map_batches(
         partial_topk, batch_format="pyarrow", zero_copy_batch=True)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "neighbor_id", "rank"]]
-
-    return cands.groupby("query_id").map_groups(final_topk,
-                                                batch_format="pandas")
+    return _final_topk(cands, k)
 
 
 def range_search(sf_dir: str, tau: float = 0.35,
@@ -144,6 +136,39 @@ def range_search(sf_dir: str, tau: float = 0.35,
 
     return _read_embeddings(sf_dir).map_batches(
         emit, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _final_topk(cands: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    """Final per-query top-k over the (tiny) partial-candidate stream:
+    hash-partitioned block map (raw-task shuffle — Ray's sort-based
+    groupby costs seconds of fixed overhead for a handful of groups),
+    one vectorized sort + segmented rank per partition. Order
+    (sim desc, neighbor_id asc) matches the SQL oracle exactly."""
+    from ..functions.groups import group_starts, partitioned_group_map
+
+    out_schema = pa.schema([("query_id", pa.int64()),
+                            ("neighbor_id", pa.int64()),
+                            ("rank", pa.int64())])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "neighbor_id": pd.Series([], dtype=np.int64),
+                                 "rank": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["query_id", "sim", "neighbor_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        q = df["query_id"].to_numpy(np.int64)
+        new = group_starts(q)
+        starts = np.flatnonzero(new)
+        gidx = np.cumsum(new, dtype=np.int64) - 1
+        rank = np.arange(len(q), dtype=np.int64) - starts[gidx] + 1
+        keep = rank <= k
+        return pd.DataFrame({"query_id": q[keep],
+                             "neighbor_id": df["neighbor_id"].to_numpy(np.int64)[keep],
+                             "rank": rank[keep]})
+
+    return partitioned_group_map(cands, ["query_id"], block, 8,
+                                 out_schema=out_schema)
 
 
 def _as_arrow(block) -> pa.Table:
@@ -406,15 +431,7 @@ def knn_ivf(sf_dir: str, k: int = 10, num_queries: int = 8,
     cands = _read_embeddings(sf_dir).map_batches(
         partial_topk, batch_format="pyarrow", zero_copy_batch=True)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "neighbor_id", "rank"]]
-
-    return cands.groupby("query_id").map_groups(final_topk,
-                                                batch_format="pandas")
+    return _final_topk(cands, k)
 
 
 def knn_lsh(sf_dir: str, k: int = 10, num_queries: int = 8,
@@ -516,12 +533,4 @@ def knn_lsh(sf_dir: str, k: int = 10, num_queries: int = 8,
     cands = _read_embeddings(sf_dir).map_batches(
         candidates, batch_format="pyarrow", zero_copy_batch=True)
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "neighbor_id", "rank"]]
-
-    return cands.groupby("query_id").map_groups(final_topk,
-                                                batch_format="pandas")
+    return _final_topk(cands, k)

@@ -160,3 +160,48 @@ def mislabel_flags(sf_dir: str) -> ray.data.Dataset:
             "mismatch": pc.invert(pc.equal(t["lang"], pred))})
 
     return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(sf_dir: str, per_stratum: int = 50) -> ray.data.Dataset:
+    """Deterministic per-stratum quota sample: within each ``lang``,
+    keep the ``per_stratum`` docs that sort first in md5(doc_id) hash
+    order (tie -> doc_id). Hash-order selection makes the sample stable
+    across reruns, row order, partitioning and cluster topology — the
+    reproducibility property a training-data curation pass needs and a
+    ``random_shuffle().limit()`` sample has none of. One narrow-column
+    scan, one hash-partitioned shuffle on the stratum key, vectorized
+    segmented rank per partition. Returns (doc_id, lang)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.groups import group_starts, partitioned_group_map
+
+    ds = read_documents(sf_dir, ["doc_id", "lang"])
+
+    def add_hkey(t: pa.Table) -> pa.Table:
+        hk = [hashlib.md5(str(d).encode()).hexdigest()
+              for d in t["doc_id"].to_pylist()]
+        return t.append_column("hkey", pa.array(hk, pa.string()))
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "lang": pd.Series([], dtype=object)})
+        df = df.sort_values(["lang", "hkey", "doc_id"], kind="mergesort")
+        lang = df["lang"].to_numpy()
+        new = group_starts(lang)
+        starts = np.flatnonzero(new)
+        gidx = np.cumsum(new, dtype=np.int64) - 1
+        rank = np.arange(len(lang), dtype=np.int64) - starts[gidx] + 1
+        keep = rank <= per_stratum
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+                             "lang": lang[keep]})
+
+    keyed = ds.map_batches(add_hkey, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return partitioned_group_map(keyed, ["lang"], block, 8,
+                                 out_schema=out_schema)

@@ -41,7 +41,7 @@ SQL_CHECKED = [
     "t_lang_id", "t_mislabel_flags", "media_decode_features",
     "media_external_probe", "media_frame_sample",
     "e_windowed_counts", "e_sessionize", "j_orders_by_segment",
-    "e_asof_join", "e_range_join",
+    "e_asof_join", "e_range_join", "t_stratified_sample",
 ]
 
 
