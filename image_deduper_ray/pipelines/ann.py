@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..functions.groups import csr_expand
+
 
 def _read_embeddings(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -144,7 +146,7 @@ def _final_topk(cands: ray.data.Dataset, k: int) -> ray.data.Dataset:
     groupby costs seconds of fixed overhead for a handful of groups),
     one vectorized sort + segmented rank per partition. Order
     (sim desc, neighbor_id asc) matches the SQL oracle exactly."""
-    from ..functions.groups import group_starts, partitioned_group_map
+    from ..functions.groups import partitioned_group_map, segmented_rank
 
     out_schema = pa.schema([("query_id", pa.int64()),
                             ("neighbor_id", pa.int64()),
@@ -158,10 +160,7 @@ def _final_topk(cands: ray.data.Dataset, k: int) -> ray.data.Dataset:
         df = df.sort_values(["query_id", "sim", "neighbor_id"],
                             ascending=[True, False, True], kind="mergesort")
         q = df["query_id"].to_numpy(np.int64)
-        new = group_starts(q)
-        starts = np.flatnonzero(new)
-        gidx = np.cumsum(new, dtype=np.int64) - 1
-        rank = np.arange(len(q), dtype=np.int64) - starts[gidx] + 1
+        rank = segmented_rank(q)
         keep = rank <= k
         return pd.DataFrame({"query_id": q[keep],
                              "neighbor_id": df["neighbor_id"].to_numpy(np.int64)[keep],
@@ -504,13 +503,9 @@ def knn_lsh(sf_dir: str, k: int = 10, num_queries: int = 8,
             if len(ok) == 0:
                 continue
             lo, hi = offsets[pos[ok]], offsets[pos[ok] + 1]
-            counts = hi - lo
-            rows = np.repeat(ok, counts)
             # CSR gather: concatenated qj[lo_i:hi_i] ranges
-            take = np.repeat(lo, counts) + \
-                (np.arange(counts.sum()) -
-                 np.repeat(np.cumsum(counts) - counts, counts))
-            row_hits.append(rows)
+            rows_i, take = csr_expand(lo, hi)
+            row_hits.append(ok[rows_i])
             q_hits.append(qj[take])
         if not row_hits:
             return pa.table({"query_id": pa.array([], pa.int64()),

@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..functions.groups import group_starts, partitioned_group_map
+from ..functions.groups import csr_expand, group_starts, partitioned_group_map
 
 
 def windowed_event_counts(sf_dir: str,
@@ -109,19 +109,49 @@ def _read_typed_events(sf_dir: str, types: list[str]) -> ray.data.Dataset:
         filter=pc.field("event_type").isin(types))
 
 
-def _packed_keys(u: np.ndarray, dt: np.ndarray) -> np.ndarray | None:
-    """Pack (user_id, rebased-ts-us) into one sortable int64, or None
-    when the value ranges genuinely can't share 62 bits (then callers
-    take the per-user-segment path). A multi-year span is ~2^45 us, so
-    packing holds for up to ~2^17 users per partition band — and user_id
-    is the shuffle key, so each partition sees a small id set."""
+def _packed_keys(u: np.ndarray, dt: np.ndarray
+                 ) -> tuple[np.ndarray | None, np.int64]:
+    """Pack (user_id, rebased-ts-us) into one sortable int64. Returns
+    (keys, span_bits); keys is None when the value ranges genuinely
+    can't share 62 bits (callers then take the per-user-segment path).
+    span_bits is the single source of truth for the band layout — the
+    window clamp in range_join derives its band base from it. A
+    multi-year span is ~2^45 us, so packing holds for up to ~2^17 users
+    per partition band — and user_id is the shuffle key, so each
+    partition sees a small id set."""
     if len(u) == 0:
-        return np.zeros(0, np.int64)
-    span_bits = max(1, int(dt.max()).bit_length())
+        return np.zeros(0, np.int64), np.int64(1)
+    span_bits = np.int64(max(1, int(dt.max()).bit_length()))
     u_bits = max(1, int(u.max()).bit_length())
-    if span_bits + u_bits > 62:
-        return None
-    return (u << np.int64(span_bits)) | dt
+    if int(span_bits) + u_bits > 62:
+        return None, span_bits
+    return (u << span_bits) | dt, span_bits
+
+
+def _typed_arrays(df: pd.DataFrame, left_type: str, right_type: str):
+    """Shared column extraction for the temporal joins: int64 views of
+    (user, ts-us, event_id) plus the left/right type masks."""
+    u = df["user_id"].to_numpy(np.int64)
+    ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+    eid = df["event_id"].to_numpy(np.int64)
+    et = df["event_type"].to_numpy()
+    return u, ts, eid, et == left_type, et == right_type
+
+
+def _user_segments(u, ts, eid, is_l, is_r):
+    """Fallback segmentation when packed keys don't fit: yields
+    (l_idx, r_idx) ORIGINAL-index arrays per user, each ordered by
+    (ts, event_id), skipping users missing either side. The per-user
+    loop runs once per user in the partition, not per row."""
+    order = np.lexsort((eid, ts, u))
+    ui = u[order]
+    ri, li = is_r[order], is_l[order]
+    for uu in np.unique(ui):
+        seg = np.flatnonzero(ui == uu)
+        r = order[seg[ri[seg]]]
+        l = order[seg[li[seg]]]
+        if len(r) and len(l):
+            yield l, r
 
 
 def asof_match(sf_dir: str, left_type: str = "click",
@@ -150,29 +180,17 @@ def asof_match(sf_dir: str, left_type: str = "click",
              "matched_ts": pd.Series([], dtype="datetime64[us]")})
         if df.empty:
             return empty
-        u = df["user_id"].to_numpy(np.int64)
-        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
-        eid = df["event_id"].to_numpy(np.int64)
-        is_r = df["event_type"].to_numpy() == right_type
-        is_l = df["event_type"].to_numpy() == left_type
+        u, ts, eid, is_l, is_r = _typed_arrays(df, left_type, right_type)
         if not is_r.any() or not is_l.any():
             return empty
         dt = ts - ts.min()
-        keys = _packed_keys(u, dt)
+        keys, _ = _packed_keys(u, dt)
         if keys is None:                      # per-user fallback (rare)
-            order = np.lexsort((eid, ts, u))
             out = []
-            ui, ti, ei = u[order], ts[order], eid[order]
-            ri, li = is_r[order], is_l[order]
-            for uu in np.unique(ui):
-                seg = np.flatnonzero(ui == uu)
-                r = seg[ri[seg]]
-                l = seg[li[seg]]
-                if len(r) == 0 or len(l) == 0:
-                    continue
-                pos = np.searchsorted(ti[r], ti[l], side="right") - 1
+            for l, r in _user_segments(u, ts, eid, is_l, is_r):
+                pos = np.searchsorted(ts[r], ts[l], side="right") - 1
                 ok = pos >= 0
-                out.append((ei[l[ok]], ei[r[pos[ok]]], ti[r[pos[ok]]]))
+                out.append((eid[l[ok]], eid[r[pos[ok]]], ts[r[pos[ok]]]))
             if not out:
                 return empty
             le, me, mt = (np.concatenate(x) for x in zip(*out))
@@ -219,36 +237,21 @@ def range_join(sf_dir: str, left_type: str = "error",
              "near_event_id": pd.Series([], dtype=np.int64)})
         if df.empty:
             return empty
-        u = df["user_id"].to_numpy(np.int64)
-        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
-        eid = df["event_id"].to_numpy(np.int64)
-        is_r = df["event_type"].to_numpy() == right_type
-        is_l = df["event_type"].to_numpy() == left_type
+        u, ts, eid, is_l, is_r = _typed_arrays(df, left_type, right_type)
         if not is_r.any() or not is_l.any():
             return empty
         dt = ts - ts.min()
-        keys = _packed_keys(u, dt)
+        keys, span_bits = _packed_keys(u, dt)
         if keys is None:
             # per-user fallback mirrors asof_match's; window via two
             # searchsorted calls per user segment
-            order = np.lexsort((eid, ts, u))
-            ui, ti, ei = u[order], ts[order], eid[order]
-            ri, li = is_r[order], is_l[order]
             out_l, out_r = [], []
-            for uu in np.unique(ui):
-                seg = np.flatnonzero(ui == uu)
-                r = seg[ri[seg]]
-                l = seg[li[seg]]
-                if len(r) == 0 or len(l) == 0:
-                    continue
-                lo = np.searchsorted(ti[r], ti[l] - w_us, side="left")
-                hi = np.searchsorted(ti[r], ti[l], side="right")
-                cnt = hi - lo
-                rows = np.repeat(np.arange(len(l)), cnt)
-                take = np.repeat(lo, cnt) + (np.arange(cnt.sum()) -
-                                             np.repeat(np.cumsum(cnt) - cnt, cnt))
-                out_l.append(ei[l[rows]])
-                out_r.append(ei[r[take]])
+            for l, r in _user_segments(u, ts, eid, is_l, is_r):
+                lo = np.searchsorted(ts[r], ts[l] - w_us, side="left")
+                hi = np.searchsorted(ts[r], ts[l], side="right")
+                rows, take = csr_expand(lo, hi)
+                out_l.append(eid[l[rows]])
+                out_r.append(eid[r[take]])
             if not out_l:
                 return empty
             return pd.DataFrame({"event_id": np.concatenate(out_l),
@@ -257,17 +260,14 @@ def range_join(sf_dir: str, left_type: str = "error",
         order = np.argsort(rk, kind="stable")
         rk, re_ = rk[order], re_[order]
         lk, le_ = keys[is_l], eid[is_l]
-        # window bounds in packed space: dt-w clamped at 0 stays inside
-        # the same user's band (no right row of the user sorts below it)
-        span_bits = max(1, int(dt.max()).bit_length())
-        base = (u[is_l] << np.int64(span_bits))
+        # window bounds in packed space: dt-w clamped at the user's band
+        # base (from _packed_keys' span_bits) stays inside that user —
+        # no right row of the user sorts below it
+        base = u[is_l] << span_bits
         lo_k = np.maximum(lk - w_us, base)
         lo = np.searchsorted(rk, lo_k, side="left")
         hi = np.searchsorted(rk, lk, side="right")
-        cnt = hi - lo
-        rows = np.repeat(np.arange(len(le_)), cnt)
-        take = np.repeat(lo, cnt) + (np.arange(cnt.sum()) -
-                                     np.repeat(np.cumsum(cnt) - cnt, cnt))
+        rows, take = csr_expand(lo, hi)
         return pd.DataFrame({"event_id": le_[rows],
                              "near_event_id": re_[take]})
 

@@ -176,7 +176,7 @@ def stratified_sample(sf_dir: str, per_stratum: int = 50) -> ray.data.Dataset:
     import numpy as np
     import pandas as pd
 
-    from ..functions.groups import group_starts, partitioned_group_map
+    from ..functions.groups import partitioned_group_map, segmented_rank
 
     ds = read_documents(sf_dir, ["doc_id", "lang"])
 
@@ -193,11 +193,7 @@ def stratified_sample(sf_dir: str, per_stratum: int = 50) -> ray.data.Dataset:
                                  "lang": pd.Series([], dtype=object)})
         df = df.sort_values(["lang", "hkey", "doc_id"], kind="mergesort")
         lang = df["lang"].to_numpy()
-        new = group_starts(lang)
-        starts = np.flatnonzero(new)
-        gidx = np.cumsum(new, dtype=np.int64) - 1
-        rank = np.arange(len(lang), dtype=np.int64) - starts[gidx] + 1
-        keep = rank <= per_stratum
+        keep = segmented_rank(lang) <= per_stratum
         return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64)[keep],
                              "lang": lang[keep]})
 

@@ -160,7 +160,6 @@ class FrameSampleStage:
             p = payload or b""
             n = self._n_frames(p, kind)
             idxs = np.unique(np.arange(self.k, dtype=np.int64) * n // self.k)
-            idxs = idxs[idxs < n]
             for ix in idxs:
                 out_id.append(mid)
                 out_idx.append(int(ix))
