@@ -273,6 +273,26 @@ def _q_range_join(sf_dir: str):
     return range_join(sf_dir)
 
 
+def _q_topk_tokens(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import topk_tokens
+    return topk_tokens(sf_dir, k=20)
+
+
+def _q_vocab_stats(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import vocab_stats
+    return vocab_stats(sf_dir)
+
+
+def _q_token_quantiles(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import token_quantiles
+    return token_quantiles(sf_dir)
+
+
+def _q_top_docs(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import top_docs
+    return top_docs(sf_dir, limit=25)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -288,6 +308,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_lang_id": _q_lang_id,
         "t_mislabel_flags": _q_mislabel,
         "t_stratified_sample": _q_stratified_sample,
+        "t_topk_tokens": _q_topk_tokens,
+        "t_vocab_stats": _q_vocab_stats,
+        "t_token_quantiles": _q_token_quantiles,
+        "t_top_docs": _q_top_docs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ann_topk_cosine": _q_ann_topk,
         "ann_topk_lsh": _q_ann_lsh,
@@ -441,6 +465,43 @@ def oracle_sql() -> dict[str, str]:
             "1 + (CAST(i AS INT) % 4)) AS p FROM range(64) t(i)) "
             "SELECT media_id, sha256(p) AS ext_sha256, "
             "CAST(length(p) AS BIGINT) AS n_bytes FROM m",
+        "t_topk_tokens":
+            "WITH toks AS (SELECT lang, unnest(regexp_extract_all(text, "
+            "'\\S+')) AS token FROM documents), "
+            "cnt AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM toks GROUP BY lang, token) "
+            "SELECT lang, token, n, CAST(rn AS BIGINT) AS rank FROM ("
+            "  SELECT lang, token, n, ROW_NUMBER() OVER ("
+            "    PARTITION BY lang ORDER BY n DESC, token) AS rn FROM cnt) "
+            "WHERE rn <= 20",
+        "t_vocab_stats":
+            "WITH toks AS (SELECT lang, unnest(regexp_extract_all(text, "
+            "'\\S+')) AS token FROM documents), "
+            "cnt AS (SELECT lang, token, COUNT(*) AS n "
+            "FROM toks GROUP BY lang, token) "
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_distinct, "
+            "CAST(SUM(n) AS BIGINT) AS n_total, "
+            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_hapax FROM cnt GROUP BY lang",
+        "t_token_quantiles":
+            "WITH tc AS (SELECT lang, len(regexp_extract_all(text, "
+            "'\\S+')) AS n FROM documents) "
+            "SELECT lang, quantile_disc(n, 0.25) AS p25, "
+            "quantile_disc(n, 0.5) AS p50, quantile_disc(n, 0.75) AS p75, "
+            "quantile_disc(n, 0.9) AS p90, quantile_disc(n, 0.99) AS p99 "
+            "FROM tc GROUP BY lang",
+        "t_top_docs":
+            "WITH s AS (SELECT doc_id, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            "len(regexp_extract_all(lower(text), "
+            "'\\b(the|a|and|of|in|to|is|for|on|with)\\b')) AS n_stopwords "
+            "FROM documents) "
+            "SELECT doc_id, n_tokens, n_stopwords, CAST(rn AS BIGINT) "
+            "AS rank FROM ("
+            "  SELECT doc_id, n_tokens, n_stopwords, ROW_NUMBER() OVER ("
+            "    ORDER BY CAST(n_stopwords AS DOUBLE) / n_tokens DESC, "
+            "    doc_id) AS rn FROM s WHERE n_tokens > 0) "
+            "WHERE rn <= 25",
         "t_stratified_sample":
             "SELECT doc_id, lang FROM ("
             "  SELECT doc_id, lang, ROW_NUMBER() OVER ("

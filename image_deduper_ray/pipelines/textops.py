@@ -162,6 +162,284 @@ def mislabel_flags(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# --- corpus-level token statistics (vocabulary / heavy hitters) ------
+
+
+def token_counts_by_lang(sf_dir: str,
+                         num_partitions: int | None = None) -> ray.data.Dataset:
+    """(lang, token, n) — exact global token frequencies, the shared
+    input of the heavy-hitter and vocabulary operators. Combiner-first
+    shape: each batch pre-aggregates its own (lang, token) counts (a
+    C-speed pandas hash groupby), so only DISTINCT per-batch pairs cross
+    the wire; the shuffle then hash-partitions on (lang, token) and sums
+    partials per partition — the classic partial-agg-then-small-groupby
+    discipline. Tokenization is RE2 ``\\S+`` on both sides (Arrow
+    ``split_pattern_regex('\\s+')`` with boundary empties dropped ==
+    DuckDB ``regexp_extract_all('\\S+')``)."""
+    import numpy as np
+
+    from ..functions.groups import partitioned_sum
+
+    ds = read_documents(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "token": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(col, pattern=_NORM_WS_RE)
+        flat = toks.flatten()
+        row_idx = np.repeat(np.arange(t.num_rows),
+                            np.diff(toks.offsets.to_numpy()))
+        keep = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        if not keep.any():
+            return empty
+        import pandas as pd
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False)[row_idx[keep]],
+            "token": flat.filter(pa.array(keep)).to_pandas()})
+        cnt = df.groupby(["lang", "token"], sort=False).size().reset_index(name="n")
+        return pa.table({"lang": pa.array(cnt["lang"], pa.string()),
+                         "token": pa.array(cnt["token"], pa.string()),
+                         "n": pa.array(cnt["n"].to_numpy(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out_schema = pa.schema([("lang", pa.string()), ("token", pa.string()),
+                            ("n", pa.int64())])
+    summed = partitioned_sum(partials, ["lang", "token"], "n",
+                             num_partitions, out_schema=pa.schema(
+                                 [("lang", pa.string()),
+                                  ("token", pa.string()),
+                                  ("sum(n)", pa.int64())]))
+    return summed.map_batches(
+        lambda t: t.rename_columns(["lang", "token", "n"]),
+        batch_format="pyarrow")
+
+
+def topk_tokens(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """(lang, token, n, rank) — the k most frequent tokens per language
+    (heavy hitters), rank deterministic on (n desc, token asc). Stage 2
+    partitions the ALREADY-AGGREGATED (vocab-sized, not corpus-sized)
+    count table by lang so each language's top-k is exact in one
+    vectorized block."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.groups import partitioned_group_map, segmented_rank
+
+    counts = token_counts_by_lang(sf_dir)
+    out_schema = pa.schema([("lang", pa.string()), ("token", pa.string()),
+                            ("n", pa.int64()), ("rank", pa.int64())])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "rank": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["lang", "n", "token"],
+                            ascending=[True, False, True], kind="mergesort")
+        rank = segmented_rank(df["lang"].to_numpy())
+        keep = rank <= k
+        return pd.DataFrame({"lang": df["lang"].to_numpy()[keep],
+                             "token": df["token"].to_numpy()[keep],
+                             "n": df["n"].to_numpy(np.int64)[keep],
+                             "rank": rank[keep]})
+
+    return partitioned_group_map(counts, ["lang"], block, 8,
+                                 out_schema=out_schema)
+
+
+def vocab_stats(sf_dir: str) -> ray.data.Dataset:
+    """(lang, n_distinct, n_total, n_hapax) — vocabulary size, total
+    token volume and hapax-legomena count per language, reduced from the
+    same exact count table as ``topk_tokens``. The distinct count is
+    exact (token strings, not hashes, cross the combiner shuffle — the
+    per-batch pre-dedup bounds the volume)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.groups import group_starts, partitioned_group_map
+
+    counts = token_counts_by_lang(sf_dir)
+    out_schema = pa.schema([("lang", pa.string()),
+                            ("n_distinct", pa.int64()),
+                            ("n_total", pa.int64()),
+                            ("n_hapax", pa.int64())])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "n_distinct": pd.Series([], dtype=np.int64),
+                                 "n_total": pd.Series([], dtype=np.int64),
+                                 "n_hapax": pd.Series([], dtype=np.int64)})
+        df = df.sort_values("lang", kind="mergesort")
+        lang = df["lang"].to_numpy()
+        n = df["n"].to_numpy(np.int64)
+        new = group_starts(lang)
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(lang))).astype(np.int64)
+        return pd.DataFrame({
+            "lang": lang[starts],
+            "n_distinct": sizes,
+            "n_total": np.add.reduceat(n, starts),
+            "n_hapax": np.add.reduceat((n == 1).astype(np.int64), starts)})
+
+    return partitioned_group_map(counts, ["lang"], block, 8,
+                                 out_schema=out_schema)
+
+
+def token_quantiles(sf_dir: str,
+                    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+                    ) -> ray.data.Dataset:
+    """(lang, p25, p50, p75, p90, p99) — exact per-language quantiles of
+    per-doc token counts via a distributed HISTOGRAM, not a sort: token
+    counts have bounded cardinality, so each batch emits partial
+    (lang, n_tokens, cnt) rows, one hash-partitioned sum merges them,
+    and the per-lang quantile reads off the cumulative histogram. The
+    quantile rule is DuckDB's ``quantile_disc`` (Type-1: value at
+    1-based position ``ceil(q * n)``), so the result hash-matches the
+    SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.groups import (group_starts, partitioned_group_map,
+                                    partitioned_sum)
+
+    ds = read_documents(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        n = pc.count_substring_regex(t["text"], _WS_TOKEN_RE) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"lang": t["lang"].to_numpy(zero_copy_only=False),
+                           "n_tokens": n})
+        cnt = df.groupby(["lang", "n_tokens"], sort=False).size() \
+            .reset_index(name="cnt")
+        return pa.table({"lang": pa.array(cnt["lang"], pa.string()),
+                         "n_tokens": pa.array(cnt["n_tokens"].to_numpy(np.int64)),
+                         "cnt": pa.array(cnt["cnt"].to_numpy(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    hist = partitioned_sum(
+        partials, ["lang", "n_tokens"], "cnt", None,
+        out_schema=pa.schema([("lang", pa.string()),
+                              ("n_tokens", pa.int64()),
+                              ("sum(cnt)", pa.int64())])) \
+        .map_batches(lambda t: t.rename_columns(["lang", "n_tokens", "cnt"]),
+                     batch_format="pyarrow")
+
+    q_names = [f"p{int(q * 100)}" for q in qs]
+    out_schema = pa.schema([("lang", pa.string())] +
+                           [(nm, pa.int64()) for nm in q_names])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 **{nm: pd.Series([], dtype=np.int64)
+                                    for nm in q_names}})
+        df = df.sort_values(["lang", "n_tokens"], kind="mergesort")
+        lang = df["lang"].to_numpy()
+        vals = df["n_tokens"].to_numpy(np.int64)
+        cnt = df["cnt"].to_numpy(np.int64)
+        bounds = np.append(np.flatnonzero(group_starts(lang)), len(lang))
+        rows: dict[str, list] = {"lang": [], **{nm: [] for nm in q_names}}
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            cum = np.cumsum(cnt[lo:hi])
+            total = cum[-1]
+            rows["lang"].append(lang[lo])
+            for q, nm in zip(qs, q_names):
+                # quantile_disc: 1-based position ceil(q*n), float ceil
+                # mirroring DuckDB's double arithmetic
+                pos = int(np.ceil(np.float64(q) * total))
+                j = int(np.searchsorted(cum, max(pos, 1)))
+                rows[nm].append(vals[lo:hi][j])
+        return pd.DataFrame({"lang": rows["lang"],
+                             **{nm: np.array(rows[nm], np.int64)
+                                for nm in q_names}})
+
+    return partitioned_group_map(hist, ["lang"], block, 8,
+                                 out_schema=out_schema)
+
+
+def top_docs(sf_dir: str, limit: int = 25) -> ray.data.Dataset:
+    """(doc_id, n_tokens, n_stopwords, rank) — global top-N documents by
+    stopword ratio (a stand-in quality ranking) WITHOUT a global sort:
+    each batch keeps its local top-N candidates (one vectorized lexsort,
+    ties kept by doc_id), then one single-group reduce ranks the tiny
+    candidate union exactly. The ratio is float64 division of the same
+    integers on both sides, so ordering (and the hash) matches the SQL
+    oracle bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.groups import partitioned_group_map
+
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "n_stopwords": pa.array([], pa.int64()),
+                          "g": pa.array([], pa.int8())})
+        if t.num_rows == 0:
+            return empty
+        n_tok = pc.count_substring_regex(t["text"], _WS_TOKEN_RE) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n_sw = pc.count_substring_regex(
+            pc.utf8_lower(t["text"]), _STOPWORD_RE) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = n_tok > 0
+        ids, n_tok, n_sw = ids[ok], n_tok[ok], n_sw[ok]
+        if len(ids) == 0:
+            return empty
+        ratio = n_sw / n_tok
+        order = np.lexsort((ids, -ratio))[:limit]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "n_tokens": pa.array(n_tok[order]),
+                         "n_stopwords": pa.array(n_sw[order]),
+                         "g": pa.array(np.zeros(len(order), np.int8))})
+
+    cands = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                            ("n_stopwords", pa.int64()), ("rank", pa.int64())])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "n_tokens": pd.Series([], dtype=np.int64),
+                                 "n_stopwords": pd.Series([], dtype=np.int64),
+                                 "rank": pd.Series([], dtype=np.int64)})
+        ids = df["doc_id"].to_numpy(np.int64)
+        n_tok = df["n_tokens"].to_numpy(np.int64)
+        n_sw = df["n_stopwords"].to_numpy(np.int64)
+        order = np.lexsort((ids, -(n_sw / n_tok)))[:limit]
+        return pd.DataFrame({"doc_id": ids[order],
+                             "n_tokens": n_tok[order],
+                             "n_stopwords": n_sw[order],
+                             "rank": np.arange(1, len(order) + 1,
+                                               dtype=np.int64)})
+
+    # single logical group ("g" is constant): the reduce input is at most
+    # limit x num_blocks rows — bounded by construction, not by luck
+    return partitioned_group_map(cands, ["g"], final, 2,
+                                 out_schema=out_schema)
+
+
 def stratified_sample(sf_dir: str, per_stratum: int = 50) -> ray.data.Dataset:
     """Deterministic per-stratum quota sample: within each ``lang``,
     keep the ``per_stratum`` docs that sort first in md5(doc_id) hash

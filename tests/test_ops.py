@@ -42,6 +42,7 @@ SQL_CHECKED = [
     "media_external_probe", "media_frame_sample",
     "e_windowed_counts", "e_sessionize", "j_orders_by_segment",
     "e_asof_join", "e_range_join", "t_stratified_sample",
+    "t_topk_tokens", "t_vocab_stats", "t_token_quantiles", "t_top_docs",
 ]
 
 
