@@ -293,6 +293,16 @@ def _q_top_docs(sf_dir: str):
     return top_docs(sf_dir, limit=25)
 
 
+def _q_pricing_summary(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import pricing_summary
+    return pricing_summary(sf_dir)
+
+
+def _q_emb_dedup_canonical(sf_dir: str):
+    from image_deduper_ray.pipelines.ann import dedup_canonical
+    return dedup_canonical(sf_dir, tau=0.35)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -312,6 +322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_vocab_stats": _q_vocab_stats,
         "t_token_quantiles": _q_token_quantiles,
         "t_top_docs": _q_top_docs,
+        "l_pricing_summary": _q_pricing_summary,
+        "emb_dedup_canonical": _q_emb_dedup_canonical,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ann_topk_cosine": _q_ann_topk,
         "ann_topk_lsh": _q_ann_lsh,
@@ -502,6 +514,31 @@ def oracle_sql() -> dict[str, str]:
             "    ORDER BY CAST(n_stopwords AS DOUBLE) / n_tokens DESC, "
             "    doc_id) AS rn FROM s WHERE n_tokens > 0) "
             "WHERE rn <= 25",
+        "l_pricing_summary":
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sum_base_cents, "
+            "CAST(SUM(CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sum_disc_bp, "
+            "COUNT(*) AS n_rows FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus",
+        # emb_dedup_canonical: exact pair graph (same threshold as
+        # emb_near_dup_pairs) + recursive-CTE min-label components
+        "emb_dedup_canonical":
+            "WITH RECURSIVE jp AS ("
+            "  SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM embeddings a "
+            "  JOIN embeddings b ON a.vec_id < b.vec_id "
+            "  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "    CAST(b.embedding AS DOUBLE[])) >= 0.35), "
+            "edges AS (SELECT a_id AS s, b_id AS d FROM jp "
+            "  UNION ALL SELECT b_id, a_id FROM jp), "
+            "reach AS (SELECT vec_id AS v, vec_id AS r FROM embeddings "
+            "  UNION "
+            "  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.v) "
+            "SELECT v AS vec_id, CAST(MIN(r) AS BIGINT) AS canonical_id "
+            "FROM reach GROUP BY v",
         "t_stratified_sample":
             "SELECT doc_id, lang FROM ("
             "  SELECT doc_id, lang, ROW_NUMBER() OVER ("

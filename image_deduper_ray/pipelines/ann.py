@@ -318,6 +318,55 @@ def near_dup_pairs(sf_dir: str, tau: float = 0.35, method: str = "auto",
                                  out_schema=pair_schema)
 
 
+def dedup_canonical(sf_dir: str, tau: float = 0.35,
+                    method: str = "auto") -> ray.data.Dataset:
+    """Embedding-space dedup end to end (the SemDeDup-shaped pass):
+    near-dup pairs at cosine >= tau -> connected components -> every
+    vector labeled with its component's canonical representative
+    (min vec_id; singletons map to themselves). Returns
+    (vec_id, canonical_id): a vector survives dedup iff
+    vec_id == canonical_id.
+
+    Composition of existing scale-safe stages: distributed block-pair
+    (or LSH-bucketed) pair-gen, driver/distributed CC by edge count,
+    partitioned left hash join for the label attach — the full dataset
+    never materializes on the driver. Exact at current scale, so it
+    hash-matches the DuckDB recursive-CTE oracle."""
+    from ..config import DedupConfig
+    from ..functions.joins import hash_join
+    from ..stages.cc import connected_components
+
+    cfg = DedupConfig().resolved()
+    pairs = near_dup_pairs(sf_dir, tau=tau, method=method)
+    labels = connected_components(pairs, cfg)
+
+    lab = labels.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["file_id"], pa.string()),
+                            "canonical_id": pc.cast(t["cluster_id"],
+                                                    pa.int64())}),
+        batch_format="pyarrow")
+    ids = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id"])
+    left = ids.map_batches(
+        lambda t: pa.table({"vec_id": t["vec_id"],
+                            "k": pc.cast(t["vec_id"], pa.string())}),
+        batch_format="pyarrow")
+    j = hash_join(left, lab, "k", "node",
+                  pa.schema([("vec_id", pa.int64()), ("k", pa.string())]),
+                  pa.schema([("canonical_id", pa.int64())]), how="left",
+                  num_partitions=16)
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "canonical_id": pa.array([], pa.int64())})
+        canon = pc.coalesce(t["canonical_id"], t["vec_id"])
+        return pa.table({"vec_id": t["vec_id"],
+                         "canonical_id": pc.cast(canon, pa.int64())})
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
 def _spherical_kmeans(sample: np.ndarray, n_cells: int, iters: int = 5,
                       ) -> np.ndarray:
     """Deterministic spherical k-means on a (bounded) normalized sample:

@@ -15,7 +15,8 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["documents", "embeddings", "events", "orders", "customer"]:
+    for t in ["documents", "embeddings", "events", "orders", "customer",
+              "lineitem"]:
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
               f"read_parquet('{SF}/{t}.parquet')")
     return c
@@ -43,6 +44,7 @@ SQL_CHECKED = [
     "e_windowed_counts", "e_sessionize", "j_orders_by_segment",
     "e_asof_join", "e_range_join", "t_stratified_sample",
     "t_topk_tokens", "t_vocab_stats", "t_token_quantiles", "t_top_docs",
+    "l_pricing_summary", "emb_dedup_canonical",
 ]
 
 
@@ -398,3 +400,31 @@ def test_asof_and_range_random_tie_heavy(tmp_path):
             f"read_parquet('{d}/events.parquet')")
     _compare(asof_match(d), entry.oracle_sql()["e_asof_join"], con)
     _compare(range_join(d), entry.oracle_sql()["e_range_join"], con)
+
+
+def test_emb_dedup_canonical_invariants():
+    """Structural invariants of the embedding dedup assignment, on top
+    of the exact oracle equality: canonical is the component min (so
+    never exceeds the member id), canonicals map to themselves, and the
+    survivor set equals the distinct canonical set."""
+    from image_deduper_ray.pipelines.ann import dedup_canonical
+
+    df = dedup_canonical(SF, tau=0.35).to_pandas()
+    assert (df["canonical_id"] <= df["vec_id"]).all()
+    canon = dict(zip(df["vec_id"], df["canonical_id"]))
+    assert all(canon[c] == c for c in df["canonical_id"].unique())
+    survivors = set(df.loc[df.vec_id == df.canonical_id, "vec_id"])
+    assert survivors == set(df["canonical_id"].unique())
+
+
+def test_dedup_canonical_lsh_route_runs():
+    """The LSH-bucketed scale route produces a full assignment with the
+    same invariants (approximate pair graph, so labels may differ from
+    exact — the structure must not)."""
+    from image_deduper_ray.pipelines.ann import dedup_canonical
+
+    df = dedup_canonical(SF, tau=0.35, method="lsh").to_pandas()
+    assert len(df) == 500
+    assert (df["canonical_id"] <= df["vec_id"]).all()
+    canon = dict(zip(df["vec_id"], df["canonical_id"]))
+    assert all(canon[c] == c for c in df["canonical_id"].unique())
