@@ -293,6 +293,16 @@ def _q_top_docs(sf_dir: str):
     return top_docs(sf_dir, limit=25)
 
 
+def _q_containment_pairs(sf_dir: str):
+    import pyarrow as pa
+    from image_deduper_ray.functions.arrow_utils import collect_arrow
+    from image_deduper_ray.pipelines.docdedup import containment_pairs
+
+    return collect_arrow(containment_pairs(sf_dir),
+                         pa.schema([("inner_doc_id", pa.int64()),
+                                    ("host_doc_id", pa.int64())]))
+
+
 def _q_pricing_summary(sf_dir: str):
     from image_deduper_ray.pipelines.relational import pricing_summary
     return pricing_summary(sf_dir)
@@ -322,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_vocab_stats": _q_vocab_stats,
         "t_token_quantiles": _q_token_quantiles,
         "t_top_docs": _q_top_docs,
+        "doc_containment_pairs": _q_containment_pairs,
         "l_pricing_summary": _q_pricing_summary,
         "emb_dedup_canonical": _q_emb_dedup_canonical,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -514,6 +525,16 @@ def oracle_sql() -> dict[str, str]:
             "    ORDER BY CAST(n_stopwords AS DOUBLE) / n_tokens DESC, "
             "    doc_id) AS rn FROM s WHERE n_tokens > 0) "
             "WHERE rn <= 25",
+        # doc_containment_pairs: candidate completeness rests on the
+        # shingle premise (contained text spans >= 3 tokens, embeds on
+        # whitespace boundaries); the exact substring verify guarantees
+        # zero false positives, and the oracle equality at sf0.001/0.01
+        # is the coverage gate.
+        "doc_containment_pairs":
+            "SELECT a.doc_id AS inner_doc_id, b.doc_id AS host_doc_id "
+            "FROM documents a JOIN documents b ON a.doc_id <> b.doc_id "
+            "AND length(a.text) >= 64 AND length(a.text) < length(b.text) "
+            "AND strpos(b.text, a.text) > 0",
         "l_pricing_summary":
             "SELECT l_returnflag, l_linestatus, "
             "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "

@@ -292,22 +292,21 @@ def simhash_groups(sf_dir: str, max_hamming: int = 3,
     return j.map_batches(fin, batch_format="pyarrow")
 
 
-def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.1,
+def _gram_intersections(sf_dir: str, n: int = 3,
                         df_cap: int | None = None,
                         num_partitions: int = 16) -> ray.data.Dataset:
-    """Exact word n-gram Jaccard pairs (a < b, jaccard >= tau) via the
-    distributed inverted-index formulation, single streaming pass:
-    explode distinct n-grams with the per-doc distinct-gram count |A|
-    CARRIED ON EVERY GRAM ROW (known at emission — no count shuffle, no
-    driver dict, no materialization), groupby(gram) emits co-occurrence
-    pairs carrying (|A|, |B|), groupby(pair) counts the intersection and
-    filters Jaccard = i / (|A| + |B| - i). Exact (no LSH loss), so it
-    hash-matches the DuckDB self-join oracle.
+    """(a, b, ca, cb, inter) per co-occurring doc pair (a < b): the
+    distributed inverted-index core shared by the Jaccard and
+    containment operators, single streaming pass: explode distinct
+    n-grams with the per-doc distinct-gram count |A| CARRIED ON EVERY
+    GRAM ROW (known at emission — no count shuffle, no driver dict, no
+    materialization), groupby(gram) emits co-occurrence pairs carrying
+    (|A|, |B|), groupby(pair) counts the intersection.
 
     ``df_cap``: document-frequency cap — grams shared by more than
     df_cap docs are skipped in pair-gen (the stopword-ish skew guard for
-    the 100-TB regime). Default None = exact, matching the oracle,
-    which joins all grams too."""
+    the 100-TB regime). Default None = exact, matching the oracles,
+    which join all grams too."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
@@ -390,27 +389,152 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.1,
 
     cooc_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                              ("ca", pa.int64()), ("cb", pa.int64())])
-    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    inter_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                              ("ca", pa.int64()), ("cb", pa.int64()),
+                              ("inter", pa.int64())])
     pairs = partitioned_group_map(exploded, ["gram"], cooccur_block,
                                   num_partitions, out_schema=cooc_schema)
 
-    def count_filter_block(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                              "b": pd.Series([], dtype=np.int64)})
+    def count_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                              for c in ["a", "b", "ca", "cb", "inter"]})
         if df.empty:
             return empty
         df = df.sort_values(["a", "b"], kind="mergesort")
         a = df["a"].to_numpy(np.int64)
         b = df["b"].to_numpy(np.int64)
-        ca = df["ca"].to_numpy(np.int64)
-        cb = df["cb"].to_numpy(np.int64)
         new = group_starts(a, b)
         gidx = np.cumsum(new, dtype=np.int32) - 1
         inter = np.bincount(gidx).astype(np.int64)
-        ua, ub = a[new], b[new]
-        union = ca[new] + cb[new] - inter
-        keep = (union > 0) & (inter / np.maximum(union, 1) >= tau)
-        return pd.DataFrame({"a": ua[keep], "b": ub[keep]})
+        return pd.DataFrame({"a": a[new], "b": b[new],
+                             "ca": df["ca"].to_numpy(np.int64)[new],
+                             "cb": df["cb"].to_numpy(np.int64)[new],
+                             "inter": inter})
 
-    return partitioned_group_map(pairs, ["a", "b"], count_filter_block,
-                                 num_partitions, out_schema=pair_schema)
+    return partitioned_group_map(pairs, ["a", "b"], count_block,
+                                 num_partitions, out_schema=inter_schema)
+
+
+def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.1,
+                        df_cap: int | None = None,
+                        num_partitions: int = 16) -> ray.data.Dataset:
+    """Exact word n-gram Jaccard pairs (a < b, jaccard >= tau) over the
+    shared inverted-index intersections: filter
+    Jaccard = i / (|A| + |B| - i) >= tau. Exact (no LSH loss), so it
+    hash-matches the DuckDB self-join oracle."""
+    inter = _gram_intersections(sf_dir, n, df_cap, num_partitions)
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def jac_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        i = t["inter"].to_numpy(zero_copy_only=False)
+        union = (t["ca"].to_numpy(zero_copy_only=False)
+                 + t["cb"].to_numpy(zero_copy_only=False) - i)
+        keep = (union > 0) & (i / np.maximum(union, 1) >= tau)
+        return pa.table({"a": pa.array(t["a"].to_numpy(
+            zero_copy_only=False)[keep]),
+            "b": pa.array(t["b"].to_numpy(zero_copy_only=False)[keep])})
+
+    return inter.map_batches(jac_filter, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def containment_pairs(sf_dir: str, n: int = 3, min_len: int = 64,
+                      num_partitions: int = 16) -> ray.data.Dataset:
+    """Verbatim-containment pairs (inner_doc_id, host_doc_id): inner's
+    full text occurs as a substring of host's (strictly longer) text —
+    the quote / embedded-document detector MinHash structurally misses
+    when |inner| << |host| (Jaccard ~ |inner|/|host|). Document-level
+    analog of the flagship's suffix-array containment pass
+    (stages/substring.py; SURVEY.md §7.1 step 8).
+
+    Candidate generation is the shared n-gram inverted index: inner ⊆
+    host requires (with whitespace-aligned embedding) every distinct
+    n-gram of inner to appear in host, so candidates are intersection
+    rows with inter == |A| (either direction). The tiny candidate set
+    then gets contents attached (partitioned hash join — full texts
+    only ever ship for candidates) and each pair is verified with an
+    exact C-speed substring scan, so false candidates die and the
+    result matches the DuckDB strpos oracle. Assumption (documented,
+    verified against the oracle at both test scales): the contained
+    text spans >= n tokens and embeds on whitespace boundaries — the
+    same token-alignment premise every shingle-based dedup makes."""
+    from ..functions.joins import hash_join
+
+    inter = _gram_intersections(sf_dir, n, None, num_partitions)
+
+    cand_schema = pa.schema([("inner_id", pa.int64()),
+                             ("host_id", pa.int64())])
+
+    def cands(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cand_schema.empty_table()
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        ca = t["ca"].to_numpy(zero_copy_only=False)
+        cb = t["cb"].to_numpy(zero_copy_only=False)
+        i = t["inter"].to_numpy(zero_copy_only=False)
+        a_in_b = i == ca          # all of a's grams occur in b
+        b_in_a = i == cb
+        return pa.table({
+            "inner_id": pa.array(np.concatenate([a[a_in_b], b[b_in_a]])
+                                 .astype(np.int64)),
+            "host_id": pa.array(np.concatenate([b[a_in_b], a[b_in_a]])
+                                .astype(np.int64))})
+
+    cand = inter.map_batches(cands, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    inner_txt = docs.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.string()),
+                            "inner_text": t["text"]}),
+        batch_format="pyarrow")
+    host_txt = docs.map_batches(
+        lambda t: pa.table({"node2": pc.cast(t["doc_id"], pa.string()),
+                            "host_text": t["text"]}),
+        batch_format="pyarrow")
+
+    j1 = hash_join(
+        cand.map_batches(
+            lambda t: t.append_column("k", pc.cast(t["inner_id"],
+                                                   pa.string())),
+            batch_format="pyarrow"),
+        inner_txt, "k", "node",
+        pa.schema([("inner_id", pa.int64()), ("host_id", pa.int64()),
+                   ("k", pa.string())]),
+        pa.schema([("inner_text", pa.string())]), how="inner",
+        num_partitions=num_partitions)
+    j2 = hash_join(
+        j1.map_batches(
+            lambda t: t.append_column("k2", pc.cast(t["host_id"],
+                                                    pa.string())),
+            batch_format="pyarrow"),
+        host_txt, "k2", "node2",
+        pa.schema([("inner_id", pa.int64()), ("host_id", pa.int64()),
+                   ("inner_text", pa.string()), ("k2", pa.string())]),
+        pa.schema([("host_text", pa.string())]), how="inner",
+        num_partitions=num_partitions)
+
+    out_schema = pa.schema([("inner_doc_id", pa.int64()),
+                            ("host_doc_id", pa.int64())])
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        inner = t["inner_text"].to_pylist()
+        host = t["host_text"].to_pylist()
+        ii = t["inner_id"].to_numpy(zero_copy_only=False)
+        hh = t["host_id"].to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (len(x) >= min_len and len(x) < len(h) and x in h
+             for x, h in zip(inner, host)), dtype=bool, count=len(inner))
+        return pa.table({"inner_doc_id": pa.array(ii[keep].astype(np.int64)),
+                         "host_doc_id": pa.array(hh[keep].astype(np.int64))})
+
+    verified = j2.map_batches(verify, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    # zero-match results must still carry the schema
+    return ray.data.from_arrow(out_schema.empty_table()).union(verified)

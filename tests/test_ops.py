@@ -44,7 +44,7 @@ SQL_CHECKED = [
     "e_windowed_counts", "e_sessionize", "j_orders_by_segment",
     "e_asof_join", "e_range_join", "t_stratified_sample",
     "t_topk_tokens", "t_vocab_stats", "t_token_quantiles", "t_top_docs",
-    "l_pricing_summary", "emb_dedup_canonical",
+    "l_pricing_summary", "emb_dedup_canonical", "doc_containment_pairs",
 ]
 
 
@@ -428,3 +428,62 @@ def test_dedup_canonical_lsh_route_runs():
     assert (df["canonical_id"] <= df["vec_id"]).all()
     canon = dict(zip(df["vec_id"], df["canonical_id"]))
     assert all(canon[c] == c for c in df["canonical_id"].unique())
+
+
+def test_containment_pairs_planted(tmp_path):
+    """Planted containments: inner docs embedded verbatim inside hosts
+    (start / middle / end, whitespace-aligned) plus decoys — engine must
+    equal the DuckDB strpos oracle on a corpus it has never seen."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entry
+    from image_deduper_ray.pipelines.docdedup import containment_pairs
+
+    inner = "alpha beta gamma delta epsilon zeta eta theta " \
+            "iota kappa lambda mu nu xi omicron pi"
+    assert len(inner) >= 64
+    docs = [
+        (0, inner),                                   # the contained doc
+        (1, inner + " rho sigma tau upsilon phi"),    # host: prefix
+        (2, "pre amble words here " + inner),         # host: suffix
+        (3, "left side " + inner + " right side"),    # host: middle
+        (4, "unrelated content " + " ".join(f"w{i}" for i in range(30))),
+        (5, inner.replace("delta", "DELTA") + " extra tail words here"),
+    ]
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([x for _, x in docs], pa.string()),
+                  "lang": pa.array(["en"] * len(docs)),
+                  "source": pa.array(["t"] * len(docs)),
+                  "n_chars": pa.array([len(x) for _, x in docs], pa.int64())})
+    d = str(tmp_path)
+    pq.write_table(t, f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    _compare(containment_pairs(d),
+             entry.oracle_sql()["doc_containment_pairs"], con)
+
+
+def test_containment_pairs_midtoken_limit(tmp_path):
+    """The documented boundary of the shingle premise: a host embedding
+    the inner text WITHOUT a whitespace boundary ("xx" + inner) is a
+    strpos hit the gram candidates cannot see. Pin the behavior: the
+    engine returns the aligned hosts and skips the mid-token one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from image_deduper_ray.pipelines.docdedup import containment_pairs
+
+    inner = "alpha beta gamma delta epsilon zeta eta theta " \
+            "iota kappa lambda mu nu xi omicron pi"
+    docs = [(0, inner), (1, "ok host " + inner), (2, "xx" + inner)]
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([x for _, x in docs], pa.string()),
+                  "lang": pa.array(["en"] * 3),
+                  "source": pa.array(["t"] * 3),
+                  "n_chars": pa.array([len(x) for _, x in docs], pa.int64())})
+    d = str(tmp_path)
+    pq.write_table(t, f"{d}/documents.parquet")
+    got = set(map(tuple, containment_pairs(d).to_pandas().to_numpy()))
+    assert (0, 1) in got
+    assert (0, 2) not in got   # mid-token embed: outside the premise
