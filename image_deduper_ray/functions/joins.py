@@ -91,3 +91,82 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     return partitioned_group_map_arrow(both, [_KEY], merge_block,
                                        num_partitions,
                                        out_schema=out_schema)
+
+
+def broadcast_attach_i64(left: ray.data.Dataset, key_left: str,
+                         right: ray.data.Dataset, key_right: str,
+                         val_col: str, out_col: str,
+                         max_bytes: int = 64 << 20,
+                         num_partitions: int | None = None
+                         ) -> ray.data.Dataset:
+    """Left-attach ONE int64 value column by int64 key. The common
+    dedup shape — attach cluster labels (small: only nodes that appear
+    in an edge) to the full id stream — does not need a shuffle at all:
+    the right side is collected streaming under ``max_bytes``, sorted
+    once, broadcast once via ``ray.put``, and every batch resolves with
+    a vectorized searchsorted. Past the byte cap it falls back to the
+    partitioned ``hash_join`` (both routes produce identical output:
+    ``out_col`` is null where the key has no match)."""
+    import ray as _ray
+
+    keys_parts, vals_parts, total, fits = [], [], 0, True
+    for b in right.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows == 0 or key_right not in b.column_names:
+            continue
+        k = b[key_right].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        total += k.nbytes + v.nbytes
+        if total > max_bytes:
+            fits = False
+            break
+        keys_parts.append(k)
+        vals_parts.append(v)
+
+    out_field = pa.field(out_col, pa.int64())
+
+    if not fits:
+        key_str = "__battach_k"
+        l2 = left.map_batches(
+            lambda t: t.append_column(
+                key_str, t[key_left].cast(pa.string())),
+            batch_format="pyarrow", zero_copy_batch=True)
+        r2 = right.map_batches(
+            lambda t: pa.table({
+                "__battach_rk": t[key_right].cast(pa.string()),
+                out_col: t[val_col].cast(pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        s = left.schema(fetch_if_missing=True)
+        lschema = pa.schema(list(zip(s.names, s.types))
+                            + [(key_str, pa.string())])
+        j = hash_join(l2, r2, key_str, "__battach_rk", lschema,
+                      pa.schema([out_field]), how="left",
+                      num_partitions=num_partitions)
+        return j.map_batches(lambda t: t.drop_columns([key_str]),
+                             batch_format="pyarrow")
+
+    if keys_parts:
+        ks = np.concatenate(keys_parts)
+        vs = np.concatenate(vals_parts)
+        order = np.argsort(ks, kind="stable")
+        ks, vs = ks[order], vs[order]
+    else:
+        ks = np.empty(0, np.int64)
+        vs = np.empty(0, np.int64)
+    ref = _ray.put((ks, vs))
+
+    def attach(t: pa.Table) -> pa.Table:
+        ks_, vs_ = _ray.get(ref)
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        ids = t[key_left].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ks_) == 0:
+            return t.append_column(out_col, pa.nulls(n, pa.int64()))
+        pos = np.searchsorted(ks_, ids).clip(0, len(ks_) - 1)
+        hit = ks_[pos] == ids
+        return t.append_column(
+            out_col, pa.array(vs_[pos], pa.int64(),
+                              mask=~hit))
+
+    return left.map_batches(attach, batch_format="pyarrow",
+                            zero_copy_batch=True)

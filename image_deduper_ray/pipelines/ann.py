@@ -176,17 +176,30 @@ def _as_arrow(block) -> pa.Table:
     return pa.Table.from_pandas(block, preserve_index=False)
 
 
+def _concat_blocks(blocks: list) -> pa.Table:
+    ts = [_as_arrow(b) for b in blocks]
+    ts = [t for t in ts if t.num_rows > 0 and "vec_id" in t.column_names]
+    if not ts:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "embedding": pa.array([], pa.list_(pa.float32()))})
+    return pa.concat_tables(ts) if len(ts) > 1 else ts[0]
+
+
 @ray.remote
-def _block_pair_task(tau: float, block_a, block_b, same: bool) -> pa.Table:
-    """Exact cosine pairs >= tau between two blocks (one block-pair of
-    the distributed all-pairs tiling). Blocks arrive as plasma object
-    refs — zero-copy reads, nothing routed through the driver."""
-    ids_a, Ma = _to_matrix(_as_arrow(block_a))
+def _block_pair_task(tau: float, refs_a: list, refs_b: list,
+                     same: bool) -> pa.Table:
+    """Exact cosine pairs >= tau between two block GROUPS (one tile of
+    the distributed all-pairs tiling). Each group is a list of plasma
+    object refs (the driver coalesces the dataset's blocks into
+    ~sqrt(2*CPUs) groups so the tile count is O(CPUs), not
+    O(blocks^2) — hundreds of confetti tasks cost more in scheduling
+    and per-block executor overhead than the matmuls they carry)."""
+    ids_a, Ma = _to_matrix(_concat_blocks(ray.get(refs_a)))
     if same:
         ids_b, Nb = ids_a, _normalize(Ma)
         Na = Nb
     else:
-        ids_b, Mb = _to_matrix(_as_arrow(block_b))
+        ids_b, Mb = _to_matrix(_concat_blocks(ray.get(refs_b)))
         Na, Nb = _normalize(Ma), _normalize(Mb)
     if len(ids_a) == 0 or len(ids_b) == 0:
         return pa.table({"a": pa.array([], pa.int64()),
@@ -233,11 +246,18 @@ def near_dup_pairs(sf_dir: str, tau: float = 0.35, method: str = "auto",
         if not refs:
             return ray.data.from_arrow(pa.table({
                 "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
+        # coalesce blocks into g groups with g*(g+1)/2 ~ 2*CPUs tiles:
+        # task count tracks the cluster, not the reader's block count
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        g = max(1, min(len(refs), int(np.ceil(np.sqrt(4.0 * cpus)))))
+        per = (len(refs) + g - 1) // g
+        groups = [refs[i:i + per] for i in range(0, len(refs), per)]
         out = []
-        for i in range(len(refs)):
-            for j in range(i, len(refs)):
+        for i in range(len(groups)):
+            for j in range(i, len(groups)):
                 out.append(_block_pair_task.remote(
-                    tau, refs[i], refs[j], i == j))
+                    tau, groups[i], groups[j], i == j))
         return ray.data.from_arrow_refs(out)
 
     # --- LSH-bucketed route (scale path) ---
@@ -328,33 +348,23 @@ def dedup_canonical(sf_dir: str, tau: float = 0.35,
     vec_id == canonical_id.
 
     Composition of existing scale-safe stages: distributed block-pair
-    (or LSH-bucketed) pair-gen, driver/distributed CC by edge count,
-    partitioned left hash join for the label attach — the full dataset
-    never materializes on the driver. Exact at current scale, so it
-    hash-matches the DuckDB recursive-CTE oracle."""
+    (or LSH-bucketed) pair-gen, driver/distributed CC by edge count, and
+    a byte-capped broadcast label attach (labels cover only clustered
+    nodes; past the cap it degrades to the partitioned hash join) — the
+    full dataset never materializes on the driver. Exact at current
+    scale, so it hash-matches the DuckDB recursive-CTE oracle."""
     from ..config import DedupConfig
-    from ..functions.joins import hash_join
+    from ..functions.joins import broadcast_attach_i64
     from ..stages.cc import connected_components
 
     cfg = DedupConfig().resolved()
     pairs = near_dup_pairs(sf_dir, tau=tau, method=method)
     labels = connected_components(pairs, cfg)
 
-    lab = labels.map_batches(
-        lambda t: pa.table({"node": pc.cast(t["file_id"], pa.string()),
-                            "canonical_id": pc.cast(t["cluster_id"],
-                                                    pa.int64())}),
-        batch_format="pyarrow")
     ids = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id"])
-    left = ids.map_batches(
-        lambda t: pa.table({"vec_id": t["vec_id"],
-                            "k": pc.cast(t["vec_id"], pa.string())}),
-        batch_format="pyarrow")
-    j = hash_join(left, lab, "k", "node",
-                  pa.schema([("vec_id", pa.int64()), ("k", pa.string())]),
-                  pa.schema([("canonical_id", pa.int64())]), how="left",
-                  num_partitions=16)
+    j = broadcast_attach_i64(ids, "vec_id", labels, "file_id",
+                             "cluster_id", "canonical_id")
 
     def fin(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

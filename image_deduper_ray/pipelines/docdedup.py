@@ -177,7 +177,7 @@ def simhash_groups(sf_dir: str, max_hamming: int = 3,
     pHash Hamming intent (src/processing/types.rs:22-43)."""
     cfg = (cfg or DedupConfig()).resolved()
     from ..functions.groups import group_starts, partitioned_group_map
-    from ..functions.joins import hash_join
+    from ..functions.joins import broadcast_attach_i64
     from ..stages.cc import connected_components
     from .dedup import compute_signatures
 
@@ -268,18 +268,11 @@ def simhash_groups(sf_dir: str, max_hamming: int = 3,
     # label-prop are idempotent per edge) — no dedup shuffle needed
     labels = connected_components(pairs, cfg)
 
-    lab = labels.map_batches(
-        lambda t: pa.table({"node": pc.cast(t["file_id"], pa.string()),
-                            "group_id": pc.cast(t["cluster_id"], pa.int64())}),
-        batch_format="pyarrow")
     left = sig.map_batches(
-        lambda t: pa.table({"doc_id": t["doc_id"],
-                            "k": pc.cast(t["doc_id"], pa.string())}),
+        lambda t: pa.table({"doc_id": t["doc_id"]}),
         batch_format="pyarrow")
-    j = hash_join(left, lab, "k", "node",
-                  pa.schema([("doc_id", pa.int64()), ("k", pa.string())]),
-                  pa.schema([("group_id", pa.int64())]), how="left",
-                  num_partitions=16)
+    j = broadcast_attach_i64(left, "doc_id", labels, "file_id",
+                             "cluster_id", "group_id")
 
     def fin(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
