@@ -476,11 +476,46 @@ def containment_pairs(sf_dir: str, n: int = 3, min_len: int = 64,
             "host_id": pa.array(np.concatenate([b[a_in_b], a[b_in_a]])
                                 .astype(np.int64))})
 
+    # candidate pairs are tiny (full-cover intersections only) —
+    # materialize them so the id-prune scan below doesn't re-run the
+    # gram shuffle, then semi-join prune the text table: broadcast the
+    # candidate-id set and filter, so full texts only ever ship for
+    # candidates (not the whole corpus through two join shuffles).
+    # Past the byte cap the prune is skipped — identical result, the
+    # joins just carry more.
     cand = inter.map_batches(cands, batch_format="pyarrow",
-                             zero_copy_batch=True)
+                             zero_copy_batch=True).materialize()
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
+
+    id_parts, total, fits = [], 0, True
+    for b in cand.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        k = np.concatenate([
+            b["inner_id"].to_numpy(zero_copy_only=False),
+            b["host_id"].to_numpy(zero_copy_only=False)]).astype(np.int64)
+        total += k.nbytes
+        if total > 64 << 20:
+            fits = False
+            break
+        id_parts.append(k)
+    if fits:
+        uniq = np.unique(np.concatenate(id_parts)) if id_parts \
+            else np.empty(0, np.int64)
+        ids_ref = ray.put(uniq)
+
+        def prune(t: pa.Table) -> pa.Table:
+            u = ray.get(ids_ref)
+            if t.num_rows == 0 or len(u) == 0:
+                return t.slice(0, 0)
+            d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(u, d).clip(0, len(u) - 1)
+            return t.filter(pa.array(u[pos] == d))
+
+        docs = docs.map_batches(prune, batch_format="pyarrow",
+                                zero_copy_batch=True)
     inner_txt = docs.map_batches(
         lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.string()),
                             "inner_text": t["text"]}),
