@@ -204,3 +204,47 @@ def test_fid64_collision_expansion():
         assert (ids[0], ids[2]) in got
         if cap > 0:  # broadcast path expands the colliding endpoint
             assert (ids[1], ids[2]) in got
+
+
+def test_broadcast_attach_i64_routes():
+    """Both routes of the byte-capped broadcast attach (broadcast and
+    hash-join fallback) produce identical left-join semantics: matched
+    keys get the value, unmatched get null, duplicate right keys
+    resolve deterministically."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from image_deduper_ray.functions.joins import broadcast_attach_i64
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([5, 1, 9, 7], pa.int64()),
+        "payload": pa.array(["a", "b", "c", "d"])}))
+    right = ray.data.from_arrow(pa.table({
+        "node": pa.array([1, 9], pa.int64()),
+        "lbl": pa.array([100, 900], pa.int64())}))
+
+    for cap in (1 << 30, 0):  # broadcast path, then forced join path
+        out = broadcast_attach_i64(left, "k", right, "node", "lbl",
+                                   "lbl_out", max_bytes=cap) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        assert out["k"].tolist() == [1, 5, 7, 9]
+        got = {int(k): (None if pd.isna(v) else int(v))
+               for k, v in zip(out["k"], out["lbl_out"])}
+        assert got == {1: 100, 5: None, 7: None, 9: 900}
+        assert "payload" in out.columns
+
+
+def test_broadcast_attach_i64_empty_right():
+    import pyarrow as pa
+    import ray.data
+
+    from image_deduper_ray.functions.joins import broadcast_attach_i64
+
+    left = ray.data.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "node": pa.array([], pa.int64()), "lbl": pa.array([], pa.int64())}))
+    out = broadcast_attach_i64(left, "k", right, "node", "lbl",
+                               "lbl_out").to_pandas()
+    assert len(out) == 2
+    assert out["lbl_out"].isna().all()
