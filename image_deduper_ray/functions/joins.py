@@ -93,6 +93,28 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
                                        out_schema=out_schema)
 
 
+def collect_i64_under_cap(ds: ray.data.Dataset, cols: list[str],
+                          max_bytes: int) -> list[np.ndarray] | None:
+    """Stream-collect int64 columns of a (presumed-small) dataset onto
+    the driver under a byte budget. Returns the concatenated arrays, or
+    ``None`` the moment the budget is exceeded — the caller falls back
+    to a distributed route. The shared guard for every
+    broadcast-small-side optimization (label attach, semi-join prune)."""
+    parts: list[list[np.ndarray]] = [[] for _ in cols]
+    total = 0
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows == 0 or any(c not in b.column_names for c in cols):
+            continue
+        for i, c in enumerate(cols):
+            a = b[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            parts[i].append(a)
+            total += a.nbytes
+        if total > max_bytes:
+            return None
+    return [np.concatenate(p) if p else np.empty(0, np.int64)
+            for p in parts]
+
+
 def broadcast_attach_i64(left: ray.data.Dataset, key_left: str,
                          right: ray.data.Dataset, key_right: str,
                          val_col: str, out_col: str,
@@ -105,22 +127,18 @@ def broadcast_attach_i64(left: ray.data.Dataset, key_left: str,
     the right side is collected streaming under ``max_bytes``, sorted
     once, broadcast once via ``ray.put``, and every batch resolves with
     a vectorized searchsorted. Past the byte cap it falls back to the
-    partitioned ``hash_join`` (both routes produce identical output:
-    ``out_col`` is null where the key has no match)."""
+    partitioned ``hash_join``.
+
+    Right keys are expected UNIQUE (cluster labels are): left-join
+    semantics then match on both routes (``out_col`` null where the key
+    has no match). With duplicate right keys the two routes pick one
+    value differently (broadcast: first in stream order; fallback:
+    arbitrary shuffle-arrival order) — don't rely on it."""
     import ray as _ray
 
-    keys_parts, vals_parts, total, fits = [], [], 0, True
-    for b in right.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        if b.num_rows == 0 or key_right not in b.column_names:
-            continue
-        k = b[key_right].to_numpy(zero_copy_only=False).astype(np.int64)
-        v = b[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        total += k.nbytes + v.nbytes
-        if total > max_bytes:
-            fits = False
-            break
-        keys_parts.append(k)
-        vals_parts.append(v)
+    collected = collect_i64_under_cap(right, [key_right, val_col],
+                                      max_bytes)
+    fits = collected is not None
 
     out_field = pa.field(out_col, pa.int64())
 
@@ -144,14 +162,9 @@ def broadcast_attach_i64(left: ray.data.Dataset, key_left: str,
         return j.map_batches(lambda t: t.drop_columns([key_str]),
                              batch_format="pyarrow")
 
-    if keys_parts:
-        ks = np.concatenate(keys_parts)
-        vs = np.concatenate(vals_parts)
-        order = np.argsort(ks, kind="stable")
-        ks, vs = ks[order], vs[order]
-    else:
-        ks = np.empty(0, np.int64)
-        vs = np.empty(0, np.int64)
+    ks, vs = collected
+    order = np.argsort(ks, kind="stable")
+    ks, vs = ks[order], vs[order]
     ref = _ray.put((ks, vs))
 
     def attach(t: pa.Table) -> pa.Table:

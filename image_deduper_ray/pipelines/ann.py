@@ -247,10 +247,19 @@ def near_dup_pairs(sf_dir: str, tau: float = 0.35, method: str = "auto",
             return ray.data.from_arrow(pa.table({
                 "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
         # coalesce blocks into g groups with g*(g+1)/2 ~ 2*CPUs tiles:
-        # task count tracks the cluster, not the reader's block count
+        # task count tracks the cluster, not the reader's block count —
+        # BUT each tile allocates a dense (rows/g)^2 float64 sim matrix,
+        # so g also scales with row count to cap tile memory (~2 GB at
+        # max_group_rows=16k) regardless of how the reader blocked the
+        # input.
         cpus = int(ray.cluster_resources().get("CPU", 8)) \
             if ray.is_initialized() else 8
-        g = max(1, min(len(refs), int(np.ceil(np.sqrt(4.0 * cpus)))))
+        n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet") \
+            .metadata.num_rows
+        max_group_rows = 16384
+        g = max(1, int(np.ceil(np.sqrt(4.0 * cpus))),
+                int(np.ceil(n_rows / max_group_rows)))
+        g = min(g, len(refs))
         per = (len(refs) + g - 1) // g
         groups = [refs[i:i + per] for i in range(0, len(refs), per)]
         out = []

@@ -287,7 +287,10 @@ def simhash_groups(sf_dir: str, max_hamming: int = 3,
 
 def _gram_intersections(sf_dir: str, n: int = 3,
                         df_cap: int | None = None,
-                        num_partitions: int = 16) -> ray.data.Dataset:
+                        num_partitions: int = 16,
+                        finalize=None,
+                        out_schema: pa.Schema | None = None
+                        ) -> ray.data.Dataset:
     """(a, b, ca, cb, inter) per co-occurring doc pair (a < b): the
     distributed inverted-index core shared by the Jaccard and
     containment operators, single streaming pass: explode distinct
@@ -295,6 +298,12 @@ def _gram_intersections(sf_dir: str, n: int = 3,
     GRAM ROW (known at emission — no count shuffle, no driver dict, no
     materialization), groupby(gram) emits co-occurrence pairs carrying
     (|A|, |B|), groupby(pair) counts the intersection.
+
+    ``finalize`` (with its ``out_schema``): optional pandas -> pandas
+    reduction applied INSIDE the pair-reduce task, so selective callers
+    (the Jaccard tau filter) discard losing pairs before they are ever
+    serialized to the object store — co-occurring pairs vastly
+    outnumber survivors on stopword-ish grams.
 
     ``df_cap``: document-frequency cap — grams shared by more than
     df_cap docs are skipped in pair-gen (the stopword-ish skew guard for
@@ -392,20 +401,22 @@ def _gram_intersections(sf_dir: str, n: int = 3,
         empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
                               for c in ["a", "b", "ca", "cb", "inter"]})
         if df.empty:
-            return empty
+            return finalize(empty) if finalize else empty
         df = df.sort_values(["a", "b"], kind="mergesort")
         a = df["a"].to_numpy(np.int64)
         b = df["b"].to_numpy(np.int64)
         new = group_starts(a, b)
         gidx = np.cumsum(new, dtype=np.int32) - 1
         inter = np.bincount(gidx).astype(np.int64)
-        return pd.DataFrame({"a": a[new], "b": b[new],
-                             "ca": df["ca"].to_numpy(np.int64)[new],
-                             "cb": df["cb"].to_numpy(np.int64)[new],
-                             "inter": inter})
+        out = pd.DataFrame({"a": a[new], "b": b[new],
+                            "ca": df["ca"].to_numpy(np.int64)[new],
+                            "cb": df["cb"].to_numpy(np.int64)[new],
+                            "inter": inter})
+        return finalize(out) if finalize else out
 
     return partitioned_group_map(pairs, ["a", "b"], count_block,
-                                 num_partitions, out_schema=inter_schema)
+                                 num_partitions,
+                                 out_schema=out_schema or inter_schema)
 
 
 def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.1,
@@ -413,24 +424,22 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.1,
                         num_partitions: int = 16) -> ray.data.Dataset:
     """Exact word n-gram Jaccard pairs (a < b, jaccard >= tau) over the
     shared inverted-index intersections: filter
-    Jaccard = i / (|A| + |B| - i) >= tau. Exact (no LSH loss), so it
-    hash-matches the DuckDB self-join oracle."""
-    inter = _gram_intersections(sf_dir, n, df_cap, num_partitions)
+    Jaccard = i / (|A| + |B| - i) >= tau INSIDE the pair-reduce task
+    (losing pairs never reach the object store). Exact (no LSH loss),
+    so it hash-matches the DuckDB self-join oracle."""
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
-    def jac_filter(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pair_schema.empty_table()
-        i = t["inter"].to_numpy(zero_copy_only=False)
-        union = (t["ca"].to_numpy(zero_copy_only=False)
-                 + t["cb"].to_numpy(zero_copy_only=False) - i)
+    def jac_filter(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["inter"].to_numpy(np.int64)
+        union = (df["ca"].to_numpy(np.int64)
+                 + df["cb"].to_numpy(np.int64) - i)
         keep = (union > 0) & (i / np.maximum(union, 1) >= tau)
-        return pa.table({"a": pa.array(t["a"].to_numpy(
-            zero_copy_only=False)[keep]),
-            "b": pa.array(t["b"].to_numpy(zero_copy_only=False)[keep])})
+        return pd.DataFrame({"a": df["a"].to_numpy(np.int64)[keep],
+                             "b": df["b"].to_numpy(np.int64)[keep]})
 
-    return inter.map_batches(jac_filter, batch_format="pyarrow",
-                             zero_copy_batch=True)
+    return _gram_intersections(sf_dir, n, df_cap, num_partitions,
+                               finalize=jac_filter,
+                               out_schema=pair_schema)
 
 
 def containment_pairs(sf_dir: str, n: int = 3, min_len: int = 64,
@@ -489,21 +498,12 @@ def containment_pairs(sf_dir: str, n: int = 3, min_len: int = 64,
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
-    id_parts, total, fits = [], 0, True
-    for b in cand.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        if b.num_rows == 0:
-            continue
-        k = np.concatenate([
-            b["inner_id"].to_numpy(zero_copy_only=False),
-            b["host_id"].to_numpy(zero_copy_only=False)]).astype(np.int64)
-        total += k.nbytes
-        if total > 64 << 20:
-            fits = False
-            break
-        id_parts.append(k)
-    if fits:
-        uniq = np.unique(np.concatenate(id_parts)) if id_parts \
-            else np.empty(0, np.int64)
+    from ..functions.joins import collect_i64_under_cap
+
+    collected = collect_i64_under_cap(cand, ["inner_id", "host_id"],
+                                      max_bytes=64 << 20)
+    if collected is not None:
+        uniq = np.unique(np.concatenate(collected))
         ids_ref = ray.put(uniq)
 
         def prune(t: pa.Table) -> pa.Table:

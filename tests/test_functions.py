@@ -208,9 +208,9 @@ def test_fid64_collision_expansion():
 
 def test_broadcast_attach_i64_routes():
     """Both routes of the byte-capped broadcast attach (broadcast and
-    hash-join fallback) produce identical left-join semantics: matched
-    keys get the value, unmatched get null, duplicate right keys
-    resolve deterministically."""
+    hash-join fallback) produce identical left-join semantics on
+    unique right keys (the documented contract): matched keys get the
+    value, unmatched get null."""
     import pandas as pd
     import pyarrow as pa
     import ray.data
