@@ -293,6 +293,11 @@ def _q_top_docs(sf_dir: str):
     return top_docs(sf_dir, limit=25)
 
 
+def _q_dedup_report(sf_dir: str):
+    from image_deduper_ray.pipelines.docdedup import dedup_report
+    return dedup_report(sf_dir)
+
+
 def _q_containment_pairs(sf_dir: str):
     import pyarrow as pa
     from image_deduper_ray.functions.arrow_utils import collect_arrow
@@ -333,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_token_quantiles": _q_token_quantiles,
         "t_top_docs": _q_top_docs,
         "doc_containment_pairs": _q_containment_pairs,
+        "a5_dedup_report": _q_dedup_report,
         "l_pricing_summary": _q_pricing_summary,
         "emb_dedup_canonical": _q_emb_dedup_canonical,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -525,6 +531,11 @@ def oracle_sql() -> dict[str, str]:
             "    ORDER BY CAST(n_stopwords AS DOUBLE) / n_tokens DESC, "
             "    doc_id) AS rn FROM s WHERE n_tokens > 0) "
             "WHERE rn <= 25",
+        "a5_dedup_report":
+            "SELECT source, COUNT(*) AS n_docs, "
+            "CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_unique, "
+            "COUNT(*) - CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) "
+            "AS n_dup_docs FROM documents GROUP BY source",
         # doc_containment_pairs: candidate completeness rests on the
         # shingle premise (contained text spans >= 3 tokens, embeds on
         # whitespace boundaries); the exact substring verify guarantees

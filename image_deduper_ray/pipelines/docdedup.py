@@ -114,6 +114,73 @@ def exact_dedup_keep_first(sf_dir: str) -> ray.data.Dataset:
         out_schema=pa.schema([("doc_id", pa.int64())]))
 
 
+def dedup_report(sf_dir: str,
+                 num_partitions: int | None = None) -> ray.data.Dataset:
+    """(source, n_docs, n_unique, n_dup_docs) — the per-source dedup
+    rate: how many docs each source contributes and how many distinct
+    contents that is (A5 metrics-counter analog,
+    /root/reference/crates/image-deduper-core/src/lib.rs:131-259 rollup,
+    keyed like a per-corpus quality report). Combiner-first: each batch
+    pre-aggregates (source, sha256) rows, one hash-partitioned sum
+    merges partials, and a per-source reduce counts distinct hashes —
+    sha strings cross the wire once, already deduplicated per batch."""
+    from ..functions.groups import (group_starts, partitioned_group_map,
+                                    partitioned_sum)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "sha256": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "sha256": hashing.sha256_hex(t["text"].to_pylist())})
+        cnt = df.groupby(["source", "sha256"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.table({"source": pa.array(cnt["source"], pa.string()),
+                         "sha256": pa.array(cnt["sha256"], pa.string()),
+                         "n": pa.array(cnt["n"].to_numpy(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    summed = partitioned_sum(
+        partials, ["source", "sha256"], "n", num_partitions,
+        out_schema=pa.schema([("source", pa.string()),
+                              ("sha256", pa.string()),
+                              ("sum(n)", pa.int64())])) \
+        .map_batches(lambda t: t.rename_columns(["source", "sha256", "n"]),
+                     batch_format="pyarrow")
+
+    out_schema = pa.schema([("source", pa.string()),
+                            ("n_docs", pa.int64()),
+                            ("n_unique", pa.int64()),
+                            ("n_dup_docs", pa.int64())])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 **{c: pd.Series([], dtype=np.int64)
+                                    for c in ["n_docs", "n_unique",
+                                              "n_dup_docs"]}})
+        df = df.sort_values("source", kind="mergesort")
+        src = df["source"].to_numpy()
+        n = df["n"].to_numpy(np.int64)
+        starts = np.flatnonzero(group_starts(src))
+        sizes = np.diff(np.append(starts, len(src))).astype(np.int64)
+        totals = np.add.reduceat(n, starts)
+        return pd.DataFrame({"source": src[starts],
+                             "n_docs": totals,
+                             "n_unique": sizes,
+                             "n_dup_docs": totals - sizes})
+
+    return partitioned_group_map(summed, ["source"], block, 8,
+                                 out_schema=out_schema)
+
+
 def minhash_lsh_clusters(sf_dir: str, out_dir: str,
                          cfg: DedupConfig | None = None) -> ray.data.Dataset:
     """The full flagship pipeline (signatures -> salted LSH -> verify ->

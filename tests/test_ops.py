@@ -45,6 +45,7 @@ SQL_CHECKED = [
     "e_asof_join", "e_range_join", "t_stratified_sample",
     "t_topk_tokens", "t_vocab_stats", "t_token_quantiles", "t_top_docs",
     "l_pricing_summary", "emb_dedup_canonical", "doc_containment_pairs",
+    "a5_dedup_report",
 ]
 
 
