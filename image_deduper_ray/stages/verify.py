@@ -137,12 +137,21 @@ def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
     sig_bytes = n_sigs * cfg.num_perms * 8
     if sig_bytes <= cfg.verify_broadcast_max_bytes:
         # parallel pack: one task per block converts (file_id, minhash)
-        # to (S32 ids, uint64 matrix) on the WORKERS; the driver only
-        # concatenates numpy buffers (memcpy) — no serial per-row
-        # deserialization on the driver.
+        # to (S32 ids, uint64 matrix) on the WORKERS. The matrices are
+        # NEVER concatenated or reordered: they stay as per-part plasma
+        # objects, and only a small sorted (id -> part, row) INDEX is
+        # built on one worker (~40 B/row). The previous design's serial
+        # concat + sorted gather of the full matrix was the pipeline's
+        # single biggest fixed cost: 2 x matrix_bytes of single-thread
+        # memcpy on the critical path at every cluster size (measured
+        # 15-80 s at 345 k x 128 on this host's constrained memory
+        # bandwidth), which is exactly the kind of non-parallelizable
+        # term that caps N->4N scaling efficiency. Row gathers now
+        # happen inside the (parallel) scoring tasks, reading the part
+        # objects zero-copy from plasma.
         P = cfg.num_perms
 
-        @ray.remote
+        @ray.remote(num_returns=2)
         def _pack(block):
             t = block if isinstance(block, pa.Table) \
                 else pa.Table.from_pandas(block)
@@ -154,26 +163,36 @@ def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
                     _sig_of(t["minhash"], P))
 
         @ray.remote
-        def _combine(*parts):
-            parts = [p for p in parts if len(p[0])]
-            if parts:
-                ids = np.concatenate([p[0] for p in parts])
-                mat = np.concatenate([p[1] for p in parts])
-            else:
-                ids = np.empty(0, dtype="S32")
-                mat = np.empty((0, P), np.uint64)
+        def _index(*id_parts):
+            sizes = [len(x) for x in id_parts]
+            n = sum(sizes)
+            if n == 0:
+                return (np.empty(0, dtype="S32"),
+                        np.empty(0, np.int32), np.empty(0, np.int32))
+            ids = np.concatenate(id_parts)
+            part_of = np.repeat(np.arange(len(id_parts), dtype=np.int32),
+                                sizes)
+            row_of = np.concatenate(
+                [np.arange(s, dtype=np.int32) for s in sizes])
             order = np.argsort(ids)
-            return (ids[order], np.ascontiguousarray(mat[order]))
+            return (ids[order], part_of[order], row_of[order])
 
         bundles = sigs.select_columns(["file_id", "minhash"]) \
             .iter_internal_ref_bundles()
         refs = [r for bundle in bundles for r in bundle.block_refs]
-        # combine on a WORKER: the driver holds only the ObjectRef. A
-        # driver-side get+put round-trips the full matrix through the
-        # driver heap and re-allocates it in plasma — measured ~10s on
-        # a churned object store (post-shuffle) vs ~1s fresh.
-        ref = _combine.remote(*[_pack.remote(r) for r in refs])
+        packed = [_pack.remote(r) for r in refs]
+        mat_refs = [m for _, m in packed]
+        index_ref = _index.remote(*[i for i, _ in packed])
         tau, cont_min = cfg.jaccard_threshold, cfg.containment_est_jaccard_min
+
+        def _gather(parts, part_of, row_of, pos):
+            out = np.empty((len(pos), P), np.uint64)
+            pidx = part_of[pos]
+            ridx = row_of[pos]
+            for q in np.unique(pidx):
+                m = pidx == q
+                out[m] = parts[q][ridx[m]]
+            return out
 
         def score(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
@@ -181,13 +200,20 @@ def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
                                  "b": pa.array([], pa.string()),
                                  "jaccard": pa.array([], pa.float64()),
                                  "verdict": pa.array([], pa.string())})
-            sids, smat = ray.get(ref)
+            sids, part_of, row_of = ray.get(index_ref)
+            parts = ray.get(mat_refs)   # plasma views, zero-copy local
             a = np.array(batch["a"].to_pylist(), dtype="S32")
             b = np.array(batch["b"].to_pylist(), dtype="S32")
-            pa_ = np.searchsorted(sids, a).clip(0, len(sids) - 1)
-            pb_ = np.searchsorted(sids, b).clip(0, len(sids) - 1)
-            ok = (sids[pa_] == a) & (sids[pb_] == b)
-            jac = np.where(ok, (smat[pa_] == smat[pb_]).mean(axis=1), 0.0)
+            pa_ = np.searchsorted(sids, a).clip(0, max(len(sids) - 1, 0))
+            pb_ = np.searchsorted(sids, b).clip(0, max(len(sids) - 1, 0))
+            if len(sids) == 0:
+                ok = np.zeros(len(a), dtype=bool)
+                jac = np.zeros(len(a), dtype=np.float64)
+            else:
+                ok = (sids[pa_] == a) & (sids[pb_] == b)
+                sa = _gather(parts, part_of, row_of, pa_)
+                sb = _gather(parts, part_of, row_of, pb_)
+                jac = np.where(ok, (sa == sb).mean(axis=1), 0.0)
             is_cont = batch["is_cont"].to_numpy(zero_copy_only=False)
             cont_ok = (is_cont == 1) & (jac >= cont_min)
             verdict = np.where(jac >= tau, "near_dup",
