@@ -76,12 +76,13 @@ def _run_flagship(num_cpus: int) -> tuple[float, int]:
     corpus, n_files = _ensure_corpus()
     out = f"/tmp/idr_bench_out_{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
-    # min pool size = half the cpus: Ray's actor-pool autoscaler ramps
-    # slowly from 1 and the stage finishes before reaching full width.
-    # light checkpoints: the cheap edge stages stay in the object store
-    # (production resume granularity is a config choice, measured here
-    # at the throughput-oriented setting).
-    cfg = DedupConfig(sig_concurrency=(max(1, num_cpus // 2), num_cpus),
+    # min pool size = FULL width: Ray's actor-pool autoscaler ramps
+    # slowly, and every second of ramp is a fixed cost that the high
+    # parallelism level pays proportionally more of (it caps N->4N
+    # scaling efficiency). light checkpoints: the cheap edge stages stay
+    # in the object store (production resume granularity is a config
+    # choice, measured here at the throughput-oriented setting).
+    cfg = DedupConfig(sig_concurrency=(num_cpus, num_cpus),
                       checkpoint_mode="light")
     t0 = time.time()
     run_pipeline(corpus, out, cfg, resume=False)
