@@ -76,13 +76,18 @@ def _run_flagship(num_cpus: int) -> tuple[float, int]:
     corpus, n_files = _ensure_corpus()
     out = f"/tmp/idr_bench_out_{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
-    # min pool size = FULL width: Ray's actor-pool autoscaler ramps
+    # min pool size = 3/4 width: Ray's actor-pool autoscaler ramps
     # slowly, and every second of ramp is a fixed cost that the high
-    # parallelism level pays proportionally more of (it caps N->4N
-    # scaling efficiency). light checkpoints: the cheap edge stages stay
+    # parallelism level pays proportionally more of (capping N->4N
+    # scaling efficiency) — but the floor must leave CPU headroom for
+    # the upstream read tasks: a floor equal to num_cpus reserves every
+    # core for actors and DEADLOCKS the pipeline at small cpu counts
+    # (observed at num_cpus=2: two pinned SignatureStage actors, reader
+    # starved forever). light checkpoints: the cheap edge stages stay
     # in the object store (production resume granularity is a config
     # choice, measured here at the throughput-oriented setting).
-    cfg = DedupConfig(sig_concurrency=(num_cpus, num_cpus),
+    floor = max(1, num_cpus - max(1, num_cpus // 4))
+    cfg = DedupConfig(sig_concurrency=(floor, num_cpus),
                       checkpoint_mode="light")
     t0 = time.time()
     run_pipeline(corpus, out, cfg, resume=False)
