@@ -76,7 +76,7 @@ def _run_flagship(num_cpus: int) -> tuple[float, int]:
     corpus, n_files = _ensure_corpus()
     out = f"/tmp/idr_bench_out_{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
-    # min pool size = 3/4 width: Ray's actor-pool autoscaler ramps
+    # min pool size = 3/4 width (1 below 4 cpus): the autoscaler ramps
     # slowly, and every second of ramp is a fixed cost that the high
     # parallelism level pays proportionally more of (capping N->4N
     # scaling efficiency) — but the floor must leave CPU headroom for
@@ -86,7 +86,7 @@ def _run_flagship(num_cpus: int) -> tuple[float, int]:
     # starved forever). light checkpoints: the cheap edge stages stay
     # in the object store (production resume granularity is a config
     # choice, measured here at the throughput-oriented setting).
-    floor = max(1, num_cpus - max(1, num_cpus // 4))
+    floor = 1 if num_cpus < 4 else num_cpus - max(1, num_cpus // 4)
     cfg = DedupConfig(sig_concurrency=(floor, num_cpus),
                       checkpoint_mode="light")
     t0 = time.time()

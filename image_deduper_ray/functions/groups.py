@@ -185,16 +185,17 @@ def partitioned_group_map_arrow(ds: ray.data.Dataset, key_cols: list[str],
 def partitioned_sum(ds: ray.data.Dataset, key_cols: list[str],
                     value_col: str, num_partitions: int | None,
                     out_schema: pa.Schema,
+                    out_name: str | None = None,
                     ) -> ray.data.Dataset:
     """Distributed ``SELECT key_cols, SUM(value_col) GROUP BY key_cols``
     as a hash-partitioned vectorized block aggregate. Ray 2.49's native
     ``groupby().sum()`` runs a full sort-based shuffle that measures
     ~10x slower on narrow high-cardinality keys; this shape is one
     partition shuffle + one lexsort + one ``np.add.reduceat`` per
-    partition. Output column is named ``sum(value_col)`` (native-API
-    compatible)."""
-    out_name = f"sum({value_col})"
-    key_schema = []
+    partition. The sum column is named ``out_name`` (default
+    ``sum(value_col)``, native-API compatible); ``out_schema`` must use
+    the same name."""
+    out_name = out_name or f"sum({value_col})"
 
     def block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

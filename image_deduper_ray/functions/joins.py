@@ -103,7 +103,10 @@ def collect_i64_under_cap(ds: ray.data.Dataset, cols: list[str],
     parts: list[list[np.ndarray]] = [[] for _ in cols]
     total = 0
     for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        if b.num_rows == 0 or any(c not in b.column_names for c in cols):
+        if b.num_rows == 0:
+            # Ray 2.49 empty partitions can arrive schema-less; a
+            # NON-empty batch missing a column must still raise below
+            # (silently dropping rows would corrupt both call sites)
             continue
         for i, c in enumerate(cols):
             a = b[c].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -185,40 +185,65 @@ def _concat_blocks(blocks: list) -> pa.Table:
     return pa.concat_tables(ts) if len(ts) > 1 else ts[0]
 
 
+_TILE_MAX_ROWS = 16384   # dense sim sub-tile <= 16k^2 float64 ~ 2 GB
+
+
 @ray.remote
 def _block_pair_task(tau: float, refs_a: list, refs_b: list,
-                     same: bool) -> pa.Table:
+                     same: bool, tile_max_rows: int) -> pa.Table:
     """Exact cosine pairs >= tau between two block GROUPS (one tile of
     the distributed all-pairs tiling). Each group is a list of plasma
     object refs (the driver coalesces the dataset's blocks into
-    ~sqrt(2*CPUs) groups so the tile count is O(CPUs), not
+    ~sqrt(4*CPUs) groups so the tile count is O(CPUs), not
     O(blocks^2) — hundreds of confetti tasks cost more in scheduling
-    and per-block executor overhead than the matmuls they carry)."""
+    and per-block executor overhead than the matmuls they carry).
+
+    Dense sim sub-tiles are chunked at ``_TILE_MAX_ROWS`` rows per
+    side INSIDE the task, so peak memory is bounded no matter how the
+    reader blocked the input (group size follows the ref partition,
+    which can't be finer than one block)."""
     ids_a, Ma = _to_matrix(_concat_blocks(ray.get(refs_a)))
     if same:
-        ids_b, Nb = ids_a, _normalize(Ma)
-        Na = Nb
+        ids_b = ids_a
+        Na = _normalize(Ma)
+        Nb = Na
     else:
         ids_b, Mb = _to_matrix(_concat_blocks(ray.get(refs_b)))
         Na, Nb = _normalize(Ma), _normalize(Mb)
     if len(ids_a) == 0 or len(ids_b) == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64())})
-    sims = Na @ Nb.T
-    r, c = np.nonzero(sims >= tau)
-    a = ids_a[r].astype(np.int64)
-    b = ids_b[c].astype(np.int64)
-    lo, hi = np.minimum(a, b), np.maximum(a, b)
-    keep = lo < hi                      # drop self-sims; orient a < b
-    if same:
-        keep &= a < b                   # each unordered pair once
-    return pa.table({"a": pa.array(lo[keep]), "b": pa.array(hi[keep])})
+    W = tile_max_rows
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for i0 in range(0, len(ids_a), W):
+        # same-group tiles only need the upper chunk triangle: a pair
+        # in chunks (i, j) with i < j is seen exactly once there
+        for j0 in range(i0 if same else 0, len(ids_b), W):
+            sims = Na[i0:i0 + W] @ Nb[j0:j0 + W].T
+            r, c = np.nonzero(sims >= tau)
+            if len(r) == 0:
+                continue
+            a = ids_a[i0:i0 + W][r].astype(np.int64)
+            b = ids_b[j0:j0 + W][c].astype(np.int64)
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            keep = lo < hi              # drop self-sims; orient a < b
+            if same and i0 == j0:
+                keep &= a < b           # diagonal chunk: each pair once
+            out_a.append(lo[keep])
+            out_b.append(hi[keep])
+    if not out_a:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    return pa.table({"a": pa.array(np.concatenate(out_a)),
+                     "b": pa.array(np.concatenate(out_b))})
 
 
 def near_dup_pairs(sf_dir: str, tau: float = 0.35, method: str = "auto",
                    exact_max_rows: int = 2_000_000,
                    n_planes: int = 4, n_tables: int = 24,
-                   seed: int = 7) -> ray.data.Dataset:
+                   seed: int = 7,
+                   tile_max_rows: int = _TILE_MAX_ROWS) -> ray.data.Dataset:
     """Embedding-cosine near-dup pairs (a < b) with cosine >= tau.
 
     Two routes:
@@ -236,9 +261,9 @@ def near_dup_pairs(sf_dir: str, tau: float = 0.35, method: str = "auto",
     import pyarrow.parquet as pq
 
     ds = _read_embeddings(sf_dir)
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     if method == "auto":
-        n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-        method = "exact" if n <= exact_max_rows else "lsh"
+        method = "exact" if n_rows <= exact_max_rows else "lsh"
 
     if method == "exact":
         bundles = ds.iter_internal_ref_bundles()
@@ -247,18 +272,15 @@ def near_dup_pairs(sf_dir: str, tau: float = 0.35, method: str = "auto",
             return ray.data.from_arrow(pa.table({
                 "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
         # coalesce blocks into g groups with g*(g+1)/2 ~ 2*CPUs tiles:
-        # task count tracks the cluster, not the reader's block count —
-        # BUT each tile allocates a dense (rows/g)^2 float64 sim matrix,
-        # so g also scales with row count to cap tile memory (~2 GB at
-        # max_group_rows=16k) regardless of how the reader blocked the
-        # input.
+        # task count tracks the cluster, not the reader's block count.
+        # Peak tile MEMORY is bounded inside _block_pair_task (dense
+        # sub-tiles chunked at _TILE_MAX_ROWS); the row-count term here
+        # only adds parallelism when groups would otherwise be huge
+        # (groups can never be finer than one reader block).
         cpus = int(ray.cluster_resources().get("CPU", 8)) \
             if ray.is_initialized() else 8
-        n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet") \
-            .metadata.num_rows
-        max_group_rows = 16384
         g = max(1, int(np.ceil(np.sqrt(4.0 * cpus))),
-                int(np.ceil(n_rows / max_group_rows)))
+                int(np.ceil(n_rows / tile_max_rows)))
         g = min(g, len(refs))
         per = (len(refs) + g - 1) // g
         groups = [refs[i:i + per] for i in range(0, len(refs), per)]
@@ -266,7 +288,7 @@ def near_dup_pairs(sf_dir: str, tau: float = 0.35, method: str = "auto",
         for i in range(len(groups)):
             for j in range(i, len(groups)):
                 out.append(_block_pair_task.remote(
-                    tau, groups[i], groups[j], i == j))
+                    tau, groups[i], groups[j], i == j, tile_max_rows))
         return ray.data.from_arrow_refs(out)
 
     # --- LSH-bucketed route (scale path) ---

@@ -151,9 +151,7 @@ def dedup_report(sf_dir: str,
         partials, ["source", "sha256"], "n", num_partitions,
         out_schema=pa.schema([("source", pa.string()),
                               ("sha256", pa.string()),
-                              ("sum(n)", pa.int64())])) \
-        .map_batches(lambda t: t.rename_columns(["source", "sha256", "n"]),
-                     batch_format="pyarrow")
+                              ("n", pa.int64())]), out_name="n")
 
     out_schema = pa.schema([("source", pa.string()),
                             ("n_docs", pa.int64()),

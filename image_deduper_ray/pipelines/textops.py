@@ -212,14 +212,9 @@ def token_counts_by_lang(sf_dir: str,
                               zero_copy_batch=True)
     out_schema = pa.schema([("lang", pa.string()), ("token", pa.string()),
                             ("n", pa.int64())])
-    summed = partitioned_sum(partials, ["lang", "token"], "n",
-                             num_partitions, out_schema=pa.schema(
-                                 [("lang", pa.string()),
-                                  ("token", pa.string()),
-                                  ("sum(n)", pa.int64())]))
-    return summed.map_batches(
-        lambda t: t.rename_columns(["lang", "token", "n"]),
-        batch_format="pyarrow")
+    return partitioned_sum(partials, ["lang", "token"], "n",
+                           num_partitions, out_schema=out_schema,
+                           out_name="n")
 
 
 def topk_tokens(sf_dir: str, k: int = 20) -> ray.data.Dataset:
@@ -336,9 +331,7 @@ def token_quantiles(sf_dir: str,
         partials, ["lang", "n_tokens"], "cnt", None,
         out_schema=pa.schema([("lang", pa.string()),
                               ("n_tokens", pa.int64()),
-                              ("sum(cnt)", pa.int64())])) \
-        .map_batches(lambda t: t.rename_columns(["lang", "n_tokens", "cnt"]),
-                     batch_format="pyarrow")
+                              ("cnt", pa.int64())]), out_name="cnt")
 
     q_names = [f"p{int(q * 100)}" for q in qs]
     out_schema = pa.schema([("lang", pa.string())] +

@@ -488,3 +488,22 @@ def test_containment_pairs_midtoken_limit(tmp_path):
     got = set(map(tuple, containment_pairs(d).to_pandas().to_numpy()))
     assert (0, 1) in got
     assert (0, 2) not in got   # mid-token embed: outside the premise
+
+
+def test_block_pair_tiling_chunked_equals_unchunked():
+    """The in-task sub-tile chunking (memory bound for the exact
+    all-pairs route) must not change results: force tiny chunks so a
+    single task spans many sub-tiles, including diagonal ones, and
+    compare against the default-path output."""
+    from image_deduper_ray.pipelines import ann
+
+    base = ann.near_dup_pairs(SF, tau=0.35, method="exact").to_pandas()
+    # width ships as an explicit task arg (a module-global monkeypatch
+    # would not reach the worker processes): prime width < 500 rows
+    # forces many sub-tiles incl. diagonal ones inside one task
+    tiny = ann.near_dup_pairs(SF, tau=0.35, method="exact",
+                              tile_max_rows=97).to_pandas()
+    key = ["a", "b"]
+    pd.testing.assert_frame_equal(
+        base.sort_values(key).reset_index(drop=True),
+        tiny.sort_values(key).reset_index(drop=True))
