@@ -132,7 +132,7 @@ def _q_anti_join_resume(sf_dir: str):
             if i % 10 < 3}
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
-    out = anti_join_done(ds, done, lambda b: b["doc_id"].to_pylist())
+    out = anti_join_done(ds, done, lambda b: b["doc_id"])
     return out.map_batches(lambda t: pa.table({"doc_id": t["doc_id"]}),
                            batch_format="pyarrow")
 
@@ -539,12 +539,15 @@ def oracle_sql() -> dict[str, str]:
         # doc_containment_pairs: candidate completeness rests on the
         # shingle premise (contained text spans >= 3 tokens, embeds on
         # whitespace boundaries); the exact substring verify guarantees
-        # zero false positives, and the oracle equality at sf0.001/0.01
-        # is the coverage gate.
+        # zero false positives. The >=3-token floor is written INTO the
+        # oracle so the SQL states the same contract the engine
+        # documents (a one-token >=64-char inner doc is outside the
+        # operator's claim, not a silent miss).
         "doc_containment_pairs":
             "SELECT a.doc_id AS inner_doc_id, b.doc_id AS host_doc_id "
             "FROM documents a JOIN documents b ON a.doc_id <> b.doc_id "
             "AND length(a.text) >= 64 AND length(a.text) < length(b.text) "
+            "AND len(regexp_extract_all(a.text, '\\S+')) >= 3 "
             "AND strpos(b.text, a.text) > 0",
         "l_pricing_summary":
             "SELECT l_returnflag, l_linestatus, "

@@ -68,8 +68,29 @@ def _init_ray(num_cpus: int) -> None:
     DataContext.get_current().enable_progress_bars = False
 
 
-def _run_flagship(num_cpus: int) -> tuple[float, int]:
-    """Full dedup pipeline on the bench corpus, fresh (no resume)."""
+def _stage_walls(out_dir: str) -> dict[str, float]:
+    """Per-stage wall seconds from the run's metrics checkpoint — the
+    evidence that lets a reviewer attribute wall-clock variance (this
+    host's memory bandwidth swings >2x between windows) to specific
+    stages instead of guessing."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(out_dir, "metrics")
+    walls: dict[str, float] = {}
+    if os.path.isdir(d):
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(d, f),
+                                  columns=["stage", "wall_s"])
+                for s, w in zip(t["stage"].to_pylist(),
+                                t["wall_s"].to_pylist()):
+                    walls[s] = round(walls.get(s, 0.0) + w, 2)
+    return walls
+
+
+def _run_flagship(num_cpus: int) -> tuple[float, int, dict]:
+    """Full dedup pipeline on the bench corpus, fresh (no resume).
+    Returns (wall_s, n_files, per-stage walls)."""
     from image_deduper_ray.config import DedupConfig
     from image_deduper_ray.pipelines.dedup import run_pipeline
 
@@ -91,7 +112,7 @@ def _run_flagship(num_cpus: int) -> tuple[float, int]:
                       checkpoint_mode="light")
     t0 = time.time()
     run_pipeline(corpus, out, cfg, resume=False)
-    return time.time() - t0, n_files
+    return time.time() - t0, n_files, _stage_walls(out)
 
 
 def _consume(res) -> int:
@@ -104,9 +125,9 @@ def main() -> None:
     if "--child" in sys.argv:
         num_cpus = int(sys.argv[sys.argv.index("--child") + 1])
         _init_ray(num_cpus)
-        wall, n_files = _run_flagship(num_cpus)
+        wall, n_files, stages = _run_flagship(num_cpus)
         print(json.dumps({"wall": wall, "files": n_files,
-                          "num_cpus": num_cpus}))
+                          "stages": stages, "num_cpus": num_cpus}))
         import ray
 
         ray.shutdown()
@@ -117,9 +138,14 @@ def main() -> None:
             "RAY_GRAFT_SCALING_LEVELS", "2,8").split(",")]
         samples = int(os.environ.get("RAY_GRAFT_SCALING_SAMPLES", "3"))
         clusters = os.environ.get("IDR_BENCH_CLUSTERS", "48000")
+        if len(levels) != 2:
+            raise SystemExit(
+                f"RAY_GRAFT_SCALING_LEVELS must be exactly two "
+                f"comma-separated cpu counts (lo,hi); got {levels!r}")
         lo, hi = levels
         have_taskset = shutil.which("taskset") is not None
         walls: dict[int, list[float]] = {n: [] for n in levels}
+        stage_walls: dict[int, dict[str, list[float]]] = {n: {} for n in levels}
         files = None
         env = dict(os.environ, IDR_BENCH_CLUSTERS=clusters)
         for s in range(samples):
@@ -136,7 +162,13 @@ def main() -> None:
                                      f"failed rc={out.returncode}")
                 r = json.loads(out.stdout.strip().splitlines()[-1])
                 walls[n].append(round(r["wall"], 1))
+                if files is not None and r["files"] != files:
+                    raise SystemExit(
+                        f"scaling children disagree on corpus size: "
+                        f"{r['files']} vs {files} — stale corpus cache?")
                 files = r["files"]
+                for st, w in r.get("stages", {}).items():
+                    stage_walls[n].setdefault(st, []).append(w)
 
         def med(xs):
             xs = sorted(xs)
@@ -153,6 +185,15 @@ def main() -> None:
             "samples": samples,
             "pinned": have_taskset,
             "wall_samples": {str(n): walls[n] for n in levels},
+            "stage_wall_medians": {
+                str(n): {st: round(med(ws), 2)
+                         for st, ws in sorted(stage_walls[n].items())}
+                for n in levels},
+            "stage_efficiency": {
+                st: round((med(stage_walls[lo][st]) /
+                           max(med(stage_walls[hi][st]), 1e-9)) / (hi / lo), 3)
+                for st in sorted(stage_walls[lo])
+                if st in stage_walls[hi]},
             "throughput_median": {str(n): round(thr[n], 1) for n in levels},
             "num_cpus": levels,
             "scaling_efficiency": round(eff, 4)}))
@@ -164,7 +205,7 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     t0 = time.time()
-    wall, n_files = _run_flagship(CPUS)
+    wall, n_files, flagship_stages = _run_flagship(CPUS)
     timings["flagship_code_dedup"] = round(wall, 3)
     files_per_sec = n_files / wall
 
@@ -188,6 +229,7 @@ def main() -> None:
         "queries": timings,
         "total_sec": round(total, 3),
         "flagship_files": n_files,
+        "flagship_stages": flagship_stages,
         "sf": SF_DIR,
         "num_cpus": CPUS}))
     import ray

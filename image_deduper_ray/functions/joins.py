@@ -78,7 +78,19 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
             .select([_KEY] + lcols).to_pandas()
         rdf = t.filter(pc.equal(t[_SIDE], 1)) \
             .select([_KEY] + rcols).to_pandas()
-        rdf = rdf.drop_duplicates(subset=[_KEY])  # supply unique per key
+        # supply semantics: ONE right row per key. Duplicate right keys
+        # are dropped — observable, never silent: callers relying on
+        # expansion (none today) would otherwise lose rows invisibly
+        # (e.g. fid64-colliding file_ids on the past-broadcast LSH
+        # resolution fallback).
+        n_dup = len(rdf)
+        rdf = rdf.drop_duplicates(subset=[_KEY])
+        n_dup -= len(rdf)
+        if n_dup:
+            import logging
+            logging.getLogger(__name__).warning(
+                "hash_join: dropped %d duplicate right-side key rows "
+                "(supply-unique semantics)", n_dup)
         m = ldf.merge(rdf, on=_KEY, how="left" if how == "left" else "inner",
                       suffixes=(False, False))
         cols = {}

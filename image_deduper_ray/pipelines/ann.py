@@ -454,10 +454,7 @@ def knn_ivf(sf_dir: str, k: int = 10, num_queries: int = 8,
     full_probe_rows = 100_000
     if n_cells is None:
         n_cells = max(4, int(round(np.sqrt(max(1, n_rows)))))
-    if nprobe is None:
-        nprobe = n_cells if n_rows <= full_probe_rows \
-            else max(2, int(np.ceil(n_cells / 2)))
-    nprobe = min(nprobe, n_cells)
+    nprobe_default = nprobe is None
 
     # bounded sample for centroid training: first row groups only —
     # never the full table
@@ -477,6 +474,15 @@ def knn_ivf(sf_dir: str, k: int = 10, num_queries: int = 8,
             "rank": pa.array([], pa.int64())}))
     _, S = _to_matrix(sample_t.slice(0, sample_rows))
     cent = _spherical_kmeans(_normalize(S), min(n_cells, len(S)))
+    # the bounded training sample can yield fewer cells than requested
+    # (sample_rows < n_cells on tables past ~sample_rows^2 rows): the
+    # defaults derive from the centroid count that actually EXISTS, so
+    # the full-probe==brute gate and the documented half-probe ratio
+    # hold against len(cent), not the nominal n_cells
+    if nprobe_default:
+        nprobe = len(cent) if n_rows <= full_probe_rows \
+            else max(2, int(np.ceil(len(cent) / 2)))
+    nprobe = min(nprobe, len(cent))
 
     # per-query probed cells: the nprobe centroids nearest each query
     q_cells = np.argsort(-(Q @ cent.T), axis=1, kind="stable")[:, :nprobe]

@@ -127,7 +127,7 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
                 files = files.map_batches(_add_file_id, batch_format="pyarrow",
                                           zero_copy_batch=True)
                 files = ckpt.anti_join_done(
-                    files, done, lambda b: b["file_id"].to_pylist())
+                    files, done, lambda b: b["file_id"])
                 files = files.map_batches(lambda b: b.drop_columns(["file_id"]),
                                           batch_format="pyarrow")
             sigs = ckpt.write_stage(compute_signatures(files, cfg), out_dir,
@@ -206,15 +206,16 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
                                .select_columns(["file_id", "content"]))
                 if cand_ids is not None:
                     # semi-join prune: broadcast the (small) candidate id
-                    # set and filter content BEFORE anything shuffles —
-                    # only the candidates' content is ever touched again
-                    ids_ref = ray.put(cand_ids)
+                    # set once as an Arrow value set and filter content
+                    # BEFORE anything shuffles — only the candidates'
+                    # content is ever touched again. is_in is a C hash
+                    # probe per batch, not a per-row Python test.
+                    ids_ref = ray.put(pa.array(list(cand_ids), pa.string()))
 
                     def _only_cands(tb: pa.Table) -> pa.Table:
                         wanted = ray.get(ids_ref)
-                        keep = pa.array([f in wanted
-                                         for f in tb["file_id"].to_pylist()],
-                                        pa.bool_())
+                        keep = pa.compute.is_in(tb["file_id"],
+                                                value_set=wanted)
                         return tb.filter(keep)
 
                     content = raw_content.map_batches(

@@ -122,6 +122,11 @@ def _packed_keys(u: np.ndarray, dt: np.ndarray
     if len(u) == 0:
         return np.zeros(0, np.int64), np.int64(1)
     span_bits = np.int64(max(1, int(dt.max()).bit_length()))
+    if int(u.min()) < 0:
+        # negative ids would pass the bit_length check (Python uses the
+        # magnitude) but (u << span_bits) destroys band ordering —
+        # cross-user matches instead of the per-user fallback
+        return None, span_bits
     u_bits = max(1, int(u.max()).bit_length())
     if int(span_bits) + u_bits > 62:
         return None, span_bits

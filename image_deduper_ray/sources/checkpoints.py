@@ -122,18 +122,27 @@ def done_key_set(root: str, stage: str, key_col: str = "file_id") -> set[str]:
     return keys
 
 
-def anti_join_done(ds: ray.data.Dataset, done_keys: set[str],
+def anti_join_done(ds: ray.data.Dataset, done_keys: set,
                    key_fn) -> ray.data.Dataset:
     """J1: discovered ∖ done. Broadcast the done-key set once
-    (``ray.put``), filter inside map_batches — no shuffle."""
+    (``ray.put``) as an Arrow value set, filter inside map_batches with
+    the hash-lookup ``is_in`` kernel — no shuffle, no per-row Python
+    membership test (this sits on the flagship resume path).
+    ``key_fn(batch) -> pa.Array | ChunkedArray | list`` of keys."""
     if not done_keys:
         return ds
-    ref = ray.put(done_keys)
+    import pyarrow as pa
+
+    ref = ray.put(pa.array(list(done_keys)))
 
     def _filter(batch):
         import pyarrow as pa
-        done = ray.get(ref)
-        keep = pa.array([k not in done for k in key_fn(batch)], pa.bool_())
+        import pyarrow.compute as pc
+        value_set = ray.get(ref)
+        keys = key_fn(batch)
+        if not isinstance(keys, (pa.Array, pa.ChunkedArray)):
+            keys = pa.array(keys, value_set.type)
+        keep = pc.invert(pc.is_in(keys, value_set=value_set))
         return batch.filter(keep)
 
     return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)

@@ -88,10 +88,21 @@ def _distributed_label_prop(edges: ray.data.Dataset, cfg: DedupConfig) -> ray.da
                          "neigh": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])})
 
     bidir = edges.map_batches(to_bidir, batch_format="pyarrow").materialize()
-    labels = bidir.map_batches(
-        lambda t: pa.table({"key": t["key"], "label": t["key"]}),
-        batch_format="pyarrow").groupby("key").min("label").map_batches(
-        lambda t: t.rename_columns(["key", "label"]), batch_format="pyarrow")
+
+    # label seed: every node starts labeled with itself, one row per
+    # DISTINCT node. Seed label == key, so min-per-key is just distinct
+    # keys — run it on the raw-task hash shuffle like every other wide
+    # op here (Ray's sort-based groupby costs ~9 s serial per shuffle
+    # at bench scale; this was the last native-groupby call in CC).
+    def seed_block(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["key"].drop_duplicates()
+        return pd.DataFrame({"key": u.to_numpy(), "label": u.to_numpy()})
+
+    labels = partitioned_group_map(
+        bidir.map_batches(lambda t: t.select(["key"]),
+                          batch_format="pyarrow", zero_copy_batch=True),
+        ["key"], seed_block, P,
+        out_schema=pa.schema([("key", nt), ("label", nt)]))
 
     msg_schema = pa.schema([("node", nt), ("label", nt),
                             ("is_self", pa.int8())])
