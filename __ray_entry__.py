@@ -206,8 +206,13 @@ def _q_minhash_clusters(sf_dir: str):
 
 
 def _q_simhash_groups(sf_dir: str):
-    from image_deduper_ray.pipelines.docdedup import simhash_groups
-    return simhash_groups(sf_dir)
+    # the md5-gram SimHash variant: same distributed banding / pair-gen
+    # / CC / label-attach machinery as the blake2b simhash_groups
+    # operator (which stays pinned by the scalar-equality pytest), but
+    # with a gram hash DuckDB can recompute — so the driver oracle
+    # checks the signature bits, the Hamming pair set AND the grouping
+    from image_deduper_ray.pipelines.docdedup import simhash_text_groups
+    return simhash_text_groups(sf_dir)
 
 
 def _q_media_decode(sf_dir: str):
@@ -691,8 +696,45 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.d) "
             "SELECT d AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id "
             "FROM reach GROUP BY d",
-        # rows-only (genuinely non-SQL-expressible): simhash_groups —
-        # the 64-bit SimHash is built from blake2b token hashes, which
-        # DuckDB cannot compute; its grouping is pinned instead by the
-        # scalar-equality pytest (tests/test_ops.py).
+        # simhash_groups (driver variant = simhash_text_groups): the
+        # per-doc 64-bit SimHash is a strict-majority vote over the low
+        # 64 bits of md5(word-3-gram) for the doc's DISTINCT grams —
+        # reconstructed here bit by bit with hex-digit arithmetic
+        # (nibble at 1-based position 16 - bit//4, bit bit%4 within it),
+        # docs with <3 tokens getting the all-zero signature via the
+        # LEFT JOIN + COALESCE. Pairs are exact Hamming<=3 (the engine's
+        # 4x16-bit pigeonhole banding is lossless for <=3 differing
+        # bits), components are min-label reachability. Any drift in
+        # the engine's signature kernel, banding, pair-gen, CC or label
+        # attach is a driver-visible hash mismatch. The bitvec self-join
+        # (64 x n^2/2 rows) is fine at oracle scales.
+        "simhash_groups":
+            "WITH RECURSIVE toks AS (SELECT doc_id, "
+            "  regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, "
+            "  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM ("
+            "    SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i"
+            "    FROM toks)), "
+            "gb AS (SELECT doc_id, substr(md5(g), 1, 16) AS h FROM grams), "
+            "votes AS (SELECT doc_id, r.b AS bit, "
+            "  SUM(((strpos('0123456789abcdef', "
+            "    substr(h, CAST(16 - (r.b // 4) AS INT), 1)) - 1) "
+            "    >> (r.b % 4)) & 1) AS ones, COUNT(*) AS total "
+            "  FROM gb CROSS JOIN range(64) r(b) GROUP BY doc_id, r.b), "
+            "v AS (SELECT d.doc_id, r.b AS bit, "
+            "  COALESCE(CASE WHEN 2 * vo.ones > vo.total THEN 1 ELSE 0 END, "
+            "           0) AS val "
+            "  FROM documents d CROSS JOIN range(64) r(b) "
+            "  LEFT JOIN votes vo ON vo.doc_id = d.doc_id AND vo.bit = r.b), "
+            "pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id "
+            "  FROM v x JOIN v y ON x.bit = y.bit AND x.doc_id < y.doc_id "
+            "  GROUP BY x.doc_id, y.doc_id "
+            "  HAVING SUM(CASE WHEN x.val <> y.val THEN 1 ELSE 0 END) <= 3), "
+            "edges AS (SELECT a_id AS s, b_id AS d FROM pairs "
+            "  UNION ALL SELECT b_id, a_id FROM pairs), "
+            "reach AS (SELECT doc_id AS d, doc_id AS r FROM documents "
+            "  UNION "
+            "  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.d) "
+            "SELECT d AS doc_id, CAST(MIN(r) AS BIGINT) AS group_id "
+            "FROM reach GROUP BY d",
     }

@@ -230,20 +230,16 @@ def simhash_groups(sf_dir: str, max_hamming: int = 3,
                    band_window: int = 8) -> ray.data.Dataset:
     """SimHash near-dup grouping, end-to-end distributed: 64-bit SimHash
     per doc via the SHARED SignatureStage actor pool (same tokenize /
-    shingle / simhash kernels and caches as the flagship), banded into 4
-    16-bit chunks (pigeonhole: Hamming<=3 pairs share at least one exact
-    chunk), candidate pairs generated per hash partition (vectorized
-    XOR-popcount, over-cap buckets windowed along the sorted-simhash
-    order), components via stages/cc.connected_components, labels
-    attached back with a partitioned left hash join — no driver
-    union-find, no label-dict broadcast, no ``to_pandas``.
-    Returns (doc_id, group_id = min doc_id). Rows-only oracle.
+    shingle / simhash kernels and caches as the flagship), then the
+    shared Hamming-clustering machinery (``_hamming_cluster``: pigeonhole
+    banding, partitioned XOR-popcount pair-gen, connected components,
+    join-based label attach) — no driver union-find, no label-dict
+    broadcast, no ``to_pandas``. Returns (doc_id, group_id = min doc_id).
+    The blake2b-based token hashes are pinned by the scalar-equality
+    pytest; the driver-oracled variant is ``simhash_text_groups``.
     SimHash threshold-grouping is the analog of the reference's Standard
     pHash Hamming intent (src/processing/types.rs:22-43)."""
     cfg = (cfg or DedupConfig()).resolved()
-    from ..functions.groups import group_starts, partitioned_group_map
-    from ..functions.joins import broadcast_attach_i64
-    from ..stages.cc import connected_components
     from .dedup import compute_signatures
 
     def project(t: pa.Table) -> pa.Table:
@@ -251,12 +247,86 @@ def simhash_groups(sf_dir: str, max_hamming: int = 3,
                        pa.int64())
         return pa.table({"doc_id": dids, "simhash": t["simhash"]})
 
-    # 16 bytes/row after projection: materializing the narrow signature
-    # table (consumed by banding AND the final label join) is cheap and
-    # avoids signing every document twice.
-    sig = (compute_signatures(documents_as_files(sf_dir), cfg)
-           .map_batches(project, batch_format="pyarrow")
-           .materialize())
+    sig = compute_signatures(documents_as_files(sf_dir), cfg) \
+        .map_batches(project, batch_format="pyarrow")
+    return _hamming_cluster(sig, cfg, max_hamming, max_bucket, band_window)
+
+
+def simhash_text_groups(sf_dir: str, n: int = 3, max_hamming: int = 3,
+                        cfg: DedupConfig | None = None,
+                        max_bucket: int = 4096,
+                        band_window: int = 8) -> ray.data.Dataset:
+    """SimHash grouping whose signature is DRIVER-ORACLE-CHECKABLE end
+    to end: per-doc 64-bit SimHash over DISTINCT word ``n``-grams with
+    the gram hash = low 64 bits of md5(gram) — md5 is computable in
+    DuckDB, so the oracle SQL reconstructs the exact signature bits
+    (hex-digit arithmetic), the exact Hamming<=``max_hamming`` pair set
+    and the exact min-label components; any drift anywhere in the
+    banding / pair-gen / CC / label-attach machinery is a driver-visible
+    hash mismatch. Same distributed machinery as ``simhash_groups``
+    (``_hamming_cluster``); only the signature kernel differs. Returns
+    (doc_id, group_id = min doc_id of the component)."""
+    cfg = (cfg or DedupConfig()).resolved()
+    import hashlib
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def sign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "simhash": pa.array([], pa.int64())})
+        dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        simh = np.zeros(t.num_rows, np.uint64)
+        d, grams = _distinct_word_ngrams_batch(t, n)
+        if d is not None and len(d):
+            # hash each DISTINCT gram once (md5 is C-speed; the
+            # vocabulary per batch is far smaller than the gram stream)
+            uniq, inv = np.unique(grams, return_inverse=True)
+            hv = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(g.encode("utf-8")).digest()[:8], "big")
+                 for g in uniq), np.uint64, len(uniq))
+            sh = hv[inv]
+            # d is non-decreasing by construction (gram explode walks
+            # the batch in row order)
+            seg = np.ones(len(d), bool)
+            seg[1:] = d[1:] != d[:-1]
+            seg_starts = np.flatnonzero(seg)
+            seg_rows = d[seg_starts]
+            n_per = np.diff(np.append(seg_starts, len(sh))).astype(np.int64)
+            for bit in range(64):
+                bits = ((sh >> np.uint64(bit)) & np.uint64(1)) \
+                    .astype(np.int64)
+                ones = np.add.reduceat(bits, seg_starts)
+                hits = (2 * ones - n_per) > 0   # strict majority; tie -> 0
+                simh[seg_rows[hits]] |= np.uint64(1) << np.uint64(bit)
+        return pa.table({"doc_id": pa.array(dids),
+                         "simhash": pa.array(simh.view(np.int64))})
+
+    sig = ds.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True)
+    return _hamming_cluster(sig, cfg, max_hamming, max_bucket, band_window)
+
+
+def _hamming_cluster(sig: ray.data.Dataset, cfg: DedupConfig,
+                     max_hamming: int = 3, max_bucket: int = 4096,
+                     band_window: int = 8) -> ray.data.Dataset:
+    """Shared distributed Hamming<=``max_hamming`` grouping over a
+    (doc_id, simhash int64) dataset: banded into 4 16-bit chunks
+    (pigeonhole: Hamming<=3 pairs share at least one exact chunk),
+    candidate pairs generated per hash partition (vectorized
+    XOR-popcount, over-cap buckets windowed along the sorted-simhash
+    order), components via stages/cc.connected_components, labels
+    attached back with a byte-capped broadcast (partitioned-join
+    fallback). Returns (doc_id, group_id = min doc_id)."""
+    from ..functions.groups import group_starts, partitioned_group_map
+    from ..functions.joins import broadcast_attach_i64
+    from ..stages.cc import connected_components
+
+    # 16 bytes/row: materializing the narrow signature table (consumed
+    # by banding AND the final label join) is cheap and avoids signing
+    # every document twice.
+    sig = sig.materialize()
 
     def band(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -350,6 +420,40 @@ def simhash_groups(sf_dir: str, max_hamming: int = 3,
     return j.map_batches(fin, batch_format="pyarrow")
 
 
+def _distinct_word_ngrams_batch(t: pa.Table, n: int
+                                ) -> tuple[np.ndarray | None,
+                                           np.ndarray | None]:
+    """Vectorized per-doc DISTINCT word n-gram explode for one batch:
+    Arrow whitespace split (empty boundary tokens dropped to match
+    Python ``str.split`` / DuckDB ``regexp_split_to_array`` on '\\s+'),
+    grams built from n sliced views of the flat token array joined in
+    one C kernel, per-doc distinct via a hash dedupe — no per-row
+    Python. Returns (doc_pos, grams) with doc_pos the batch-row index,
+    NON-DECREASING, or (None, None) when the batch yields no grams."""
+    col = t["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.utf8_split_whitespace(col)
+    flat = toks.flatten()
+    doc_idx = np.repeat(np.arange(t.num_rows),
+                        np.diff(toks.offsets.to_numpy()))
+    keep = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(
+        zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    doc_idx = doc_idx[keep]
+    m = len(flat)
+    if m < n:
+        return None, None
+    parts = [flat.slice(k, m - n + 1) for k in range(n)]
+    g = pc.binary_join_element_wise(*parts, " ")
+    # a gram is valid only when all n tokens come from one doc
+    valid = doc_idx[:m - n + 1] == doc_idx[n - 1:]
+    df = pd.DataFrame({"d": doc_idx[:m - n + 1][valid],
+                       "gram": g.filter(pa.array(valid)).to_pandas()})
+    df = df.drop_duplicates(["d", "gram"])
+    return df["d"].to_numpy(), df["gram"].to_numpy()
+
+
 def _gram_intersections(sf_dir: str, n: int = 3,
                         df_cap: int | None = None,
                         num_partitions: int = 16,
@@ -378,43 +482,23 @@ def _gram_intersections(sf_dir: str, n: int = 3,
                                columns=["doc_id", "text"])
 
     def grams(t: pa.Table) -> pa.Table:
-        """Vectorized distinct-n-gram explode: Arrow whitespace split
-        (empty boundary tokens dropped to match Python ``str.split``),
-        grams built from n sliced views of the flat token array joined
-        in one C kernel, per-doc distinct via a hash dedupe — no
-        per-row Python."""
+        """Distinct-n-gram explode (``_distinct_word_ngrams_batch``)
+        carrying each doc's distinct-gram count |A| on every gram row —
+        known at emission, so no count shuffle and no driver dict."""
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "gram": pa.array([], pa.string()),
                           "n_grams": pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
         dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        col = t["text"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        toks = pc.utf8_split_whitespace(col)
-        flat = toks.flatten()
-        doc_idx = np.repeat(np.arange(t.num_rows),
-                            np.diff(toks.offsets.to_numpy()))
-        keep = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(
-            zero_copy_only=False)
-        flat = flat.filter(pa.array(keep))
-        doc_idx = doc_idx[keep]
-        m = len(flat)
-        if m < n:
+        d, gram = _distinct_word_ngrams_batch(t, n)
+        if d is None:
             return empty
-        parts = [flat.slice(k, m - n + 1) for k in range(n)]
-        g = pc.binary_join_element_wise(*parts, " ")
-        # a gram is valid only when all n tokens come from one doc
-        valid = doc_idx[:m - n + 1] == doc_idx[n - 1:]
-        df = pd.DataFrame({"d": doc_idx[:m - n + 1][valid],
-                           "gram": g.filter(pa.array(valid)).to_pandas()})
-        df = df.drop_duplicates(["d", "gram"])
-        cnt = np.bincount(df["d"].to_numpy(), minlength=t.num_rows)
+        cnt = np.bincount(d, minlength=t.num_rows)
         return pa.table({
-            "doc_id": pa.array(dids[df["d"].to_numpy()]),
-            "gram": pa.array(df["gram"].to_numpy(), pa.string()),
-            "n_grams": pa.array(cnt[df["d"].to_numpy()].astype(np.int64))})
+            "doc_id": pa.array(dids[d]),
+            "gram": pa.array(gram, pa.string()),
+            "n_grams": pa.array(cnt[d].astype(np.int64))})
 
     from ..functions.groups import group_starts, partitioned_group_map
 

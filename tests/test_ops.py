@@ -45,7 +45,7 @@ SQL_CHECKED = [
     "e_asof_join", "e_range_join", "t_stratified_sample",
     "t_topk_tokens", "t_vocab_stats", "t_token_quantiles", "t_top_docs",
     "l_pricing_summary", "emb_dedup_canonical", "doc_containment_pairs",
-    "a5_dedup_report",
+    "a5_dedup_report", "simhash_groups",
 ]
 
 
@@ -71,10 +71,10 @@ def test_queries_have_oracle_or_reason():
 
     qs, sqls = entry.queries(), entry.oracle_sql()
     assert set(sqls) <= set(qs)
-    rows_only = set(qs) - set(sqls)
-    # only genuinely non-SQL ops (approximate / iterative) may omit it
-    assert rows_only <= {"ann_topk_lsh", "minhash_lsh_clusters",
-                         "simhash_groups"}
+    # every driver query has an oracle since round 3 (simhash_groups
+    # was the last rows-only entry; its driver variant now uses an
+    # md5-gram SimHash DuckDB reconstructs bit by bit)
+    assert set(qs) == set(sqls)
 
 
 def test_lang_id_detects_cjk():
@@ -123,6 +123,52 @@ def test_simhash_groups_shape():
     assert len(df) == 500
     # word-salad docs: grouping must not collapse everything
     assert df["group_id"].nunique() > 400
+
+
+def test_simhash_text_groups_matches_scalar_reference():
+    """The oracle-checkable md5-gram variant must equal a straight
+    scalar recomputation: distinct word 3-grams -> md5 low-64 ->
+    strict-majority bit vote -> brute Hamming<=3 pairs -> union-find."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+    from image_deduper_ray.pipelines.docdedup import simhash_text_groups
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+    def ref_simhash(text: str, n: int = 3) -> int:
+        toks = text.split()
+        grams = {" ".join(toks[i:i + n])
+                 for i in range(len(toks) - n + 1)} if len(toks) >= n else set()
+        votes = [0] * 64
+        for g in grams:
+            h = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(64) if votes[b] > 0)
+
+    sims = {d: ref_simhash(x) for d, x in
+            zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    ids = sorted(sims)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin(sims[ids[i]] ^ sims[ids[j]]).count("1") <= 3:
+                ra, rb = find(ids[i]), find(ids[j])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+    eng = simhash_text_groups(SF).to_pandas()
+    got = dict(zip(eng.doc_id, eng.group_id))
+    assert len(got) == len(ids)
+    assert all(got[i] == find(i) for i in ids)
 
 
 def test_media_decode_plumbing():
