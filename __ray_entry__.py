@@ -56,9 +56,14 @@ def _q_exact_dup_groups(sf_dir: str):
     from image_deduper_ray.functions.arrow_utils import collect_arrow
     from image_deduper_ray.pipelines.docdedup import exact_dup_groups
 
-    # possibly-empty result: collect with an explicit schema (Ray 2.49
-    # drops columns from zero-row to_pandas conversions)
-    return collect_arrow(exact_dup_groups(sf_dir), pa.schema([
+    # the synthetic corpora have no exact-dup texts, so the unseeded
+    # query passes vacuously at 0 == 0 rows; seed_dup_mod unions in a
+    # deterministic duplicated slice (doc_id % 17 == 0, re-keyed) so the
+    # group-detect path is exercised with real groups — the oracle SQL
+    # applies the same UNION ALL. Possibly-empty result: collect with an
+    # explicit schema (Ray 2.49 drops columns from zero-row to_pandas)
+    return collect_arrow(exact_dup_groups(sf_dir, seed_dup_mod=17),
+                         pa.schema([
         ("sha256", pa.string()), ("n_docs", pa.int64()),
         ("min_doc_id", pa.int64())]))
 
@@ -369,9 +374,15 @@ def oracle_sql() -> dict[str, str]:
     return {
         "m1_sha256":
             "SELECT doc_id, sha256(text) AS sha256 FROM documents",
+        # same deterministic seeded-duplicate slice as the engine query
+        # (doc_id % 17 == 0 re-keyed at +10M): exercises group detection
+        # with > 0 groups instead of a vacuous 0 == 0 pass
         "a1_exact_dup_groups":
+            "WITH docs2 AS (SELECT doc_id, text FROM documents "
+            "  UNION ALL SELECT doc_id + 10000000, text FROM documents "
+            "  WHERE doc_id % 17 = 0) "
             "SELECT sha256(text) AS sha256, COUNT(*) AS n_docs, "
-            "MIN(doc_id) AS min_doc_id FROM documents "
+            "MIN(doc_id) AS min_doc_id FROM docs2 "
             "GROUP BY sha256(text) HAVING COUNT(*) > 1",
         "a1_exact_dedup_keep_first":
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)",

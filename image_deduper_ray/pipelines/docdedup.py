@@ -42,17 +42,35 @@ def documents_as_files(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def exact_dup_groups(sf_dir: str) -> ray.data.Dataset:
+DUP_SEED_OFFSET = 10_000_000
+
+
+def exact_dup_groups(sf_dir: str,
+                     seed_dup_mod: int | None = None) -> ray.data.Dataset:
     """A1 over documents: sha256 groups with >1 member.
-    Columns (sha256, n_docs, min_doc_id) — names match the SQL oracle."""
+    Columns (sha256, n_docs, min_doc_id) — names match the SQL oracle.
+
+    ``seed_dup_mod``: when set, every doc with ``doc_id % mod == 0`` is
+    unioned in a second time under ``doc_id + DUP_SEED_OFFSET`` (same
+    text) BEFORE grouping. The synthetic corpora have no exact-dup
+    texts, so without seeding this query passes vacuously at 0 == 0
+    rows; the seeded variant drives the whole group-detect path with
+    real groups while staying exactly SQL-reproducible (the oracle
+    applies the same UNION ALL)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def add_sha(t: pa.Table) -> pa.Table:
+        dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sha = np.asarray(hashing.sha256_hex(t["text"].to_pylist()),
+                         dtype=object)
+        if seed_dup_mod:
+            m = dids % seed_dup_mod == 0
+            dids = np.concatenate([dids, dids[m] + DUP_SEED_OFFSET])
+            sha = np.concatenate([sha, sha[m]])  # identical content
         return pa.table({
-            "doc_id": t["doc_id"],
-            "sha256": pa.array(hashing.sha256_hex(t["text"].to_pylist()),
-                               pa.string())})
+            "doc_id": pa.array(dids),
+            "sha256": pa.array(sha, pa.string())})
 
     out_schema = pa.schema([("sha256", pa.string()), ("n_docs", pa.int64()),
                             ("min_doc_id", pa.int64())])
