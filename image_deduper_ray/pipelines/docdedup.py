@@ -472,11 +472,81 @@ def _distinct_word_ngrams_batch(t: pa.Table, n: int
     return df["d"].to_numpy(), df["gram"].to_numpy()
 
 
+# df_cap="auto" resolution: below this corpus size every gram joins
+# (oracle-exact); above it the cap kicks in at n_docs // AUTO_DF_DIVISOR
+# (a gram shared by >0.5% of a web-scale corpus is stopword-ish
+# boilerplate whose pair contribution is noise, and whose uncapped
+# reducer cost is quadratic — SURVEY.md §7.4 'skewed buckets').
+AUTO_DF_CAP_MIN_DOCS = 200_000
+AUTO_DF_DIVISOR = 200
+
+
+def _resolve_df_cap(sf_dir: str, df_cap) -> int | None:
+    if df_cap != "auto":
+        return df_cap
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    if n_docs <= AUTO_DF_CAP_MIN_DOCS:
+        return None
+    return max(512, n_docs // AUTO_DF_DIVISOR)
+
+
+def _heavy_grams(sf_dir: str, n: int, df_cap: int,
+                 num_partitions: int,
+                 max_bytes: int = 64 << 20) -> list[str] | None:
+    """Pass A of the cap-exact scheme: the DISTINCT grams whose document
+    frequency exceeds ``df_cap``. Combiner-first (per-batch gram counts
+    pre-aggregated before the shuffle), heavy survivors filtered INSIDE
+    the reduce block — only over-cap grams ever reach the driver, and by
+    construction there are at most n_grams_total / df_cap of them.
+    Returns None when even that set exceeds the byte budget (callers
+    must then choose exactness over capping)."""
+    from ..functions.groups import partitioned_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        d, gram = _distinct_word_ngrams_batch(t, n)
+        if d is None:
+            return empty
+        uniq, counts = np.unique(gram, return_counts=True)
+        return pa.table({"gram": pa.array(uniq, pa.string()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    summed = partitioned_sum(
+        partials, ["gram"], "n", num_partitions,
+        out_schema=pa.schema([("gram", pa.string()), ("n", pa.int64())]),
+        out_name="n")
+    heavy = summed.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], df_cap)).select(["gram"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out: list[str] = []
+    total = 0
+    for b in heavy.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        vals = b["gram"].to_pylist()
+        total += sum(len(x) for x in vals)
+        if total > max_bytes:
+            return None
+        out.extend(vals)
+    return out
+
+
 def _gram_intersections(sf_dir: str, n: int = 3,
-                        df_cap: int | None = None,
+                        df_cap: int | None | str = None,
                         num_partitions: int = 16,
                         finalize=None,
-                        out_schema: pa.Schema | None = None
+                        out_schema: pa.Schema | None = None,
+                        cap_exact_counts: bool = False
                         ) -> ray.data.Dataset:
     """(a, b, ca, cb, inter) per co-occurring doc pair (a < b): the
     distributed inverted-index core shared by the Jaccard and
@@ -493,9 +563,40 @@ def _gram_intersections(sf_dir: str, n: int = 3,
     outnumber survivors on stopword-ish grams.
 
     ``df_cap``: document-frequency cap — grams shared by more than
-    df_cap docs are skipped in pair-gen (the stopword-ish skew guard for
-    the 100-TB regime). Default None = exact, matching the oracles,
-    which join all grams too."""
+    df_cap docs are excluded from pair-gen (the stopword-ish skew guard
+    for the 100-TB regime: one df-10^6 gram otherwise implies 10^12
+    pairs in a single reducer loop). ``None`` = exact, matching the
+    oracles, which join all grams too; ``"auto"`` resolves by corpus
+    size (None at oracle scales, ``n_docs // 200`` beyond
+    ``AUTO_DF_CAP_MIN_DOCS`` — so the oracle-checked scales stay exact
+    and web scale gets bounded reducers by default).
+
+    ``cap_exact_counts`` (the containment mode): a plain cap silently
+    breaks the ``inter == |A|`` full-cover premise — a skipped gram
+    undercounts ``inter`` but not ``|A|``. With this flag and an active
+    cap, a first pass computes the (few, heavy-hitter) over-cap grams
+    exactly (``_heavy_grams``), broadcasts them, and the explode drops
+    them BEFORE counting — ``|A|`` then counts only surviving grams and
+    ``inter == |A|`` stays a necessary condition for containment for
+    every doc that retains >= 1 uncapped gram. Docs whose every gram is
+    capped (all-boilerplate text) are logged and skipped — the
+    documented residual miss. If the heavy-gram set itself exceeds the
+    broadcast budget the cap is DISABLED (exactness over capping) with
+    a warning."""
+    df_cap = _resolve_df_cap(sf_dir, df_cap)
+    capped_ref = None
+    if df_cap is not None and cap_exact_counts:
+        heavy = _heavy_grams(sf_dir, n, df_cap, num_partitions)
+        if heavy is None:
+            import logging
+            logging.getLogger(__name__).warning(
+                "cap-exact gram pass: over-cap gram set exceeds the "
+                "broadcast budget; disabling df_cap (exactness kept, "
+                "reducer-skew guard lost)")
+            df_cap = None
+        elif heavy:
+            capped_ref = ray.put(pa.array(heavy, pa.string()))
+
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
@@ -512,6 +613,23 @@ def _gram_intersections(sf_dir: str, n: int = 3,
         d, gram = _distinct_word_ngrams_batch(t, n)
         if d is None:
             return empty
+        if capped_ref is not None:
+            capped = ray.get(capped_ref)
+            ga = pa.array(gram, pa.string())
+            keep = pc.invert(pc.is_in(ga, value_set=capped)) \
+                .to_numpy(zero_copy_only=False)
+            if not keep.all():
+                had = np.unique(d)
+                d, gram = d[keep], gram[keep]
+                lost = np.setdiff1d(had, np.unique(d))
+                if len(lost):
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "cap-exact gram pass: %d docs lost every gram "
+                        "to the df cap (all-boilerplate text) and exit "
+                        "candidate generation", len(lost))
+            if len(d) == 0:
+                return empty
         cnt = np.bincount(d, minlength=t.num_rows)
         return pa.table({
             "doc_id": pa.array(dids[d]),
@@ -587,13 +705,18 @@ def _gram_intersections(sf_dir: str, n: int = 3,
 
 
 def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.1,
-                        df_cap: int | None = None,
+                        df_cap: int | None | str = "auto",
                         num_partitions: int = 16) -> ray.data.Dataset:
     """Exact word n-gram Jaccard pairs (a < b, jaccard >= tau) over the
     shared inverted-index intersections: filter
     Jaccard = i / (|A| + |B| - i) >= tau INSIDE the pair-reduce task
-    (losing pairs never reach the object store). Exact (no LSH loss),
-    so it hash-matches the DuckDB self-join oracle."""
+    (losing pairs never reach the object store). Exact (no LSH loss) at
+    oracle scales, so it hash-matches the DuckDB self-join oracle;
+    ``df_cap`` auto-resolves by corpus size (see
+    ``_gram_intersections``) — past the threshold, over-cap grams stop
+    generating pairs, which only ever LOWERS a pair's computed overlap:
+    precision is kept, the (bounded, stopword-driven) recall cost is
+    the standard capped-inverted-index trade."""
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
     def jac_filter(df: pd.DataFrame) -> pd.DataFrame:
@@ -610,7 +733,9 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.1,
 
 
 def containment_pairs(sf_dir: str, n: int = 3, min_len: int = 64,
-                      num_partitions: int = 16) -> ray.data.Dataset:
+                      num_partitions: int = 16,
+                      df_cap: int | None | str = "auto"
+                      ) -> ray.data.Dataset:
     """Verbatim-containment pairs (inner_doc_id, host_doc_id): inner's
     full text occurs as a substring of host's (strictly longer) text —
     the quote / embedded-document detector MinHash structurally misses
@@ -628,10 +753,18 @@ def containment_pairs(sf_dir: str, n: int = 3, min_len: int = 64,
     result matches the DuckDB strpos oracle. Assumption (documented,
     verified against the oracle at both test scales): the contained
     text spans >= n tokens and embeds on whitespace boundaries — the
-    same token-alignment premise every shingle-based dedup makes."""
+    same token-alignment premise every shingle-based dedup makes.
+
+    ``df_cap`` auto-resolves by corpus size and runs in CAP-EXACT mode
+    (``_gram_intersections(cap_exact_counts=True)``): over-cap grams
+    are computed exactly first and excluded from BOTH ``inter`` and
+    ``|A|``, so the full-cover premise survives capping for every doc
+    that keeps >= 1 uncapped gram (all-boilerplate docs are logged and
+    skipped — the documented residual)."""
     from ..functions.joins import hash_join
 
-    inter = _gram_intersections(sf_dir, n, None, num_partitions)
+    inter = _gram_intersections(sf_dir, n, df_cap, num_partitions,
+                                cap_exact_counts=True)
 
     cand_schema = pa.schema([("inner_id", pa.int64()),
                              ("host_id", pa.int64())])

@@ -1,0 +1,107 @@
+"""df_cap scale rule: bounded reducer work with a planted heavy gram,
+and cap-exact containment (the ``inter == |A|`` premise must survive
+capping). SURVEY.md §7.4 'skewed buckets' — the 100-TB guard for the
+gram inverted index."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_docs(path: str, texts: list[str]) -> str:
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        os.path.join(path, "documents.parquet"))
+    return path
+
+
+@pytest.fixture(scope="module")
+def jaccard_corpus(tmp_path_factory):
+    # every doc carries the heavy gram "zz yy xx" (df = 400); each
+    # consecutive pair (2k, 2k+1) shares three rare grams
+    texts = []
+    for k in range(200):
+        texts.append(f"zz yy xx r{k}a r{k}b r{k}c r{k}d")
+        texts.append(f"zz yy xx r{k}a r{k}b r{k}c r{k}e")
+    return _write_docs(str(tmp_path_factory.mktemp("dfcap_j")), texts)
+
+
+def test_df_cap_bounds_cooccurrence_fanout(jaccard_corpus):
+    """The planted df-400 gram alone implies C(400,2) = 79,800
+    co-occurrence rows uncapped; with the cap the intersection stream
+    must collapse to the rare-gram pairs only (bounded reducer work)."""
+    from image_deduper_ray.pipelines.docdedup import _gram_intersections
+
+    uncapped = _gram_intersections(jaccard_corpus, 3, None, 8).count()
+    capped = _gram_intersections(jaccard_corpus, 3, 8, 8).count()
+    assert uncapped >= 79_800          # the quadratic blowup, witnessed
+    assert capped <= 1_000             # cap kills the heavy-gram fanout
+    assert capped >= 200               # rare-gram pairs survive
+
+
+def test_df_cap_keeps_true_jaccard_pairs(jaccard_corpus):
+    """Capping drops only heavy-gram overlap: at tau below the planted
+    pairs' capped similarity, capped and exact runs return the SAME
+    pair set — precision is never lost, and the planted recall holds."""
+    from image_deduper_ray.pipelines.docdedup import ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(jaccard_corpus, n=3, tau=0.3,
+                                df_cap=None).to_pandas()
+    capped = ngram_jaccard_pairs(jaccard_corpus, n=3, tau=0.3,
+                                 df_cap=8).to_pandas()
+    want = {(2 * k, 2 * k + 1) for k in range(200)}
+    assert set(zip(exact.a, exact.b)) == want
+    assert set(zip(capped.a, capped.b)) == want
+
+
+@pytest.fixture(scope="module")
+def containment_corpus(tmp_path_factory):
+    # inner docs start with the heavy gram and are embedded verbatim
+    # (whitespace-aligned) in their hosts; every doc sees df("zz yy xx")
+    # = 40 > cap
+    inners, hosts = [], []
+    for i in range(20):
+        a = f"q{i}l" + "x" * 18
+        b = f"q{i}m" + "x" * 18
+        c = f"q{i}r" + "x" * 18
+        inner = f"zz yy xx {a} {b} {c}"
+        assert len(inner) >= 64
+        inners.append(inner)
+        hosts.append(inner + f" tail{i}0 tail{i}1")
+    return _write_docs(str(tmp_path_factory.mktemp("dfcap_c")),
+                       inners + hosts)
+
+
+def test_cap_exact_containment_survives_heavy_gram(containment_corpus):
+    """With the heavy gram over the cap, plain capping would undercount
+    ``inter`` (but not |A|) and silently lose every candidate. The
+    cap-exact mode recomputes |A| over surviving grams, so the full
+    planted containment set must come back identical to the uncapped
+    run."""
+    from image_deduper_ray.pipelines.docdedup import containment_pairs
+
+    want = {(i, i + 20) for i in range(20)}
+    exact = containment_pairs(containment_corpus, df_cap=None).to_pandas()
+    assert set(zip(exact.inner_doc_id, exact.host_doc_id)) == want
+    capped = containment_pairs(containment_corpus, df_cap=8).to_pandas()
+    assert set(zip(capped.inner_doc_id, capped.host_doc_id)) == want
+
+
+def test_auto_df_cap_resolution(tmp_path):
+    """auto -> None at oracle scales; a finite cap past the threshold
+    (checked against the rule, not a magic number)."""
+    from image_deduper_ray.pipelines import docdedup as dd
+
+    d = _write_docs(str(tmp_path / "tiny"), ["a b c d"] * 5)
+    assert dd._resolve_df_cap(d, "auto") is None
+    assert dd._resolve_df_cap(d, None) is None
+    assert dd._resolve_df_cap(d, 7) == 7
+    # the rule itself, without writing 200k rows: resolution is pure
+    # arithmetic past the threshold
+    assert dd.AUTO_DF_CAP_MIN_DOCS // dd.AUTO_DF_DIVISOR >= 512
