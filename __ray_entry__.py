@@ -233,6 +233,22 @@ def _q_media_decode(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_media_decode_real(sf_dir: str):
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (decode_features,
+                                                     synth_bmp_table)
+
+    # the REAL (non-fake) decode branch: valid uncompressed 24-bit BMP
+    # payloads parsed by the built-in numpy decoder (no PIL needed);
+    # the oracle recomputes the decoded pixel-byte sum from the same
+    # sha256 hex the payloads were synthesized from
+    media = ray.data.from_arrow(synth_bmp_table(n=64))
+    feats = decode_features(media, fake=False)
+    return feats.map_batches(
+        lambda t: t.select(["media_id", "width", "height", "px_sum"]),
+        batch_format="pyarrow")
+
+
 def _q_media_external(sf_dir: str):
     import ray.data
     from image_deduper_ray.stages.multimodal import (external_probe,
@@ -360,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_clusters": _q_minhash_clusters,
         "simhash_groups": _q_simhash_groups,
         "media_decode_features": _q_media_decode,
+        "media_decode_real": _q_media_decode_real,
         "media_external_probe": _q_media_external,
         "media_frame_sample": _q_media_frames,
         "e_windowed_counts": _q_windowed_counts,
@@ -504,6 +521,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + "
             "((strpos('0123456789abcdef', substr(sha256(p), 17, 1)) - 1) "
             "% 10) END AS BIGINT) AS n_frames FROM m",
+        # media_decode_real: the engine decodes ACTUAL BMP bytes with
+        # the numpy parser; the oracle never parses BMP — it recomputes
+        # the pixel region (unhex of the repeated digest) byte by byte
+        # from hex digits and sums, so any decoder drift (offset, row
+        # order, padding, channel handling) breaks the sum
+        "media_decode_real":
+            "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
+            "repeat(sha256('bmp-' || i || '-42'), 3) AS hx "
+            "FROM range(64) t(i)), "
+            "b AS (SELECT media_id, "
+            "  (strpos('0123456789abcdef', "
+            "    substr(hx, CAST(2 * j + 1 AS INT), 1)) - 1) * 16 "
+            "  + (strpos('0123456789abcdef', "
+            "    substr(hx, CAST(2 * j + 2 AS INT), 1)) - 1) AS byte "
+            "  FROM m, range(96) r(j)) "
+            "SELECT media_id, CAST(8 AS BIGINT) AS width, "
+            "CAST(4 AS BIGINT) AS height, "
+            "CAST(SUM(byte) AS BIGINT) AS px_sum FROM b GROUP BY media_id",
         "media_external_probe":
             "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
             "repeat(sha256('media-' || i || '-42'), "

@@ -21,10 +21,50 @@ features only cross the shuffle boundary.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-numpy decoder for uncompressed 24-bit BMP (BI_RGB) — the
+    real-codec branch that runs with no imaging library installed.
+    Handles bottom-up (positive height) and top-down (negative) row
+    order and 4-byte row padding. Returns (width, height, pixels) with
+    pixels an (H, W, 3) uint8 array in top-down RGB order."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    _hsz, w, h = struct.unpack_from("<Iii", payload, 14)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP is supported")
+    topdown = h < 0
+    height = abs(h)
+    stride = (w * 3 + 3) & ~3          # rows pad to 4-byte boundaries
+    data = np.frombuffer(payload, np.uint8, count=stride * height,
+                         offset=off)
+    rows = data.reshape(height, stride)[:, :w * 3].reshape(height, w, 3)
+    if not topdown:
+        rows = rows[::-1]              # BMP default is bottom-up
+    return w, height, rows[:, :, ::-1]  # stored BGR -> RGB
+
+
+def encode_bmp_24(pixels: np.ndarray) -> bytes:
+    """Minimal 24-bit BMP writer (round-trip partner of ``decode_bmp``,
+    used by tests): (H, W, 3) uint8 RGB, bottom-up, padded rows."""
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), np.uint8)
+    body[:, :w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    raw = body.tobytes()
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raw), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raw),
+                      2835, 2835, 0, 0)
+    return hdr + dib + raw
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -52,36 +92,51 @@ class DecodeStage:
         self.feature_dim = feature_dim
         self.target_size = target_size
         self.frame_stride = frame_stride
+        self._pil_image = None
         if not fake:
-            # capability probe: the real image path uses PIL if (and
-            # only if) it is importable — codec import happens HERE,
-            # once per actor, never per batch.
+            # capability probe, once per actor, never per batch: PIL is
+            # the preferred codec when importable; without it the real
+            # path still decodes uncompressed BMP with the built-in
+            # numpy parser (``decode_bmp``) — only non-BMP images then
+            # need the codec and raise per the row contract below.
             try:
                 from PIL import Image
-            except ImportError as exc:
-                raise NotImplementedError(
-                    "media codecs (PIL) are not installed in this "
-                    "environment; construct DecodeStage(fake=True) for "
-                    "the deterministic fake-decode path") from exc
-            self._pil_image = Image
+                self._pil_image = Image
+            except ImportError:
+                pass
 
-    def _pil_decode(self, payload: bytes, kind: str) -> tuple[int, int, int, np.ndarray]:
-        """Real image decode via PIL: resize to target, grayscale,
-        mean-pooled pixel grid as the feature vector. Audio/video codecs
-        are out of scope — those kinds keep the deterministic fake so
-        every row stays scored (M8 fallback discipline)."""
+    def _real_decode(self, payload: bytes, kind: str
+                     ) -> tuple[int, int, int, np.ndarray, int]:
+        """Real image decode: built-in numpy BMP parser first (runs in
+        codec-less environments), PIL for every other image format when
+        installed. Audio/video codecs are out of scope — those kinds
+        keep the deterministic fake so every row stays scored (M8
+        fallback discipline). ``px_sum`` is the exact integer sum of the
+        decoded pixel bytes — an oracle-checkable content invariant."""
         if kind != "image":
             return self._fake_decode(payload, kind)
-        import io
+        if payload[:2] == b"BM":
+            w, h, px = decode_bmp(payload)
+            feats = np.zeros(self.feature_dim, np.float32)
+            feats[:3] = px.reshape(-1, 3).mean(axis=0) / 255.0
+            return w, h, 1, feats, int(px.sum())
+        if self._pil_image is not None:
+            import io
 
-        img = self._pil_image.open(io.BytesIO(payload)) \
-            .convert("L").resize(self.target_size)
-        px = np.asarray(img, dtype=np.float32) / 255.0
-        feats = px.reshape(self.feature_dim, -1).mean(axis=1)
-        w, h = img.size
-        return w, h, 1, feats.astype(np.float32)
+            img = self._pil_image.open(io.BytesIO(payload)) \
+                .convert("L").resize(self.target_size)
+            px = np.asarray(img, dtype=np.float32) / 255.0
+            feats = px.reshape(self.feature_dim, -1).mean(axis=1)
+            w, h = img.size
+            return w, h, 1, feats.astype(np.float32), \
+                int(np.asarray(img, dtype=np.int64).sum())
+        raise NotImplementedError(
+            "no codec for this image payload: PIL is not installed and "
+            "the bytes are not an uncompressed BMP; construct "
+            "DecodeStage(fake=True) for the deterministic fake path")
 
-    def _fake_decode(self, payload: bytes, kind: str) -> tuple[int, int, int, np.ndarray]:
+    def _fake_decode(self, payload: bytes, kind: str
+                     ) -> tuple[int, int, int, np.ndarray, int]:
         """Deterministic 'decode': dims and features seeded from the
         payload digest — stable across runs/workers (resume-safe), and
         independently reproducible in SQL (hex-digest arithmetic only),
@@ -93,26 +148,28 @@ class DecodeStage:
         n_frames = 1 if kind == "image" \
             else 1 + (int(hd[16], 16) % self.frame_stride)
         feats = rng.standard_normal(self.feature_dim).astype(np.float32)
-        return w, h, n_frames, feats
+        return w, h, n_frames, feats, 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
         kinds = batch["kind"].to_pylist()
         payloads = batch["payload"].to_pylist()
-        decode = self._fake_decode if self.fake else self._pil_decode
-        ws, hs, fs, feats = [], [], [], []
+        decode = self._fake_decode if self.fake else self._real_decode
+        ws, hs, fs, feats, sums = [], [], [], [], []
         for kind, payload in zip(kinds, payloads):
-            w, h, n, f = decode(payload or b"", kind)
+            w, h, n, f, s = decode(payload or b"", kind)
             ws.append(w)
             hs.append(h)
             fs.append(n)
             feats.append(f)
+            sums.append(s)
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "kind": pa.array(kinds, pa.string()),
             "width": pa.array(ws, pa.int64()),
             "height": pa.array(hs, pa.int64()),
             "n_frames": pa.array(fs, pa.int64()),
+            "px_sum": pa.array(sums, pa.int64()),
             "features": pa.array([f.tolist() for f in feats],
                                  pa.list_(pa.float32())),
         })
@@ -254,5 +311,32 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         "media_id": pa.array(range(n), pa.int64()),
         "kind": pa.array(kinds, pa.string()),
         "payload": pa.array(payloads, pa.binary()),
+        "meta": pa.array(metas, pa.string()),
+    }, schema=MEDIA_SCHEMA)
+
+
+def synth_bmp_table(n: int = 64, seed: int = 42,
+                    width: int = 8, height: int = 4) -> pa.Table:
+    """Deterministic VALID uncompressed 24-bit BMP payloads for the
+    real-decode branch. The pixel region is exactly
+    ``unhex(repeat(sha256('bmp-i-seed'), 3))`` — 96 bytes == 8*4*3 with
+    no row padding at width 8 — so a DuckDB oracle reconstructs the
+    decoded pixel-byte sum with hex-digit arithmetic alone, gating the
+    real (non-fake) decoder end to end."""
+    assert width * height * 3 == 96 and (width * 3) % 4 == 0, \
+        "oracle alignment requires 96 unpadded pixel bytes"
+    rows = []
+    for i in range(n):
+        hx = hashlib.sha256(f"bmp-{i}-{seed}".encode()).hexdigest() * 3
+        px = bytes.fromhex(hx)
+        hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(px), 0, 0, 54)
+        dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                          len(px), 2835, 2835, 0, 0)
+        rows.append(hdr + dib + px)
+    metas = ['{"claimed": "bmp"}'] * n
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "kind": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(rows, pa.binary()),
         "meta": pa.array(metas, pa.string()),
     }, schema=MEDIA_SCHEMA)

@@ -45,7 +45,7 @@ SQL_CHECKED = [
     "e_asof_join", "e_range_join", "t_stratified_sample",
     "t_topk_tokens", "t_vocab_stats", "t_token_quantiles", "t_top_docs",
     "l_pricing_summary", "emb_dedup_canonical", "doc_containment_pairs",
-    "a5_dedup_report", "simhash_groups",
+    "a5_dedup_report", "simhash_groups", "media_decode_real",
 ]
 
 
@@ -177,12 +177,14 @@ def test_media_decode_plumbing():
                                                      decode_features,
                                                      synth_media_table)
 
+    # fake=False is constructible with no imaging library: the built-in
+    # numpy BMP parser is a real codec. Non-BMP image payloads without
+    # PIL must still declare themselves per row, not silently fake.
+    stage = DecodeStage(fake=False)
     import importlib.util
     if importlib.util.find_spec("PIL") is None:
         with pytest.raises(NotImplementedError):
-            DecodeStage(fake=False)  # codec absent: probe must declare
-    else:
-        DecodeStage(fake=False)      # probe passes when PIL exists
+            stage._real_decode(b"\x89PNG junk", "image")
 
     media = ray.data.from_arrow(synth_media_table(n=32))
     out1 = decode_features(media, fake=True).to_pandas()
@@ -195,6 +197,59 @@ def test_media_decode_plumbing():
     o1 = out1.sort_values("media_id").reset_index(drop=True)
     o2 = out2.sort_values("media_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(o1, o2)
+
+
+def test_bmp_decoder_roundtrip():
+    """decode_bmp must invert encode_bmp_24 including the awkward
+    cases: row padding (width not a multiple of 4) and bottom-up
+    storage; and the synth BMP pixel sum must equal the raw digest-byte
+    sum the oracle computes."""
+    import hashlib
+
+    from image_deduper_ray.stages.multimodal import (decode_bmp,
+                                                     encode_bmp_24,
+                                                     synth_bmp_table)
+
+    rng = np.random.default_rng(3)
+    for w, h in [(3, 5), (8, 4), (7, 1), (4, 4)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        w2, h2, out = decode_bmp(encode_bmp_24(px))
+        assert (w2, h2) == (w, h)
+        np.testing.assert_array_equal(out, px)
+
+    t = synth_bmp_table(n=4)
+    for i, payload in enumerate(t["payload"].to_pylist()):
+        w, h, px = decode_bmp(payload)
+        hx = hashlib.sha256(f"bmp-{i}-42".encode()).hexdigest() * 3
+        assert (w, h) == (8, 4)
+        assert int(px.sum()) == sum(bytes.fromhex(hx))
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"nope")
+
+
+def test_real_decode_stage_end_to_end():
+    """The non-fake decode branch runs in this container (numpy BMP
+    parser, no PIL): actor-pool stage over synth BMPs, px_sum exact."""
+    import hashlib
+
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (decode_features,
+                                                     synth_bmp_table)
+
+    media = ray.data.from_arrow(synth_bmp_table(n=32))
+    out = decode_features(media, fake=False).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert len(out) == 32
+    assert (out["width"] == 8).all() and (out["height"] == 4).all()
+    assert (out["n_frames"] == 1).all()
+    want = [sum(bytes.fromhex(
+        hashlib.sha256(f"bmp-{i}-42".encode()).hexdigest() * 3))
+        for i in range(32)]
+    assert out["px_sum"].tolist() == want
+    # features carry the per-channel means of the decoded pixels
+    assert ((out_f := np.stack(out["features"].to_numpy()))[:, :3] > 0).all()
+    assert (out_f[:, 3:] == 0).all()
 
 
 def test_entry_smoke():
