@@ -319,6 +319,21 @@ def _q_top_docs(sf_dir: str):
     return top_docs(sf_dir, limit=25)
 
 
+def _q_decontaminate(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import decontaminate
+    return decontaminate(sf_dir)
+
+
+def _q_repetition(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import repetition_stats
+    return repetition_stats(sf_dir)
+
+
+def _q_pii_counts(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import pii_counts
+    return pii_counts(sf_dir)
+
+
 def _q_dedup_report(sf_dir: str):
     from image_deduper_ray.pipelines.docdedup import dedup_report
     return dedup_report(sf_dir)
@@ -363,6 +378,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_vocab_stats": _q_vocab_stats,
         "t_token_quantiles": _q_token_quantiles,
         "t_top_docs": _q_top_docs,
+        "t_decontaminate": _q_decontaminate,
+        "t_repetition": _q_repetition,
+        "t_pii_counts": _q_pii_counts,
         "doc_containment_pairs": _q_containment_pairs,
         "a5_dedup_report": _q_dedup_report,
         "l_pricing_summary": _q_pricing_summary,
@@ -582,6 +600,37 @@ def oracle_sql() -> dict[str, str]:
             "    ORDER BY CAST(n_stopwords AS DOUBLE) / n_tokens DESC, "
             "    doc_id) AS rn FROM s WHERE n_tokens > 0) "
             "WHERE rn <= 25",
+        # t_decontaminate: benchmark = the deterministic doc_id % 29 = 0
+        # slice; a doc is contaminated when any of its distinct word
+        # 5-grams occurs in the benchmark's gram vocabulary
+        "t_decontaminate":
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, "
+            "  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] "
+            "  || ' ' || t[i+4] AS g FROM ("
+            "    SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i"
+            "    FROM toks)), "
+            "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0), "
+            "hits AS (SELECT gr.doc_id, COUNT(*) AS n_hit FROM grams gr "
+            "  JOIN bench USING (g) GROUP BY gr.doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(h.n_hit, 0) AS BIGINT) "
+            "AS n_hit_grams, COALESCE(h.n_hit, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id",
+        "t_repetition":
+            "WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) "
+            "AS line FROM documents) "
+            "SELECT doc_id, COUNT(*) AS n_lines, "
+            "CAST(COUNT(DISTINCT line) AS BIGINT) AS n_distinct_lines "
+            "FROM l GROUP BY doc_id",
+        "t_pii_counts":
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, "
+            "len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_urls, "
+            "len(regexp_extract_all(text, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4 "
+            "FROM documents",
         "a5_dedup_report":
             "SELECT source, COUNT(*) AS n_docs, "
             "CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_unique, "

@@ -734,7 +734,9 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.1,
 
 def containment_pairs(sf_dir: str, n: int = 3, min_len: int = 64,
                       num_partitions: int = 16,
-                      df_cap: int | None | str = "auto"
+                      df_cap: int | None | str = "auto",
+                      cand_broadcast_bytes: int = 64 << 20,
+                      text_broadcast_bytes: int = 256 << 20
                       ) -> ray.data.Dataset:
     """Verbatim-containment pairs (inner_doc_id, host_doc_id): inner's
     full text occurs as a substring of host's (strictly longer) text —
@@ -800,8 +802,11 @@ def containment_pairs(sf_dir: str, n: int = 3, min_len: int = 64,
 
     from ..functions.joins import collect_i64_under_cap
 
+    out_schema = pa.schema([("inner_doc_id", pa.int64()),
+                            ("host_doc_id", pa.int64())])
+
     collected = collect_i64_under_cap(cand, ["inner_id", "host_id"],
-                                      max_bytes=64 << 20)
+                                      max_bytes=cand_broadcast_bytes)
     if collected is not None:
         uniq = np.unique(np.concatenate(collected))
         ids_ref = ray.put(uniq)
@@ -816,6 +821,49 @@ def containment_pairs(sf_dir: str, n: int = 3, min_len: int = 64,
 
         docs = docs.map_batches(prune, batch_format="pyarrow",
                                 zero_copy_batch=True)
+
+        # common case: the candidates' texts fit a broadcast — verify
+        # with ONE stateless map over the pair stream (the flagship
+        # containment stage's pattern, pipelines/dedup.py) instead of
+        # two partitioned hash joins; past the byte cap fall through to
+        # the join route below
+        lookup: dict[int, str] | None = {}
+        lookup_bytes = 0
+        for b in docs.iter_batches(batch_size=4096,
+                                   batch_format="pyarrow"):
+            if b.num_rows == 0:
+                continue
+            texts = b["text"].to_pylist()
+            lookup_bytes += sum(len(x) for x in texts)
+            if lookup_bytes > text_broadcast_bytes:
+                lookup = None
+                break
+            lookup.update(zip((int(x) for x in
+                               b["doc_id"].to_pylist()), texts))
+        if lookup is not None:
+            texts_ref = ray.put(lookup)
+
+            def verify_bcast(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return out_schema.empty_table()
+                lk = ray.get(texts_ref)
+                ii = t["inner_id"].to_numpy(zero_copy_only=False)
+                hh = t["host_id"].to_numpy(zero_copy_only=False)
+                keep = np.fromiter(
+                    ((x := lk.get(int(a))) is not None
+                     and (y := lk.get(int(b_))) is not None
+                     and len(x) >= min_len and len(x) < len(y) and x in y
+                     for a, b_ in zip(ii, hh)),
+                    dtype=bool, count=len(ii))
+                return pa.table({
+                    "inner_doc_id": pa.array(ii[keep].astype(np.int64)),
+                    "host_doc_id": pa.array(hh[keep].astype(np.int64))})
+
+            verified = cand.map_batches(verify_bcast,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True)
+            return ray.data.from_arrow(out_schema.empty_table()) \
+                .union(verified)
     inner_txt = docs.map_batches(
         lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.string()),
                             "inner_text": t["text"]}),
@@ -845,9 +893,6 @@ def containment_pairs(sf_dir: str, n: int = 3, min_len: int = 64,
                    ("inner_text", pa.string()), ("k2", pa.string())]),
         pa.schema([("host_text", pa.string())]), how="inner",
         num_partitions=num_partitions)
-
-    out_schema = pa.schema([("inner_doc_id", pa.int64()),
-                            ("host_doc_id", pa.int64())])
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -472,3 +472,132 @@ def stratified_sample(sf_dir: str, per_stratum: int = 50) -> ray.data.Dataset:
                            zero_copy_batch=True)
     return partitioned_group_map(keyed, ["lang"], block, 8,
                                  out_schema=out_schema)
+
+
+# --- LLM-data curation: decontamination, repetition, PII ---------------
+
+def decontaminate(sf_dir: str, n: int = 5,
+                  bench_mod: int = 29,
+                  max_bench_bytes: int = 256 << 20) -> ray.data.Dataset:
+    """Benchmark decontamination flags: (doc_id, n_hit_grams,
+    contaminated) — how many of a doc's DISTINCT word ``n``-grams occur
+    in the benchmark set's gram vocabulary (any hit = contaminated,
+    the standard train/test-overlap scrub for LLM corpora).
+
+    The benchmark here is the deterministic slice ``doc_id % bench_mod
+    == 0`` of the same table, standing in for an external eval set —
+    which is exactly the 100-TB shape: the benchmark side is SMALL by
+    nature, so its gram vocabulary is collected once (byte-capped),
+    broadcast via ``ray.put``, and the corpus-side scan is one
+    stateless vectorized ``map_batches`` with a C-speed ``is_in`` probe
+    per batch — no shuffle, no join, the corpus streams. A benchmark
+    vocabulary past the byte cap raises (callers must shard the
+    benchmark or raise the cap) rather than silently degrading."""
+    import numpy as np
+    import ray
+
+    from .docdedup import _distinct_word_ngrams_batch
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(dids % bench_mod == 0))
+        if t.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.string())})
+        _, gram = _distinct_word_ngrams_batch(t, n)
+        if gram is None:
+            return pa.table({"gram": pa.array([], pa.string())})
+        return pa.table({"gram": pa.array(np.unique(gram), pa.string())})
+
+    vocab: set[str] = set()
+    total = 0
+    bds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        bench_grams, batch_format="pyarrow", zero_copy_batch=True)
+    for b in bds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for g in b["gram"].to_pylist() if b.num_rows else []:
+            if g not in vocab:
+                vocab.add(g)
+                total += len(g)
+        if total > max_bench_bytes:
+            raise ValueError(
+                "benchmark gram vocabulary exceeds the broadcast budget; "
+                "shard the benchmark or raise max_bench_bytes")
+    vocab_ref = ray.put(pa.array(sorted(vocab), pa.string()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        import numpy as np
+        vs = ray.get(vocab_ref)
+        hits = np.zeros(t.num_rows, np.int64)
+        d, gram = _distinct_word_ngrams_batch(t, n)
+        if d is not None and len(d) and len(vs):
+            hit = pc.is_in(pa.array(gram, pa.string()), value_set=vs) \
+                .to_numpy(zero_copy_only=False)
+            np.add.at(hits, d[hit], 1)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_hit_grams": pa.array(hits),
+            "contaminated": pa.array(hits > 0)})
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_lines, n_distinct_lines) — the duplicate-line signal
+    quality filters cut on (boilerplate/template pages repeat lines;
+    cf. Gopher's repetition heuristics). Lines are '\\n' splits with
+    empties KEPT, matching DuckDB ``string_split`` exactly. Vectorized:
+    one Arrow split per batch, flat (doc, line) dedupe, two bincounts —
+    no per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_lines": pa.array([], pa.int64()),
+                             "n_distinct_lines": pa.array([], pa.int64())})
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lines = pc.split_pattern(col, "\n")
+        counts = np.diff(lines.offsets.to_numpy()).astype(np.int64)
+        flat = lines.flatten()
+        doc_idx = np.repeat(np.arange(t.num_rows), counts)
+        dd = pd.DataFrame({"d": doc_idx, "l": flat.to_pandas()}) \
+            .drop_duplicates()
+        distinct = np.bincount(dd["d"].to_numpy(),
+                               minlength=t.num_rows).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_lines": pa.array(counts),
+                         "n_distinct_lines": pa.array(distinct)})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# RE2 on both sides (Arrow and DuckDB), so counts agree byte for byte.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_counts(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_emails, n_urls, n_ipv4) — PII/link density per doc,
+    the scrub-or-drop signal of a curation pass. Three vectorized RE2
+    counts per batch; the redaction variant would be the same kernels
+    with replace_substring_regex."""
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_emails": pc.count_substring_regex(
+                text, _EMAIL_RE).cast(pa.int64()),
+            "n_urls": pc.count_substring_regex(
+                text, _URL_RE).cast(pa.int64()),
+            "n_ipv4": pc.count_substring_regex(
+                text, _IPV4_RE).cast(pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -105,3 +105,18 @@ def test_auto_df_cap_resolution(tmp_path):
     # the rule itself, without writing 200k rows: resolution is pure
     # arithmetic past the threshold
     assert dd.AUTO_DF_CAP_MIN_DOCS // dd.AUTO_DF_DIVISOR >= 512
+
+
+def test_containment_broadcast_and_join_routes_agree(containment_corpus):
+    """Forcing the byte caps to zero pushes containment through the
+    partitioned-join scale route (no candidate-id prune, no text
+    broadcast); results must be identical to the broadcast fast path."""
+    from image_deduper_ray.pipelines.docdedup import containment_pairs
+
+    want = {(i, i + 20) for i in range(20)}
+    fast = containment_pairs(containment_corpus).to_pandas()
+    slow = containment_pairs(containment_corpus,
+                             cand_broadcast_bytes=0,
+                             text_broadcast_bytes=0).to_pandas()
+    assert set(zip(fast.inner_doc_id, fast.host_doc_id)) == want
+    assert set(zip(slow.inner_doc_id, slow.host_doc_id)) == want

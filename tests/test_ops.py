@@ -46,6 +46,7 @@ SQL_CHECKED = [
     "t_topk_tokens", "t_vocab_stats", "t_token_quantiles", "t_top_docs",
     "l_pricing_summary", "emb_dedup_canonical", "doc_containment_pairs",
     "a5_dedup_report", "simhash_groups", "media_decode_real",
+    "t_decontaminate", "t_repetition", "t_pii_counts",
 ]
 
 
