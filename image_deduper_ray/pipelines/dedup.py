@@ -180,6 +180,8 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
     # -- containment (suffix-array substring) edges --
     if not complete("edges_cont"):
         with StageTimer(metrics, "edges_cont") as t:
+            import time as _time
+            _t0 = _time.monotonic()
             cands = verified.map_batches(
                 lambda tb: tb.filter(
                     pa.compute.equal(tb["verdict"], "containment_cand"))
@@ -196,6 +198,9 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
                 if len(cand_ids) > cfg.cont_max_broadcast_ids:
                     cand_ids = None
                     break
+            _t_ids = _time.monotonic() - _t0
+            _n_cand_ids = len(cand_ids) if cand_ids is not None else -1
+            _t_scan = -1.0
             if cand_ids is not None and not cand_ids:
                 ce = ray.data.from_arrow(_EMPTY_EDGES)
             else:
@@ -245,28 +250,50 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
                 # common case: candidate content fits a broadcast —
                 # collect it (streaming, byte-capped) and verify pairs
                 # in a single map_batches with no shuffle at all; fall
-                # back to partitioned joins only past the byte cap
-                lookup: dict[str, str] | None = {}
+                # back to partitioned joins only past the byte cap.
+                # materialize() BEFORE the driver loop: iter_batches on
+                # the lazy scan would throttle the whole full-corpus
+                # read to the driver's single-threaded consumption
+                # (measured: this stage INVERTED 8->32 cpus, 8.7->21 s,
+                # until the scan was decoupled from the collect) — the
+                # materialized result is only the candidates' content
+                content = content.materialize()
+                _t_scan = _time.monotonic() - _t0 - _t_ids
+                # broadcast the candidate content as ONE Arrow table,
+                # not a Python dict: an Arrow table is zero-copy
+                # through plasma, while a ray.put dict of ~10^5 texts
+                # is re-UNPICKLED by every worker (measured ~12 s of
+                # this stage's wall at 32 cpus before the change);
+                # lookups become index_in/take C kernels per batch
+                parts: list[pa.Table] | None = []
                 lookup_bytes = 0
                 for b in content.iter_batches(batch_size=4096,
                                               batch_format="pyarrow"):
-                    texts = b["content"].to_pylist()
-                    lookup_bytes += sum(len(x) for x in texts)
+                    lookup_bytes += b.nbytes
                     if lookup_bytes > cfg.cont_broadcast_max_bytes:
-                        lookup = None
+                        parts = None
                         break
-                    lookup.update(zip(b["file_id"].to_pylist(), texts))
-                if lookup is not None:
-                    content_ref = ray.put(lookup)
+                    if b.num_rows:
+                        parts.append(b)
+                if parts is not None:
+                    ctbl = pa.concat_tables(parts).combine_chunks() \
+                        if parts else pa.table(
+                            {"file_id": pa.array([], pa.string()),
+                             "content": pa.array([], pa.string())})
+                    content_ref = ray.put(ctbl)
 
                     def _attach(tb: pa.Table) -> pa.Table:
-                        c = ray.get(content_ref)
-                        ca = [c.get(x) for x in tb["a"].to_pylist()]
-                        cb = [c.get(x) for x in tb["b"].to_pylist()]
-                        return tb.append_column(
-                            "content_a", pa.array(ca, pa.string())) \
-                            .append_column("content_b",
-                                           pa.array(cb, pa.string()))
+                        ct = ray.get(content_ref)
+                        keys = ct["file_id"].combine_chunks() \
+                            if isinstance(ct["file_id"], pa.ChunkedArray) \
+                            else ct["file_id"]
+                        ia = pa.compute.index_in(tb["a"], value_set=keys)
+                        ib = pa.compute.index_in(tb["b"], value_set=keys)
+                        # null index -> null content (take propagates)
+                        ca = pa.compute.take(ct["content"], ia)
+                        cb = pa.compute.take(ct["content"], ib)
+                        return tb.append_column("content_a", ca) \
+                            .append_column("content_b", cb)
 
                     ce = (cands.map_batches(_attach, batch_format="pyarrow")
                           .map_batches(ContainmentVerify(),
@@ -291,7 +318,12 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
                     ce = j.map_batches(ContainmentVerify(),
                                        batch_format="pyarrow")
             ce = persist(ce, "edges_cont", schema=_EDGE_SCHEMA)
-            t.done(rows_of("edges_cont"))
+            # sub-step attribution (shows up in the metrics 'extra'
+            # column): candidate-id collect, pruned content scan, and
+            # the remainder (verify + persist) — the data that localized
+            # this stage's single-box saturation in the first place
+            t.done(rows_of("edges_cont"), cand_ids_s=round(_t_ids, 2),
+                   n_cand_ids=_n_cand_ids, content_scan_s=round(_t_scan, 2))
     edges_cont = load("edges_cont")
 
     # -- edge union --

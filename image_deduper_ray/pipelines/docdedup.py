@@ -819,8 +819,13 @@ def containment_pairs(sf_dir: str, n: int = 3, min_len: int = 64,
             pos = np.searchsorted(u, d).clip(0, len(u) - 1)
             return t.filter(pa.array(u[pos] == d))
 
+        # materialize the PRUNED (candidates-only) table before any
+        # driver-side collection: iter_batches on the lazy scan would
+        # throttle the full-corpus read to single-threaded driver
+        # consumption, and the join fallback would otherwise re-run
+        # the scan once per side
         docs = docs.map_batches(prune, batch_format="pyarrow",
-                                zero_copy_batch=True)
+                                zero_copy_batch=True).materialize()
 
         # common case: the candidates' texts fit a broadcast — verify
         # with ONE stateless map over the pair stream (the flagship

@@ -510,8 +510,12 @@ def decontaminate(sf_dir: str, n: int = 5,
 
     vocab: set[str] = set()
     total = 0
+    # materialize before the driver loop: the collect must not throttle
+    # the corpus scan to single-threaded driver consumption (the
+    # benchmark gram table is small by construction)
     bds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        bench_grams, batch_format="pyarrow", zero_copy_batch=True)
+        bench_grams, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
     for b in bds.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for g in b["gram"].to_pylist() if b.num_rows else []:
             if g not in vocab:
