@@ -203,6 +203,21 @@ def test_containment_semijoin_fallback_recall(tmp_path):
     assert dup_pair_recall(engine, ref_pairs) >= 0.99
 
 
+def test_containment_content_join_fallback_recall(tmp_path):
+    """With cont_broadcast_max_bytes=0 the candidate-content broadcast
+    (Arrow-table fast path) must flip to the partitioned content joins
+    and still reach full recall."""
+    from image_deduper_ray.config import DedupConfig
+
+    cfg = DedupConfig(cont_broadcast_max_bytes=0)
+    d, _ = write_corpus(str(tmp_path / "corpus"), n_clusters=8)
+    res = run_pipeline(d, str(tmp_path / "out"), cfg)
+    engine = _engine_clusters(res)
+    table, _ = generate_corpus(8)
+    ref_pairs = oracle_pairs(oracle_signatures(table, cfg), cfg)
+    assert dup_pair_recall(engine, ref_pairs) >= 0.99
+
+
 def test_join_verify_path_recall(tmp_path):
     """verify_broadcast_max_bytes=0 forces the partitioned hash-join +
     ScorePairs path (the beyond-broadcast regime) — recall must hold."""
