@@ -69,3 +69,42 @@ def test_sha256_column_matches_python_hashlib(x, y):
     assert got[0] == hashlib.sha256(x.encode("utf-8", "surrogatepass")).hexdigest()
     assert (got[0] == got[1]) == (
         x.encode("utf-8", "surrogatepass") == y.encode("utf-8", "surrogatepass"))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 24), st.integers(1, 16), st.integers(0, 2**32 - 1))
+def test_bmp_roundtrip_any_dims(w, h, seed):
+    """encode/decode must round-trip for every width (padding!) and
+    height, including single-pixel rows and widths straddling the
+    4-byte stride boundary."""
+    from image_deduper_ray.stages.multimodal import decode_bmp, encode_bmp_24
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    w2, h2, out = decode_bmp(encode_bmp_24(px))
+    assert (w2, h2) == (w, h)
+    np.testing.assert_array_equal(out, px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet=st.sampled_from("ab cd\nef\t"),
+                        max_size=80), min_size=1, max_size=12))
+def test_distinct_word_ngrams_matches_python_split(texts):
+    """The vectorized gram explode must agree with the plain-Python
+    reference (str.split + set of joined 3-grams) for arbitrary
+    whitespace shapes — the invariant every gram-based oracle rests
+    on."""
+    import pyarrow as pa
+    from image_deduper_ray.pipelines.docdedup import (
+        _distinct_word_ngrams_batch)
+
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    d, gram = _distinct_word_ngrams_batch(t, 3)
+    got: dict[int, set] = {}
+    if d is not None:
+        for pos, g in zip(d, gram):
+            got.setdefault(int(pos), set()).add(g)
+    for i, s in enumerate(texts):
+        toks = s.split()
+        want = {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+        assert got.get(i, set()) == want
