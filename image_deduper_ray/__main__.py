@@ -92,6 +92,49 @@ def cmd_diagnose(args) -> int:
     return 0 if report["consistent"] else 1
 
 
+def cmd_query(args) -> int:
+    """Run any operator from the driver battery over an sf-style table
+    dir: ``query --name t_token_count --sf-dir DIR [--out DIR]``.
+    Writes partitioned Parquet when --out is given, else prints row
+    count + head to stdout — the library/CLI parity surface (reference
+    README.md:88-108 split)."""
+    import ray
+
+    started = False
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+        started = True
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "__ray_entry__.py"))
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    qs = entry.queries()
+    if args.name == "list" or args.name not in qs:
+        print(json.dumps(sorted(qs)))
+        if started:
+            ray.shutdown()
+        return 0 if args.name == "list" else 2
+    res = qs[args.name](args.sf_dir)
+    if args.out and hasattr(res, "write_parquet"):
+        res.write_parquet(args.out)
+        print(json.dumps({"query": args.name, "out": args.out}))
+    else:
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        print(json.dumps({"query": args.name, "rows": len(df),
+                          "columns": list(map(str, df.columns)),
+                          "head": df.head(5).to_dict("records")},
+                         default=str))
+    if started:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="image_deduper_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -115,6 +158,14 @@ def main(argv=None) -> int:
     diag = sub.add_parser("diagnose", help="stage consistency cross-check")
     diag.add_argument("--out", required=True)
     diag.set_defaults(fn=cmd_diagnose)
+
+    q = sub.add_parser("query",
+                       help="run one battery operator over a table dir")
+    q.add_argument("--name", required=True,
+                   help="operator name ('list' prints all)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--out", help="write result Parquet here")
+    q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

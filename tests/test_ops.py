@@ -609,3 +609,35 @@ def test_block_pair_tiling_chunked_equals_unchunked():
     pd.testing.assert_frame_equal(
         base.sort_values(key).reset_index(drop=True),
         tiny.sort_values(key).reset_index(drop=True))
+
+
+def test_cli_query_subcommand(capsys, tmp_path):
+    """python -m image_deduper_ray query — the CLI/library parity
+    surface: list names, run an operator to stdout, run one to Parquet.
+    Runs in-process (the guarded init must NOT tear down the test
+    session's Ray)."""
+    import json
+
+    import pyarrow.parquet as pq
+    from image_deduper_ray.__main__ import main
+
+    assert main(["query", "--name", "list"]) == 0
+    names = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "t_token_count" in names and len(names) >= 40
+
+    assert main(["query", "--name", "t_pii_counts",
+                 "--sf-dir", SF]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 500
+    assert out["columns"] == ["doc_id", "n_emails", "n_urls", "n_ipv4"]
+
+    dest = str(tmp_path / "q_out")
+    assert main(["query", "--name", "t_repetition", "--sf-dir", SF,
+                 "--out", dest]) == 0
+    import os
+    n = sum(pq.ParquetFile(os.path.join(dest, f)).metadata.num_rows
+            for f in os.listdir(dest) if f.endswith(".parquet"))
+    assert n == 500
+
+    assert main(["query", "--name", "no_such_op"]) == 2
+    capsys.readouterr()
