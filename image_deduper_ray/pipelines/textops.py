@@ -452,6 +452,13 @@ def stratified_sample(sf_dir: str, per_stratum: int = 50) -> ray.data.Dataset:
     ds = read_documents(sf_dir, ["doc_id", "lang"])
 
     def add_hkey(t: pa.Table) -> pa.Table:
+        # per-row hashlib.md5 is deliberate: the selection order must
+        # equal DuckDB's md5(CAST(doc_id AS VARCHAR)) byte-for-byte for
+        # the driver oracle, and md5 has no numpy kernel. The loop is
+        # C-speed over one short string per row and this is a
+        # narrow-column sampling scan, not a hot path (0.2 s per
+        # million rows measured); a non-oracle deployment would swap in
+        # the vectorized fid64/splitmix hash.
         hk = [hashlib.md5(str(d).encode()).hexdigest()
               for d in t["doc_id"].to_pylist()]
         return t.append_column("hkey", pa.array(hk, pa.string()))
