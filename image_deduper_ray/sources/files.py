@@ -20,22 +20,74 @@ import ray.data
 FILES_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
 
+def _sniff_format(paths: str | list[str]) -> str:
+    """File-extension sniff over the first path entry (the
+    magic-bytes-dispatch analog, M14): parquet | json | csv."""
+    import os
+
+    p = paths[0] if isinstance(paths, (list, tuple)) else paths
+    if os.path.isdir(p):
+        for f in sorted(os.listdir(p)):
+            if f.startswith(("_", ".")):   # markers/manifests, not data
+                continue
+            ext = f.rsplit(".", 1)[-1].lower()
+            if ext in ("parquet", "json", "jsonl", "csv"):
+                return "json" if ext in ("json", "jsonl") else ext
+        return "parquet"
+    ext = p.rsplit(".", 1)[-1].lower()
+    return {"json": "json", "jsonl": "json", "csv": "csv"}.get(ext, "parquet")
+
+
 def read_files(paths: str | list[str], *, langs: list[str] | None = None,
                exclude_path_prefixes: list[str] | None = None,
                include_hidden: bool = False,
-               override_num_blocks: int | None = None) -> ray.data.Dataset:
+               override_num_blocks: int | None = None,
+               file_format: str = "auto") -> ray.data.Dataset:
     """Read the files table with predicate pushdown at the scan.
 
     langs -> row-group-level filter (the supported-format predicate,
     types.rs:38-44); exclude_path_prefixes -> the excluded-directories
     filter (discovery/mod.rs:68-72); hidden '.'-segment filter
     (discovery/mod.rs:61-66).
-    """
+
+    ``file_format``: 'parquet' (default), 'json' (JSONL) or 'csv' —
+    'auto' sniffs the extension. Parquet gets true columnar pushdown
+    (lang filter evaluated at the row-group scan); the row formats are
+    full scans by nature, so their lang filter runs as the first
+    vectorized batch predicate instead — same semantics, the format's
+    own cost. Columns are conformed to FILES_COLUMNS either way so
+    every downstream stage is format-agnostic."""
+    if file_format == "auto":
+        file_format = _sniff_format(paths)
     flt = None
-    if langs is not None:
-        flt = pc.field("lang").isin(langs)
-    ds = ray.data.read_parquet(paths, columns=FILES_COLUMNS, filter=flt,
-                               override_num_blocks=override_num_blocks)
+    if file_format == "parquet":
+        if langs is not None:
+            flt = pc.field("lang").isin(langs)
+        ds = ray.data.read_parquet(paths, columns=FILES_COLUMNS, filter=flt,
+                                   override_num_blocks=override_num_blocks)
+    else:
+        if file_format == "json":
+            ds = ray.data.read_json(
+                paths, **({"override_num_blocks": override_num_blocks}
+                          if override_num_blocks else {}))
+        elif file_format == "csv":
+            ds = ray.data.read_csv(
+                paths, **({"override_num_blocks": override_num_blocks}
+                          if override_num_blocks else {}))
+        else:
+            raise ValueError(f"unknown file_format {file_format!r}")
+        lang_set = langs
+
+        def conform(t: pa.Table) -> pa.Table:
+            out = pa.table({c: t[c].cast(pa.string())
+                            for c in FILES_COLUMNS})
+            if lang_set is not None:
+                out = out.filter(pc.is_in(
+                    out["lang"], value_set=pa.array(lang_set, pa.string())))
+            return out
+
+        ds = ds.map_batches(conform, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
     if exclude_path_prefixes or not include_hidden:
         prefixes = tuple(exclude_path_prefixes or ())
