@@ -120,3 +120,38 @@ def test_containment_broadcast_and_join_routes_agree(containment_corpus):
                              text_broadcast_bytes=0).to_pandas()
     assert set(zip(fast.inner_doc_id, fast.host_doc_id)) == want
     assert set(zip(slow.inner_doc_id, slow.host_doc_id)) == want
+
+
+def test_operators_handle_empty_documents(tmp_path):
+    """An empty shard is a normal event at scale: the gram, simhash,
+    curation and dedup operators must return empty TYPED results, not
+    crash on Ray 2.49's schema-less empty blocks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "empty")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64())}),
+        os.path.join(d, "documents.parquet"))
+
+    from image_deduper_ray.pipelines.docdedup import (containment_pairs,
+                                                      exact_dup_groups,
+                                                      ngram_jaccard_pairs,
+                                                      simhash_text_groups)
+    from image_deduper_ray.pipelines.textops import (decontaminate,
+                                                     pii_counts,
+                                                     repetition_stats)
+
+    assert len(exact_dup_groups(d, seed_dup_mod=17).to_pandas()) == 0
+    assert len(ngram_jaccard_pairs(d, df_cap=None).to_pandas()) == 0
+    assert len(ngram_jaccard_pairs(d, df_cap=8).to_pandas()) == 0
+    assert len(containment_pairs(d, df_cap=8).to_pandas()) == 0
+    assert len(simhash_text_groups(d).to_pandas()) == 0
+    assert len(decontaminate(d).to_pandas()) == 0
+    assert len(repetition_stats(d).to_pandas()) == 0
+    assert len(pii_counts(d).to_pandas()) == 0
