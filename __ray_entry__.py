@@ -249,6 +249,21 @@ def _q_media_decode_real(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_media_phash(sf_dir: str):
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (bmp_phash,
+                                                     synth_bmp_table)
+
+    # the reference's Standard pHash (M2, core.rs:37-104) on REAL
+    # decoded image bytes: nearest-neighbor resize -> integer luma ->
+    # strict mean threshold -> packed 64-bit hash (hex). 16x8 BMPs so
+    # the resize actually resamples; the oracle recomputes every pixel
+    # byte, the luma sum, the threshold and the hex packing in exact
+    # integer arithmetic
+    media = ray.data.from_arrow(synth_bmp_table(n=64, width=16, height=8))
+    return bmp_phash(media)
+
+
 def _q_media_external(sf_dir: str):
     import ray.data
     from image_deduper_ray.stages.multimodal import (external_probe,
@@ -395,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_groups": _q_simhash_groups,
         "media_decode_features": _q_media_decode,
         "media_decode_real": _q_media_decode_real,
+        "media_phash_bmp": _q_media_phash,
         "media_external_probe": _q_media_external,
         "media_frame_sample": _q_media_frames,
         "e_windowed_counts": _q_windowed_counts,
@@ -557,6 +573,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT media_id, CAST(8 AS BIGINT) AS width, "
             "CAST(4 AS BIGINT) AS height, "
             "CAST(SUM(byte) AS BIGINT) AS px_sum FROM b GROUP BY media_id",
+        # media_phash_bmp: engine decodes real BMP bytes and computes
+        # the reference-shape Standard pHash; the oracle rebuilds the
+        # pixel table from the digest hex (BGR bytes, bottom-up rows),
+        # samples the nearest-neighbor grid (sx=2x, sy=y for 16x8->8x8),
+        # takes integer luma 299R+587G+114B, thresholds strictly against
+        # the mean (64*luma > sum), and re-packs the 64 bits into the
+        # same LSB-first hex string — all integer-exact
+        "media_phash_bmp":
+            "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
+            "    repeat(sha256('bmp-' || i || '-42'), 12) AS hx "
+            "    FROM range(64) t(i)), "
+            "b AS (SELECT media_id, r.j AS j, "
+            "    (strpos('0123456789abcdef', "
+            "      substr(hx, CAST(2*r.j+1 AS INT), 1)) - 1) * 16 "
+            "  + (strpos('0123456789abcdef', "
+            "      substr(hx, CAST(2*r.j+2 AS INT), 1)) - 1) AS v "
+            "  FROM m, range(384) r(j)), "
+            "lum AS (SELECT bb.media_id, p.p AS p, "
+            "    299*br.v + 587*bg.v + 114*bb.v AS luma "
+            "  FROM range(64) p(p) "
+            "  JOIN b bb ON bb.j = ((7 - p.p // 8) * 16 + 2 * (p.p % 8)) * 3 "
+            "  JOIN b bg ON bg.media_id = bb.media_id "
+            "    AND bg.j = ((7 - p.p // 8) * 16 + 2 * (p.p % 8)) * 3 + 1 "
+            "  JOIN b br ON br.media_id = bb.media_id "
+            "    AND br.j = ((7 - p.p // 8) * 16 + 2 * (p.p % 8)) * 3 + 2), "
+            "s AS (SELECT media_id, SUM(luma) AS s FROM lum "
+            "  GROUP BY media_id), "
+            "bits AS (SELECT l.media_id, l.p, "
+            "    CASE WHEN 64 * l.luma > s.s THEN 1 ELSE 0 END AS bit "
+            "  FROM lum l JOIN s USING (media_id)), "
+            "nib AS (SELECT media_id, p // 4 AS q, "
+            "    SUM(bit * (1 << (p % 4))) AS val FROM bits "
+            "  GROUP BY media_id, p // 4) "
+            "SELECT media_id, string_agg(substr('0123456789abcdef', "
+            "    CAST(val + 1 AS INT), 1), '' ORDER BY q DESC) AS phash "
+            "FROM nib GROUP BY media_id",
         "media_external_probe":
             "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
             "repeat(sha256('media-' || i || '-42'), "

@@ -315,6 +315,44 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     }, schema=MEDIA_SCHEMA)
 
 
+def phash64(px: np.ndarray, grid: int = 8) -> int:
+    """The reference's Standard pHash on a decoded pixel array
+    (/root/reference/crates/image-deduper-core/src/processing/core.rs:37-104):
+    nearest-neighbor resize to ``grid``x``grid``, integer luma
+    (299R + 587G + 114B — the 0.299/0.587/0.114 weights kept exact in
+    millesimal integers), strict mean threshold (bit = grid^2 * luma >
+    sum(luma), all-integer so the SQL oracle reproduces it bit for
+    bit), packed LSB-first as bit p = y*grid + x."""
+    h, w, _ = px.shape
+    ys = (np.arange(grid) * h) // grid
+    xs = (np.arange(grid) * w) // grid
+    small = px[np.ix_(ys, xs)].astype(np.int64)
+    luma = 299 * small[:, :, 0] + 587 * small[:, :, 1] + 114 * small[:, :, 2]
+    bits = (grid * grid * luma.reshape(-1)) > luma.sum()
+    return int(np.bitwise_or.reduce(
+        (bits.astype(np.uint64) << np.arange(64, dtype=np.uint64))))
+
+
+def bmp_phash(media: ray.data.Dataset, *, grid: int = 8) -> ray.data.Dataset:
+    """Stateless stage: decode BMP payloads with the numpy parser and
+    emit the Standard pHash as a 16-hex-char string (hex avoids the
+    int64 sign pitfalls on both the Arrow and SQL sides). Payload
+    dropped on output. Returns (media_id, phash)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_pylist()
+        out = []
+        for p in t["payload"].to_pylist():
+            _, _, px = decode_bmp(p or b"")
+            out.append(format(phash64(px, grid), "016x"))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "phash": pa.array(out, pa.string())})
+
+    return media.map_batches(f, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             batch_size=MEDIA_BATCH_SIZE)
+
+
 def synth_bmp_table(n: int = 64, seed: int = 42,
                     width: int = 8, height: int = 4) -> pa.Table:
     """Deterministic VALID uncompressed 24-bit BMP payloads for the
@@ -323,11 +361,13 @@ def synth_bmp_table(n: int = 64, seed: int = 42,
     no row padding at width 8 — so a DuckDB oracle reconstructs the
     decoded pixel-byte sum with hex-digit arithmetic alone, gating the
     real (non-fake) decoder end to end."""
-    assert width * height * 3 == 96 and (width * 3) % 4 == 0, \
-        "oracle alignment requires 96 unpadded pixel bytes"
+    n_px_bytes = width * height * 3
+    assert n_px_bytes % 32 == 0 and (width * 3) % 4 == 0, \
+        "oracle alignment requires digest-multiple unpadded pixel bytes"
+    repeats = n_px_bytes // 32          # sha256 digest is 32 bytes
     rows = []
     for i in range(n):
-        hx = hashlib.sha256(f"bmp-{i}-{seed}".encode()).hexdigest() * 3
+        hx = hashlib.sha256(f"bmp-{i}-{seed}".encode()).hexdigest() * repeats
         px = bytes.fromhex(hx)
         hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(px), 0, 0, 54)
         dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,

@@ -47,6 +47,7 @@ SQL_CHECKED = [
     "l_pricing_summary", "emb_dedup_canonical", "doc_containment_pairs",
     "a5_dedup_report", "simhash_groups", "media_decode_real",
     "t_decontaminate", "t_repetition", "t_pii_counts",
+    "media_phash_bmp",
 ]
 
 
@@ -251,6 +252,31 @@ def test_real_decode_stage_end_to_end():
     # features carry the per-channel means of the decoded pixels
     assert ((out_f := np.stack(out["features"].to_numpy()))[:, :3] > 0).all()
     assert (out_f[:, 3:] == 0).all()
+
+
+def test_phash64_properties():
+    """Strict mean threshold: a constant image hashes to all-zero bits
+    (64*luma == sum, never >); a half-bright image sets exactly the
+    bright half; format(+packing) round-trips through the hex string."""
+    import numpy as np
+    from image_deduper_ray.stages.multimodal import phash64
+
+    flat = np.full((8, 8, 3), 77, np.uint8)
+    assert phash64(flat) == 0
+
+    half = np.zeros((8, 8, 3), np.uint8)
+    half[:, 4:, :] = 200                  # right half bright
+    v = phash64(half)
+    want = 0
+    for p in range(64):
+        if p % 8 >= 4:
+            want |= 1 << p
+    assert v == want
+
+    # nearest-neighbor resize: 16x8 downsamples columns by 2
+    wide = np.zeros((8, 16, 3), np.uint8)
+    wide[:, 8:, :] = 200
+    assert phash64(wide) == want
 
 
 def test_entry_smoke():
