@@ -264,6 +264,20 @@ def _q_media_phash(sf_dir: str):
     return bmp_phash(media)
 
 
+def _q_media_phash_groups(sf_dir: str):
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (bmp_phash_groups,
+                                                     synth_bmp_near_dup_table)
+
+    # the reference's COMPLETE intended pipeline on real image bytes:
+    # decode -> Standard pHash -> Hamming<=3 grouping (dev_notes.md
+    # 'Hash Database -> Duplicate Groups'), over planted one-pixel-edit
+    # near-dup pairs; the oracle recomputes pixels, phash bits, the
+    # pair set and the components from digest hex alone
+    media = ray.data.from_arrow(synth_bmp_near_dup_table(n_groups=32))
+    return bmp_phash_groups(media)
+
+
 def _q_media_external(sf_dir: str):
     import ray.data
     from image_deduper_ray.stages.multimodal import (external_probe,
@@ -411,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_features": _q_media_decode,
         "media_decode_real": _q_media_decode_real,
         "media_phash_bmp": _q_media_phash,
+        "media_phash_groups": _q_media_phash_groups,
         "media_external_probe": _q_media_external,
         "media_frame_sample": _q_media_frames,
         "e_windowed_counts": _q_windowed_counts,
@@ -609,6 +624,53 @@ def oracle_sql() -> dict[str, str]:
             "SELECT media_id, string_agg(substr('0123456789abcdef', "
             "    CAST(val + 1 AS INT), 1), '' ORDER BY q DESC) AS phash "
             "FROM nib GROUP BY media_id",
+        # media_phash_groups: the full image-dedup flow oracled from
+        # first principles — bytes (with the m=1 one-pixel edit applied
+        # in the byte CTE), pixels, luma, threshold bits, Hamming<=3
+        # pairs via a 64-bit bitvec self-join, min-label components
+        "media_phash_groups":
+            "WITH RECURSIVE md AS (SELECT CAST(2*g.g + mm.m AS BIGINT) "
+            "  AS media_id, mm.m AS m, "
+            "  repeat(sha256('bmpg-' || g.g || '-42'), 12) AS hx "
+            "  FROM range(32) g(g), range(2) mm(m)), "
+            "b AS (SELECT media_id, r.j AS j, "
+            "  CASE WHEN r.j = 0 AND md.m = 1 THEN "
+            "    ((strpos('0123456789abcdef', "
+            "       substr(hx, CAST(2*r.j+1 AS INT), 1)) - 1) * 16 "
+            "   + (strpos('0123456789abcdef', "
+            "       substr(hx, CAST(2*r.j+2 AS INT), 1)) - 1) + 128) % 256 "
+            "  ELSE "
+            "     (strpos('0123456789abcdef', "
+            "       substr(hx, CAST(2*r.j+1 AS INT), 1)) - 1) * 16 "
+            "   + (strpos('0123456789abcdef', "
+            "       substr(hx, CAST(2*r.j+2 AS INT), 1)) - 1) "
+            "  END AS v "
+            "  FROM md, range(384) r(j)), "
+            "lum AS (SELECT bb.media_id, p.p AS p, "
+            "    299*br.v + 587*bg.v + 114*bb.v AS luma "
+            "  FROM range(64) p(p) "
+            "  JOIN b bb ON bb.j = ((7 - p.p // 8) * 16 + 2 * (p.p % 8)) * 3 "
+            "  JOIN b bg ON bg.media_id = bb.media_id "
+            "    AND bg.j = ((7 - p.p // 8) * 16 + 2 * (p.p % 8)) * 3 + 1 "
+            "  JOIN b br ON br.media_id = bb.media_id "
+            "    AND br.j = ((7 - p.p // 8) * 16 + 2 * (p.p % 8)) * 3 + 2), "
+            "s AS (SELECT media_id, SUM(luma) AS s FROM lum "
+            "  GROUP BY media_id), "
+            "bits AS (SELECT l.media_id, l.p, "
+            "    CASE WHEN 64 * l.luma > s.s THEN 1 ELSE 0 END AS bit "
+            "  FROM lum l JOIN s USING (media_id)), "
+            "prs AS (SELECT x.media_id AS a_id, y.media_id AS b_id "
+            "  FROM bits x JOIN bits y ON x.p = y.p "
+            "    AND x.media_id < y.media_id "
+            "  GROUP BY 1, 2 "
+            "  HAVING SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 3), "
+            "edges AS (SELECT a_id AS s2, b_id AS d FROM prs "
+            "  UNION ALL SELECT b_id, a_id FROM prs), "
+            "reach AS (SELECT media_id AS d, media_id AS r FROM md "
+            "  UNION "
+            "  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s2 = reach.d) "
+            "SELECT d AS media_id, CAST(MIN(r) AS BIGINT) AS group_id "
+            "FROM reach GROUP BY d",
         "media_external_probe":
             "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
             "repeat(sha256('media-' || i || '-42'), "

@@ -40,3 +40,24 @@ def rename_drop(tb: pa.Table, renames: dict[str, str], drops: tuple[str, ...]) -
     tb = tb.rename_columns(names)
     present = [c for c in drops if c in tb.column_names]
     return tb.drop_columns(present) if present else tb
+
+
+def safe_coalesce(a, b):
+    """``pc.coalesce`` with both inputs combined to a single chunk
+    first. pyarrow 16.1.0's coalesce kernel mishandles validity bitmaps
+    when its arguments have MISALIGNED chunk layouts (e.g. one 64-row
+    chunk with nulls vs four 16-row chunks): re-slicing the bitmap
+    leaks the masked-out garbage values through as if valid. Observed
+    in situ (a null label coalesced to the searchsorted slot's raw
+    value instead of the fallback column) and reproduced minimally in
+    tests/test_functions.py::test_safe_coalesce_misaligned_chunks.
+    Chunk layouts of a Ray batch's columns depend on block history, so
+    EVERY coalesce of two table columns must go through here."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    if isinstance(b, pa.ChunkedArray):
+        b = b.combine_chunks()
+    return pc.coalesce(a, b)

@@ -401,7 +401,8 @@ def dedup_canonical(sf_dir: str, tau: float = 0.35,
         if t.num_rows == 0:
             return pa.table({"vec_id": pa.array([], pa.int64()),
                              "canonical_id": pa.array([], pa.int64())})
-        canon = pc.coalesce(t["canonical_id"], t["vec_id"])
+        from ..functions.arrow_utils import safe_coalesce
+        canon = safe_coalesce(t["canonical_id"], t["vec_id"])
         return pa.table({"vec_id": t["vec_id"],
                          "canonical_id": pc.cast(canon, pa.int64())})
 

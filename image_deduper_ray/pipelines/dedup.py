@@ -361,7 +361,8 @@ def run_pipeline(input_paths, out_dir: str, cfg: DedupConfig = DEFAULT_CONFIG,
             def fill(tb: pa.Table) -> pa.Table:
                 if tb.num_rows == 0:
                     return cl_schema.empty_table()
-                cid = pa.compute.coalesce(tb["cluster_id"], tb["file_id"])
+                from ..functions.arrow_utils import safe_coalesce
+                cid = safe_coalesce(tb["cluster_id"], tb["file_id"])
                 return ensure_schema(
                     tb.drop_columns(["cluster_id"]).append_column("cluster_id", cid),
                     cl_schema)

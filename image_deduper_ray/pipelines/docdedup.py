@@ -431,7 +431,8 @@ def _hamming_cluster(sig: ray.data.Dataset, cfg: DedupConfig,
         if t.num_rows == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "group_id": pa.array([], pa.int64())})
-        gid = pc.coalesce(t["group_id"], t["doc_id"])
+        from ..functions.arrow_utils import safe_coalesce
+        gid = safe_coalesce(t["group_id"], t["doc_id"])
         return pa.table({"doc_id": t["doc_id"],
                          "group_id": pc.cast(gid, pa.int64())})
 

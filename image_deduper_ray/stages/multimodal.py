@@ -353,6 +353,68 @@ def bmp_phash(media: ray.data.Dataset, *, grid: int = 8) -> ray.data.Dataset:
                              batch_size=MEDIA_BATCH_SIZE)
 
 
+def bmp_phash_groups(media: ray.data.Dataset, max_hamming: int = 3,
+                     cfg=None) -> ray.data.Dataset:
+    """The reference's COMPLETE intended pipeline on real image bytes —
+    discover -> decode -> Standard pHash -> Hamming<=threshold
+    grouping (dev_notes.md:28-38 'Hash Database -> Duplicate Groups'),
+    composed from this engine's primitives: the numpy BMP decoder,
+    ``phash64`` and the shared distributed Hamming-clustering machinery
+    (pigeonhole banding, partitioned XOR-popcount pair-gen, connected
+    components). Returns (media_id, group_id = min media_id)."""
+    from ..config import DedupConfig
+    from ..pipelines.docdedup import _hamming_cluster
+
+    cfg = (cfg or DedupConfig()).resolved()
+
+    def to_sig(t: pa.Table) -> pa.Table:
+        vals = np.array([int(h, 16) for h in t["phash"].to_pylist()],
+                        dtype=np.uint64)
+        return pa.table({
+            "doc_id": t["media_id"],
+            "simhash": pa.array(vals.view(np.int64))})
+
+    sig = bmp_phash(media).map_batches(to_sig, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    out = _hamming_cluster(sig, cfg, max_hamming)
+    return out.map_batches(
+        lambda t: t.rename_columns(["media_id", "group_id"]),
+        batch_format="pyarrow")
+
+
+def synth_bmp_near_dup_table(n_groups: int = 32, seed: int = 42,
+                             width: int = 16, height: int = 8) -> pa.Table:
+    """Pairs of near-duplicate BMPs for the end-to-end image-dedup
+    query: member 0 of group g has pixel bytes
+    ``unhex(repeat(sha256('bmpg-g-seed'), 12))``; member 1 is identical
+    except byte 0 is shifted by +128 (mod 256) — a one-pixel edit, the
+    exact transformation-family idea of the reference's test fixtures
+    (resize/compress variants of one source). media_id = 2g + m, so
+    the oracle can rebuild every byte with a CASE on (j = 0, m = 1)."""
+    n_px = width * height * 3
+    assert n_px % 32 == 0 and (width * 3) % 4 == 0
+    repeats = n_px // 32
+    ids, payloads = [], []
+    for g in range(n_groups):
+        hx = hashlib.sha256(f"bmpg-{g}-{seed}".encode()).hexdigest() * repeats
+        base = bytearray(bytes.fromhex(hx))
+        for m in (0, 1):
+            px = bytearray(base)
+            if m == 1:
+                px[0] = (px[0] + 128) % 256
+            hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + n_px, 0, 0, 54)
+            dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                              n_px, 2835, 2835, 0, 0)
+            ids.append(2 * g + m)
+            payloads.append(hdr + dib + bytes(px))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(["image"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta": pa.array(['{"claimed": "bmp"}'] * len(ids), pa.string()),
+    }, schema=MEDIA_SCHEMA)
+
+
 def synth_bmp_table(n: int = 64, seed: int = 42,
                     width: int = 8, height: int = 4) -> pa.Table:
     """Deterministic VALID uncompressed 24-bit BMP payloads for the

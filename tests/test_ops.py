@@ -47,7 +47,7 @@ SQL_CHECKED = [
     "l_pricing_summary", "emb_dedup_canonical", "doc_containment_pairs",
     "a5_dedup_report", "simhash_groups", "media_decode_real",
     "t_decontaminate", "t_repetition", "t_pii_counts",
-    "media_phash_bmp",
+    "media_phash_bmp", "media_phash_groups",
 ]
 
 
