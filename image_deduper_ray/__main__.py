@@ -46,7 +46,22 @@ def cmd_scan(args) -> int:
                        langs=args.langs.split(",") if args.langs else None,
                        exclude_path_prefixes=(args.exclude.split(",")
                                               if args.exclude else None))
-    n_clusters = res["clusters"].to_pandas()["cluster_id"].nunique()
+    # distinct-cluster count stays distributed (hash-partitioned
+    # drop_duplicates, then a count of the tiny result) — a full
+    # to_pandas() here would materialize the whole clusters table on
+    # the driver, an OOM at 10^9 files on a pure reporting path
+    import pyarrow as pa
+
+    from .functions.groups import partitioned_group_map
+
+    distinct = partitioned_group_map(
+        res["clusters"].map_batches(
+            lambda t: t.select(["cluster_id"]), batch_format="pyarrow",
+            zero_copy_batch=True),
+        ["cluster_id"],
+        lambda df: df.drop_duplicates(["cluster_id"]),
+        None, out_schema=pa.schema([("cluster_id", pa.string())]))
+    n_clusters = distinct.count()
     n_files = res["clusters"].count()
     print(json.dumps({"files": n_files, "clusters": int(n_clusters),
                       "out": args.out}))
@@ -100,39 +115,49 @@ def cmd_query(args) -> int:
     README.md:88-108 split)."""
     import ray
 
+    import importlib.util
+    import os
+
+    # the battery registry lives in the repo checkout next to the
+    # package; an installed (site-packages) package has no
+    # __ray_entry__.py — fail with a clear message, not a
+    # FileNotFoundError from deep inside exec_module
+    entry_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "__ray_entry__.py")
+    if not os.path.exists(entry_path):
+        print("error: the query subcommand requires a repo checkout "
+              f"(no __ray_entry__.py at {entry_path})", file=sys.stderr)
+        return 2
+
     started = False
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")
         started = True
-    import importlib.util
-    import os
-
-    spec = importlib.util.spec_from_file_location(
-        "__ray_entry__", os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "__ray_entry__.py"))
-    entry = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(entry)
-    qs = entry.queries()
-    if args.name == "list" or args.name not in qs:
-        print(json.dumps(sorted(qs)))
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "__ray_entry__", entry_path)
+        entry = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entry)
+        qs = entry.queries()
+        if args.name == "list" or args.name not in qs:
+            print(json.dumps(sorted(qs)))
+            return 0 if args.name == "list" else 2
+        res = qs[args.name](args.sf_dir)
+        if args.out and hasattr(res, "write_parquet"):
+            res.write_parquet(args.out)
+            print(json.dumps({"query": args.name, "out": args.out}))
+        else:
+            df = res.to_pandas() if hasattr(res, "to_pandas") else res
+            print(json.dumps({"query": args.name, "rows": len(df),
+                              "columns": list(map(str, df.columns)),
+                              "head": df.head(5).to_dict("records")},
+                             default=str))
+        return 0
+    finally:
         if started:
             ray.shutdown()
-        return 0 if args.name == "list" else 2
-    res = qs[args.name](args.sf_dir)
-    if args.out and hasattr(res, "write_parquet"):
-        res.write_parquet(args.out)
-        print(json.dumps({"query": args.name, "out": args.out}))
-    else:
-        df = res.to_pandas() if hasattr(res, "to_pandas") else res
-        print(json.dumps({"query": args.name, "rows": len(df),
-                          "columns": list(map(str, df.columns)),
-                          "head": df.head(5).to_dict("records")},
-                         default=str))
-    if started:
-        ray.shutdown()
-    return 0
 
 
 def main(argv=None) -> int:

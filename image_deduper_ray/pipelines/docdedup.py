@@ -65,6 +65,14 @@ def exact_dup_groups(sf_dir: str,
         sha = np.asarray(hashing.sha256_hex(t["text"].to_pylist()),
                          dtype=object)
         if seed_dup_mod:
+            # test-battery-only path: a corpus whose doc_ids reach the
+            # seed offset would silently collide re-keyed duplicates
+            # with real ids — fail loudly instead
+            if len(dids) and int(dids.max()) >= DUP_SEED_OFFSET:
+                raise ValueError(
+                    f"seed_dup_mod set but doc_id {int(dids.max())} >= "
+                    f"DUP_SEED_OFFSET {DUP_SEED_OFFSET}: seeded ids "
+                    "would collide with real ones")
             m = dids % seed_dup_mod == 0
             dids = np.concatenate([dids, dids[m] + DUP_SEED_OFFSET])
             sha = np.concatenate([sha, sha[m]])  # identical content
@@ -224,13 +232,33 @@ def minhash_lsh_clusters(sf_dir: str, out_dir: str,
 
     labeled = clusters.map_batches(doc_ids, batch_format="pyarrow")
 
-    def relabel(g: pd.DataFrame) -> pd.DataFrame:
-        m = np.int64(g["doc_id"].min())
-        return pd.DataFrame({"doc_id": g["doc_id"].astype(np.int64),
-                             "cluster_id": np.full(len(g), m, np.int64)})
+    # relabel via the raw-task hash shuffle + one vectorized segment-min
+    # per partition — Ray's native groupby().map_groups is a sort-based
+    # shuffle (~9 s serial overhead at bench scale) plus one Python/
+    # pandas call per cluster; this path is the same
+    # partitioned_group_map every other grouped reduce here uses
+    from ..functions.groups import group_starts, partitioned_group_map
 
-    return labeled.groupby("cluster_key").map_groups(relabel,
-                                                     batch_format="pandas")
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("cluster_id", pa.int64())])
+
+    def relabel_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "cluster_id": pd.Series([], dtype=np.int64)})
+        df = df.sort_values("cluster_key", kind="mergesort")
+        keys = df["cluster_key"].to_numpy()
+        dids = df["doc_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(group_starts(keys))
+        sizes = np.diff(np.append(starts, len(dids)))
+        mins = np.minimum.reduceat(dids, starts)
+        return pd.DataFrame({"doc_id": dids,
+                             "cluster_id": np.repeat(mins, sizes)})
+
+    return partitioned_group_map(labeled, ["cluster_key"], relabel_block,
+                                 cfg.resolved().join_num_partitions,
+                                 out_schema=out_schema)
 
 
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
@@ -832,34 +860,53 @@ def containment_pairs(sf_dir: str, n: int = 3, min_len: int = 64,
         # with ONE stateless map over the pair stream (the flagship
         # containment stage's pattern, pipelines/dedup.py) instead of
         # two partitioned hash joins; past the byte cap fall through to
-        # the join route below
-        lookup: dict[int, str] | None = {}
+        # the join route below. The broadcast is ONE Arrow table
+        # (zero-copy through plasma, probed with index_in/take C
+        # kernels per batch), NOT a Python dict: a ray.put dict is
+        # stored pickled, so every worker re-unpickles the whole
+        # payload on first get — a per-worker fixed cost that grows
+        # with worker count and inverts scaling (measured on the
+        # flagship's equivalent stage: ~12 s of a 15 s stage wall at
+        # 32 cpus, see pipelines/dedup.py and BASELINE.md 8->32).
+        parts: list[pa.Table] | None = []
         lookup_bytes = 0
         for b in docs.iter_batches(batch_size=4096,
                                    batch_format="pyarrow"):
             if b.num_rows == 0:
                 continue
-            texts = b["text"].to_pylist()
-            lookup_bytes += sum(len(x) for x in texts)
+            lookup_bytes += b.nbytes
             if lookup_bytes > text_broadcast_bytes:
-                lookup = None
+                parts = None
                 break
-            lookup.update(zip((int(x) for x in
-                               b["doc_id"].to_pylist()), texts))
-        if lookup is not None:
-            texts_ref = ray.put(lookup)
+            parts.append(b.select(["doc_id", "text"]))
+        if parts is not None:
+            ttbl = pa.concat_tables(parts).combine_chunks() if parts \
+                else pa.table({"doc_id": pa.array([], pa.int64()),
+                               "text": pa.array([], pa.string())})
+            texts_ref = ray.put(ttbl)
 
             def verify_bcast(t: pa.Table) -> pa.Table:
                 if t.num_rows == 0:
                     return out_schema.empty_table()
-                lk = ray.get(texts_ref)
+                tt = ray.get(texts_ref)
+                keys = tt["doc_id"].combine_chunks() \
+                    if isinstance(tt["doc_id"], pa.ChunkedArray) \
+                    else tt["doc_id"]
+                # null index -> null text (take propagates); pairs with
+                # either side un-broadcast are dropped by the validity
+                # check inside the keep mask
+                xa = pc.take(tt["text"],
+                             pc.index_in(t["inner_id"], value_set=keys)) \
+                    .to_pylist()
+                xb = pc.take(tt["text"],
+                             pc.index_in(t["host_id"], value_set=keys)) \
+                    .to_pylist()
                 ii = t["inner_id"].to_numpy(zero_copy_only=False)
                 hh = t["host_id"].to_numpy(zero_copy_only=False)
                 keep = np.fromiter(
-                    ((x := lk.get(int(a))) is not None
-                     and (y := lk.get(int(b_))) is not None
+                    (x is not None and y is not None
                      and len(x) >= min_len and len(x) < len(y) and x in y
-                     for a, b_ in zip(ii, hh)),
+                     for x, y in zip(xa, xb)),
                     dtype=bool, count=len(ii))
                 return pa.table({
                     "inner_doc_id": pa.array(ii[keep].astype(np.int64)),

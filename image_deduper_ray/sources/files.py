@@ -77,8 +77,21 @@ def read_files(paths: str | list[str], *, langs: list[str] | None = None,
         else:
             raise ValueError(f"unknown file_format {file_format!r}")
         lang_set = langs
+        src_desc = paths if isinstance(paths, str) else ", ".join(paths)
 
         def conform(t: pa.Table) -> pa.Table:
+            # validate before projecting: a hand-rolled JSONL/CSV file
+            # missing a column should name the column and the source,
+            # not surface as a bare KeyError deep inside a Ray task
+            missing = [c for c in FILES_COLUMNS if c not in t.column_names]
+            if missing and t.num_rows:
+                raise ValueError(
+                    f"{file_format} source {src_desc!r} is missing "
+                    f"required files-table column(s) {missing}; "
+                    f"expected {FILES_COLUMNS}, got {t.column_names}")
+            if t.num_rows == 0:
+                return pa.table({c: pa.array([], pa.string())
+                                 for c in FILES_COLUMNS})
             out = pa.table({c: t[c].cast(pa.string())
                             for c in FILES_COLUMNS})
             if lang_set is not None:

@@ -316,13 +316,21 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
 
 
 def phash64(px: np.ndarray, grid: int = 8) -> int:
-    """The reference's Standard pHash on a decoded pixel array
+    """Reference-SHAPE Standard pHash on a decoded pixel array
     (/root/reference/crates/image-deduper-core/src/processing/core.rs:37-104):
     nearest-neighbor resize to ``grid``x``grid``, integer luma
     (299R + 587G + 114B — the 0.299/0.587/0.114 weights kept exact in
     millesimal integers), strict mean threshold (bit = grid^2 * luma >
     sum(luma), all-integer so the SQL oracle reproduces it bit for
-    bit), packed LSB-first as bit p = y*grid + x."""
+    bit), packed LSB-first as bit p = y*grid + x. NOT bit-identical to
+    the reference: the image crate's resize_exact(Nearest) samples at
+    center offsets ((x+0.5)*ratio) while this uses floor(x*w/grid), so
+    the same image can hash to (slightly) different bits there — the
+    weights, threshold rule and packing are the same. ``grid`` must
+    satisfy grid*grid <= 64 (the hash is one u64)."""
+    if grid * grid > 64:
+        raise ValueError(f"grid {grid}: grid*grid must be <= 64 "
+                         "(the hash packs into one uint64)")
     h, w, _ = px.shape
     ys = (np.arange(grid) * h) // grid
     xs = (np.arange(grid) * w) // grid
@@ -330,7 +338,8 @@ def phash64(px: np.ndarray, grid: int = 8) -> int:
     luma = 299 * small[:, :, 0] + 587 * small[:, :, 1] + 114 * small[:, :, 2]
     bits = (grid * grid * luma.reshape(-1)) > luma.sum()
     return int(np.bitwise_or.reduce(
-        (bits.astype(np.uint64) << np.arange(64, dtype=np.uint64))))
+        (bits.astype(np.uint64)
+         << np.arange(grid * grid, dtype=np.uint64))))
 
 
 def bmp_phash(media: ray.data.Dataset, *, grid: int = 8) -> ray.data.Dataset:
