@@ -29,18 +29,28 @@ _SIDE = "__side"
 def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
               key_left: str, key_right: str,
               left_schema: pa.Schema, right_schema: pa.Schema,
-              how: str = "inner", num_partitions: int | None = None) -> ray.data.Dataset:
+              how: str = "inner", num_partitions: int | None = None,
+              right_dup: str = "unique") -> ray.data.Dataset:
     """Join two datasets on string keys.
 
     ``left_schema`` / ``right_schema``: the exact output columns taken
     from each side (right_schema must EXCLUDE its key column; its values
     are attached to matching left rows). Column names must be disjoint.
     how: "inner" or "left".
+    right_dup: "unique" (default) keeps ONE right row per key (supply
+    semantics — duplicates dropped with a logged warning); "expand"
+    keeps every right row, so a left row matching k right rows emits k
+    output rows (the fid64-collision resolution semantics: expansion
+    can only add candidate rows for a downstream verifier to reject,
+    never lose one).
     """
     import pyarrow.compute as pc
 
     from .groups import default_partitions, partitioned_group_map_arrow
 
+    if right_dup not in ("unique", "expand"):
+        raise ValueError(f"right_dup must be 'unique' or 'expand', "
+                         f"got {right_dup!r}")
     num_partitions = num_partitions or default_partitions()
     lcols = left_schema.names
     rcols = right_schema.names
@@ -78,19 +88,20 @@ def hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
             .select([_KEY] + lcols).to_pandas()
         rdf = t.filter(pc.equal(t[_SIDE], 1)) \
             .select([_KEY] + rcols).to_pandas()
-        # supply semantics: ONE right row per key. Duplicate right keys
-        # are dropped — observable, never silent: callers relying on
-        # expansion (none today) would otherwise lose rows invisibly
-        # (e.g. fid64-colliding file_ids on the past-broadcast LSH
-        # resolution fallback).
-        n_dup = len(rdf)
-        rdf = rdf.drop_duplicates(subset=[_KEY])
-        n_dup -= len(rdf)
-        if n_dup:
-            import logging
-            logging.getLogger(__name__).warning(
-                "hash_join: dropped %d duplicate right-side key rows "
-                "(supply-unique semantics)", n_dup)
+        if right_dup == "unique":
+            # supply semantics: ONE right row per key. Duplicate right
+            # keys are dropped — observable, never silent.
+            n_dup = len(rdf)
+            rdf = rdf.drop_duplicates(subset=[_KEY])
+            n_dup -= len(rdf)
+            if n_dup:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "hash_join: dropped %d duplicate right-side key rows "
+                    "(supply-unique semantics)", n_dup)
+        # right_dup == "expand": keep every right row; pd.merge expands
+        # many-to-many (fid64-collision resolution parity with the
+        # broadcast path's expansion)
         m = ldf.merge(rdf, on=_KEY, how="left" if how == "left" else "inner",
                       suffixes=(False, False))
         cols = {}

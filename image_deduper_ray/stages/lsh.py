@@ -498,13 +498,10 @@ def _resolve_pairs(pairs64: ray.data.Dataset, sigs: ray.data.Dataset,
     handled by expansion: a colliding endpoint resolves to ALL its
     member ids, so a collision can only add candidate pairs for
     verification to reject, never lose a true pair. Past the byte cap,
-    a partitioned hash join resolves each side instead; the join path
-    keeps ONE id per colliding key (hash_join supplies unique keys) —
-    at the scale where that path activates, raise the broadcast cap or
-    widen the key if collision-lossless resolution is required
-    (documented limitation; expected collisions at 10^12 ids: ~1e4
-    keys, each costing at most one member's LSH candidacy, with
-    sha-exact and sig-identical edges still covering exact copies)."""
+    a partitioned hash join resolves each side instead with
+    ``right_dup="expand"`` — the SAME collision-expansion semantics as
+    the broadcast path (every member id of a colliding key joins in;
+    self-pairs filtered), so both routes are collision-lossless."""
     import pyarrow.compute as pc
 
     from ..functions.joins import hash_join
@@ -596,21 +593,29 @@ def _resolve_pairs(pairs64: ray.data.Dataset, sigs: ray.data.Dataset,
         batch_format="pyarrow", zero_copy_batch=True)
     base = pa.schema([("ka", pa.string()), ("kb", pa.string()),
                       ("is_cont", pa.int8())])
+    # right_dup="expand": a fid64 key shared by several file_ids
+    # resolves each pair endpoint to ALL its member ids (cross-product
+    # per colliding pair), exactly like the broadcast path's collision
+    # expansion — candidates can only be added for verification to
+    # reject, never lost. Self-pairs from a==b collisions are dropped
+    # in fin below (broadcast path's ga != gb filter).
     j = hash_join(str_pairs, id_map.map_batches(
         lambda t: t.rename_columns(["k", "fa"]), batch_format="pyarrow"),
         "ka", "k", base, pa.schema([("fa", pa.string())]),
-        num_partitions=cfg.join_num_partitions)
+        num_partitions=cfg.join_num_partitions, right_dup="expand")
     j = hash_join(j, id_map.map_batches(
         lambda t: t.rename_columns(["k", "fb"]), batch_format="pyarrow"),
         "kb", "k", base.append(pa.field("fa", pa.string())),
         pa.schema([("fb", pa.string())]),
-        num_partitions=cfg.join_num_partitions)
+        num_partitions=cfg.join_num_partitions, right_dup="expand")
 
     def fin(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"a": pa.array([], pa.string()),
                              "b": pa.array([], pa.string()),
                              "is_cont": pa.array([], pa.int8())})
+        keep = pc.invert(pc.equal(t["fa"], t["fb"]))
+        t = t.filter(keep)
         a = pc.min_element_wise(t["fa"], t["fb"])
         b = pc.max_element_wise(t["fa"], t["fb"])
         return pa.table({"a": a, "b": b, "is_cont": t["is_cont"]})

@@ -201,9 +201,42 @@ def test_fid64_collision_expansion():
         out = _resolve_pairs(pairs64, sigs, cfg.resolved(), n_sigs=3) \
             .to_pandas()
         got = set(zip(out.a, out.b))
+        # BOTH routes expand the colliding endpoint to all member ids
+        # (the join route via hash_join right_dup="expand") and neither
+        # emits self-pairs
         assert (ids[0], ids[2]) in got
-        if cap > 0:  # broadcast path expands the colliding endpoint
-            assert (ids[1], ids[2]) in got
+        assert (ids[1], ids[2]) in got
+        assert all(a != b for a, b in got)
+
+
+def test_hash_join_right_dup_modes():
+    """right_dup='unique' keeps one right row per key (supply
+    semantics); right_dup='expand' emits one output row per matching
+    right row (collision-expansion semantics)."""
+    import pyarrow as pa
+    import ray.data
+
+    from image_deduper_ray.functions.joins import hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(["x", "y"]), "lv": pa.array([1, 2], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array(["x", "x", "y"]),
+        "rv": pa.array([10, 11, 20], pa.int64())}))
+    ls = pa.schema([("k", pa.string()), ("lv", pa.int64())])
+    rs = pa.schema([("rv", pa.int64())])
+
+    uniq = hash_join(left, right, "k", "rk", ls, rs,
+                     num_partitions=2).to_pandas()
+    assert len(uniq) == 2          # one row per left key
+    exp = hash_join(left, right, "k", "rk", ls, rs,
+                    num_partitions=2, right_dup="expand").to_pandas()
+    assert len(exp) == 3           # x expands to both right rows
+    assert sorted(exp[exp.k == "x"].rv) == [10, 11]
+
+    import pytest
+    with pytest.raises(ValueError):
+        hash_join(left, right, "k", "rk", ls, rs, right_dup="bogus")
 
 
 def test_broadcast_attach_i64_routes():
