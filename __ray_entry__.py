@@ -249,6 +249,24 @@ def _q_media_decode_real(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_media_decode_png(sf_dir: str):
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (decode_features,
+                                                     synth_png_table)
+
+    # the REAL decode branch over PNG: valid non-interlaced 8-bit RGB
+    # payloads (row filters cycling None/Sub/Up/Average/Paeth) parsed
+    # by the pure-Python zlib+numpy decoder (no PIL needed); the oracle
+    # recomputes the decoded pixel-byte sum from the same sha256 hex
+    # the pixels were synthesized from — any drift in the inflate /
+    # unfilter / channel handling breaks the sum
+    media = ray.data.from_arrow(synth_png_table(n=64))
+    feats = decode_features(media, fake=False)
+    return feats.map_batches(
+        lambda t: t.select(["media_id", "width", "height", "px_sum"]),
+        batch_format="pyarrow")
+
+
 def _q_media_phash(sf_dir: str):
     import ray.data
     from image_deduper_ray.stages.multimodal import (bmp_phash,
@@ -424,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_groups": _q_simhash_groups,
         "media_decode_features": _q_media_decode,
         "media_decode_real": _q_media_decode_real,
+        "media_decode_png": _q_media_decode_png,
         "media_phash_bmp": _q_media_phash,
         "media_phash_groups": _q_media_phash_groups,
         "media_external_probe": _q_media_external,
@@ -578,6 +597,23 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_real":
             "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
             "repeat(sha256('bmp-' || i || '-42'), 3) AS hx "
+            "FROM range(64) t(i)), "
+            "b AS (SELECT media_id, "
+            "  (strpos('0123456789abcdef', "
+            "    substr(hx, CAST(2 * j + 1 AS INT), 1)) - 1) * 16 "
+            "  + (strpos('0123456789abcdef', "
+            "    substr(hx, CAST(2 * j + 2 AS INT), 1)) - 1) AS byte "
+            "  FROM m, range(96) r(j)) "
+            "SELECT media_id, CAST(8 AS BIGINT) AS width, "
+            "CAST(4 AS BIGINT) AS height, "
+            "CAST(SUM(byte) AS BIGINT) AS px_sum FROM b GROUP BY media_id",
+        # media_decode_png: same digest-hex reconstruction as
+        # media_decode_real, but the engine side must run zlib inflate
+        # + PNG row-unfiltering (all five filter types appear in the
+        # corpus) to recover the bytes the oracle computes directly
+        "media_decode_png":
+            "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
+            "repeat(sha256('png-' || i || '-42'), 3) AS hx "
             "FROM range(64) t(i)), "
             "b AS (SELECT media_id, "
             "  (strpos('0123456789abcdef', "

@@ -66,6 +66,140 @@ def encode_bmp_24(pixels: np.ndarray) -> bytes:
                       2835, 2835, 0, 0)
     return hdr + dib + raw
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-Python PNG decoder (stdlib ``zlib`` + numpy) for the
+    real-codec branch: non-interlaced 8-bit RGB (color type 2) or RGBA
+    (color type 6) — the per-format registry entry the reference keeps
+    for PNG (/root/reference/crates/image-deduper-core/src/processing/formats/png.rs:9-23),
+    runnable with no imaging library installed. All five row filters
+    (None/Sub/Up/Average/Paeth) are reconstructed; filter-0 and Up rows
+    stay fully vectorized (the synth corpus and most screenshots),
+    Sub/Average/Paeth fall back to a per-byte scan (their recurrence is
+    sequential by definition). Returns (width, height, pixels) with
+    pixels an (H, W, C) uint8 array in top-down row order."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos = 8
+    w = h = channels = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln                      # len + type + data + crc
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, comp, filt, inter = data[8:13]
+            if depth != 8 or color not in (2, 6) or comp or filt or inter:
+                raise ValueError(
+                    "only non-interlaced 8-bit RGB/RGBA PNG is supported"
+                    f" (depth={depth} color_type={color}"
+                    f" interlace={inter})")
+            channels = 3 if color == 2 else 4
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or channels is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT chunks")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters = arr[:, 0]
+    out = np.zeros((h, stride), np.uint8)
+    bpp = channels
+    for y in range(h):
+        f = int(filters[y])
+        cur = arr[y, 1:].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride,
+                                                              np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 2:                        # Up: vectorized
+            rec = (cur + prev) & 0xFF
+        elif f == 1:                        # Sub: sequential recurrence
+            rec = cur
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif f == 3:                        # Average
+            rec = cur
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + (left + prev[x]) // 2) & 0xFF
+        elif f == 4:                        # Paeth
+            rec = cur
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                da, db, dc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if da <= db and da <= dc else (b if db <= dc
+                                                        else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG row filter {f}")
+        out[y] = rec.astype(np.uint8)
+    return w, h, out.reshape(h, w, channels)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer (round-trip partner of ``decode_png``, used by
+    tests and the synth corpus): (H, W, 3|4) uint8, top-down, every row
+    filtered with ``filter_type`` (0..4 — non-zero types exercise the
+    decoder's unfilter paths)."""
+    import zlib
+
+    h, w, c = pixels.shape
+    if filter_type not in range(5):
+        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+    stride = w * c
+    px = pixels.reshape(h, stride).astype(np.int64)
+    body = bytearray()
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        rec = px[y]
+        left = np.zeros(stride, np.int64)
+        left[c:] = rec[:-c]
+        if filter_type == 0:
+            enc = rec
+        elif filter_type == 1:
+            enc = (rec - left) & 0xFF
+        elif filter_type == 2:
+            enc = (rec - prev) & 0xFF
+        elif filter_type == 3:
+            enc = (rec - (left + prev) // 2) & 0xFF
+        else:
+            ul = np.zeros(stride, np.int64)
+            ul[c:] = prev[:-c]
+            p = left + prev - ul
+            da, db, dc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((da <= db) & (da <= dc), left,
+                            np.where(db <= dc, prev, ul))
+            enc = (rec - pred) & 0xFF
+        body.append(filter_type)
+        body.extend(enc.astype(np.uint8).tobytes())
+        prev = rec
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2 if c == 3 else 6, 0, 0, 0]))
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(body)))
+            + chunk(b"IEND", b""))
+
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("kind", pa.string()),        # image | audio | video
@@ -96,9 +230,10 @@ class DecodeStage:
         if not fake:
             # capability probe, once per actor, never per batch: PIL is
             # the preferred codec when importable; without it the real
-            # path still decodes uncompressed BMP with the built-in
-            # numpy parser (``decode_bmp``) — only non-BMP images then
-            # need the codec and raise per the row contract below.
+            # path still decodes uncompressed BMP (``decode_bmp``) and
+            # non-interlaced 8-bit PNG (``decode_png``) with the
+            # built-in parsers — only other image formats then need the
+            # codec and raise per the row contract below.
             try:
                 from PIL import Image
                 self._pil_image = Image
@@ -107,7 +242,7 @@ class DecodeStage:
 
     def _real_decode(self, payload: bytes, kind: str
                      ) -> tuple[int, int, int, np.ndarray, int]:
-        """Real image decode: built-in numpy BMP parser first (runs in
+        """Real image decode: built-in BMP / PNG parsers first (run in
         codec-less environments), PIL for every other image format when
         installed. Audio/video codecs are out of scope — those kinds
         keep the deterministic fake so every row stays scored (M8
@@ -119,6 +254,12 @@ class DecodeStage:
             w, h, px = decode_bmp(payload)
             feats = np.zeros(self.feature_dim, np.float32)
             feats[:3] = px.reshape(-1, 3).mean(axis=0) / 255.0
+            return w, h, 1, feats, int(px.sum())
+        if payload[:8] == _PNG_MAGIC:
+            w, h, px = decode_png(payload)
+            feats = np.zeros(self.feature_dim, np.float32)
+            feats[:3] = px.reshape(-1, px.shape[2])[:, :3] \
+                .mean(axis=0) / 255.0
             return w, h, 1, feats, int(px.sum())
         if self._pil_image is not None:
             import io
@@ -132,8 +273,9 @@ class DecodeStage:
                 int(np.asarray(img, dtype=np.int64).sum())
         raise NotImplementedError(
             "no codec for this image payload: PIL is not installed and "
-            "the bytes are not an uncompressed BMP; construct "
-            "DecodeStage(fake=True) for the deterministic fake path")
+            "the bytes are neither an uncompressed BMP nor a "
+            "non-interlaced 8-bit PNG; construct DecodeStage(fake=True) "
+            "for the deterministic fake path")
 
     def _fake_decode(self, payload: bytes, kind: str
                      ) -> tuple[int, int, int, np.ndarray, int]:
@@ -445,6 +587,35 @@ def synth_bmp_table(n: int = 64, seed: int = 42,
                           len(px), 2835, 2835, 0, 0)
         rows.append(hdr + dib + px)
     metas = ['{"claimed": "bmp"}'] * n
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "kind": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(rows, pa.binary()),
+        "meta": pa.array(metas, pa.string()),
+    }, schema=MEDIA_SCHEMA)
+
+
+def synth_png_table(n: int = 64, seed: int = 42,
+                    width: int = 8, height: int = 4) -> pa.Table:
+    """Deterministic VALID non-interlaced 8-bit RGB PNG payloads for
+    the real-decode branch (``decode_png``). The decoded pixel bytes
+    are exactly ``unhex(repeat(sha256('png-i-seed'), 3))`` in top-down
+    row-major RGB order — 96 bytes == 8*4*3 — so a DuckDB oracle
+    reconstructs the decoded pixel-byte sum with hex-digit arithmetic
+    alone, gating the zlib-inflate + unfilter path end to end. The row
+    filter cycles through all five types by media_id so every unfilter
+    path (None/Sub/Up/Average/Paeth) is driver-exercised."""
+    n_px_bytes = width * height * 3
+    assert n_px_bytes % 32 == 0, \
+        "oracle alignment requires digest-multiple pixel bytes"
+    repeats = n_px_bytes // 32          # sha256 digest is 32 bytes
+    rows = []
+    for i in range(n):
+        hx = hashlib.sha256(f"png-{i}-{seed}".encode()).hexdigest() * repeats
+        px = np.frombuffer(bytes.fromhex(hx), np.uint8) \
+            .reshape(height, width, 3)
+        rows.append(encode_png(px, filter_type=i % 5))
+    metas = ['{"claimed": "png"}'] * n
     return pa.table({
         "media_id": pa.array(range(n), pa.int64()),
         "kind": pa.array(["image"] * n, pa.string()),

@@ -47,7 +47,7 @@ SQL_CHECKED = [
     "l_pricing_summary", "emb_dedup_canonical", "doc_containment_pairs",
     "a5_dedup_report", "simhash_groups", "media_decode_real",
     "t_decontaminate", "t_repetition", "t_pii_counts",
-    "media_phash_bmp", "media_phash_groups",
+    "media_phash_bmp", "media_phash_groups", "media_decode_png",
 ]
 
 
@@ -252,6 +252,61 @@ def test_real_decode_stage_end_to_end():
     # features carry the per-channel means of the decoded pixels
     assert ((out_f := np.stack(out["features"].to_numpy()))[:, :3] > 0).all()
     assert (out_f[:, 3:] == 0).all()
+
+
+def test_png_decoder_rejects_unsupported():
+    """decode_png must refuse what it cannot represent — loudly, per
+    the M10-12 parse-or-error contract — and the synth corpus pixel
+    sums must equal the digest-byte sums the oracle computes."""
+    import hashlib
+    import struct
+    import zlib
+
+    from image_deduper_ray.stages.multimodal import (decode_png,
+                                                     encode_png,
+                                                     synth_png_table)
+
+    with pytest.raises(ValueError):
+        decode_png(b"nope")
+    # 16-bit depth / interlaced / grayscale headers must raise
+    good = encode_png(np.zeros((2, 2, 3), np.uint8))
+    for depth, color, inter in [(16, 2, 0), (8, 2, 1), (8, 0, 0)]:
+        ihdr = (struct.pack(">II", 2, 2) + bytes([depth, color, 0, 0,
+                                                  inter]))
+        bad = (good[:8]
+               + struct.pack(">I", 13) + b"IHDR" + ihdr
+               + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+               + good[8 + 25:])
+        with pytest.raises(ValueError):
+            decode_png(bad)
+
+    t = synth_png_table(n=10)
+    for i, payload in enumerate(t["payload"].to_pylist()):
+        w, h, px = decode_png(payload)
+        hx = hashlib.sha256(f"png-{i}-42".encode()).hexdigest() * 3
+        assert (w, h) == (8, 4)
+        assert int(px.sum()) == sum(bytes.fromhex(hx))
+
+
+def test_real_decode_stage_png_end_to_end():
+    """The non-fake decode branch over PNG payloads (zlib inflate +
+    unfilter, no PIL): actor-pool stage, px_sum exact, every filter
+    type present in the corpus."""
+    import hashlib
+
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (decode_features,
+                                                     synth_png_table)
+
+    media = ray.data.from_arrow(synth_png_table(n=20))
+    out = decode_features(media, fake=False).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert len(out) == 20
+    assert (out["width"] == 8).all() and (out["height"] == 4).all()
+    want = [sum(bytes.fromhex(
+        hashlib.sha256(f"png-{i}-42".encode()).hexdigest() * 3))
+        for i in range(20)]
+    assert out["px_sum"].tolist() == want
 
 
 def test_phash64_properties():

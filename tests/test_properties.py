@@ -86,6 +86,23 @@ def test_bmp_roundtrip_any_dims(w, h, seed):
     np.testing.assert_array_equal(out, px)
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 16), st.integers(1, 12), st.integers(0, 4),
+       st.booleans(), st.integers(0, 2**32 - 1))
+def test_png_roundtrip_any_dims_filters(w, h, filter_type, rgba, seed):
+    """encode_png/decode_png must round-trip for every dimension, both
+    RGB and RGBA, under every row-filter type (None/Sub/Up/Average/
+    Paeth) — the unfilter recurrences are the risky part."""
+    from image_deduper_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    c = 4 if rgba else 3
+    px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    w2, h2, out = decode_png(encode_png(px, filter_type=filter_type))
+    assert (w2, h2) == (w, h)
+    np.testing.assert_array_equal(out, px)
+
+
 @settings(max_examples=30, deadline=None)
 @given(st.lists(st.text(alphabet=st.sampled_from("ab cd\nef\t"),
                         max_size=80), min_size=1, max_size=12))
