@@ -69,6 +69,47 @@ def cmd_scan(args) -> int:
     return 0
 
 
+def cmd_apply(args) -> int:
+    """Execute the actions checkpoint against a real tree (the
+    reference's intended Move/Delete/Symlink loop, types.rs:86-114).
+    DRY-RUN by default; --execute makes changes. Writes per-row
+    ActionResult lineage to <out>/apply_results and prints a summary."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from .sources import checkpoints as ckpt
+    from .stages.apply import apply_actions
+
+    actions = ckpt.read_stage(args.out, "actions")
+    clusters = ckpt.read_stage(args.out, "clusters")
+    res = apply_actions(actions, clusters, args.root,
+                        dry_run=not args.execute).materialize()
+    res_dir = os.path.join(args.out, "apply_results")
+    shutil.rmtree(res_dir, ignore_errors=True)
+    res.write_parquet(res_dir)
+    # summary via streamed per-batch partials — never a full to_pandas
+    n = n_applied = n_errors = 0
+    for b in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        n += b.num_rows
+        n_applied += pc.sum(pc.cast(b["applied"], pa.int64())).as_py() or 0
+        n_errors += pc.sum(pc.cast(pc.is_valid(b["error"]),
+                                   pa.int64())).as_py() or 0
+    print(json.dumps({"dups": n, "applied": n_applied,
+                      "errors": n_errors, "dry_run": not args.execute,
+                      "results": res_dir}))
+    ray.shutdown()
+    return 0 if n_errors == 0 else 1
+
+
 def cmd_stats(args) -> int:
     from .sources import checkpoints as ckpt
 
@@ -175,6 +216,16 @@ def main(argv=None) -> int:
     scan.add_argument("--exclude", help="comma-separated path prefixes")
     scan.add_argument("--force-rescan", action="store_true")
     scan.set_defaults(fn=cmd_scan)
+
+    ap = sub.add_parser("apply",
+                        help="execute the actions table against a tree "
+                             "(dry-run unless --execute)")
+    ap.add_argument("--out", required=True, help="checkpoint dir of a scan")
+    ap.add_argument("--root", required=True,
+                    help="directory tree the repo/path columns live under")
+    ap.add_argument("--execute", action="store_true",
+                    help="actually modify the tree (default: dry run)")
+    ap.set_defaults(fn=cmd_apply)
 
     stats = sub.add_parser("stats", help="print checkpoint row counts")
     stats.add_argument("--out", required=True)

@@ -1,0 +1,157 @@
+"""Action apply step: scan -> apply against a real tmp tree.
+
+The ActionResult loop the reference intends (types.rs:86-114,
+dev_notes.md:28-38): dups symlinked/moved/deleted on disk, keeps
+untouched, per-row lineage, dry-run default, idempotent re-runs,
+errors recorded not raised.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def scanned(tmp_path_factory):
+    """One pipeline run + materialized tree shared by the apply tests
+    (each test re-materializes the tree slice it mutates)."""
+    import ray.data
+    from image_deduper_ray.pipelines.dedup import run_pipeline
+    from image_deduper_ray.corpus import write_corpus
+
+    base = tmp_path_factory.mktemp("apply")
+    corpus = str(base / "corpus")
+    out = str(base / "out")
+    write_corpus(corpus, n_clusters=8)
+    res = run_pipeline(corpus, out)
+    return {"corpus": corpus, "out": out,
+            "actions": res["actions"].to_pandas(),
+            "clusters": res["clusters"].to_pandas()}
+
+
+def _fresh_tree(scanned, root: str) -> None:
+    import ray.data
+    from image_deduper_ray.sources.checkpoints import read_stage
+    from image_deduper_ray.stages.apply import materialize_tree
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    clusters = read_stage(scanned["out"], "clusters")
+    n = materialize_tree(clusters, scanned["corpus"], root)
+    assert n == len(scanned["clusters"])
+
+
+def _apply(scanned, root, **kw):
+    from image_deduper_ray.sources.checkpoints import read_stage
+    from image_deduper_ray.stages.apply import apply_actions
+
+    actions = read_stage(scanned["out"], "actions")
+    clusters = read_stage(scanned["out"], "clusters")
+    return apply_actions(actions, clusters, root, **kw).to_pandas()
+
+
+def test_dry_run_touches_nothing_and_validates(scanned, tmp_path):
+    root = str(tmp_path / "tree")
+    _fresh_tree(scanned, root)
+    before = {}
+    for d, _, fs in os.walk(root):
+        for f in fs:
+            p = os.path.join(d, f)
+            before[p] = (os.path.islink(p), os.path.getsize(p))
+
+    res = _apply(scanned, root, dry_run=True)
+    n_dups = (scanned["actions"]["role"] == "dup").sum()
+    assert len(res) == n_dups
+    assert (~res["applied"]).all()          # nothing applied
+    assert res["error"].isna().all()        # every precondition OK
+    after = {}
+    for d, _, fs in os.walk(root):
+        for f in fs:
+            p = os.path.join(d, f)
+            after[p] = (os.path.islink(p), os.path.getsize(p))
+    assert before == after                  # tree untouched
+
+
+def test_execute_symlinks_and_reruns_idempotently(scanned, tmp_path):
+    root = str(tmp_path / "tree")
+    _fresh_tree(scanned, root)
+
+    res = _apply(scanned, root, dry_run=False)
+    assert res["applied"].all() and res["error"].isna().all()
+
+    acts = scanned["actions"]
+    clus = scanned["clusters"].set_index("file_id")
+    relof = lambda fid: f"{clus.loc[fid,'repo']}/{clus.loc[fid,'path']}"
+    dups = acts[acts["role"] == "dup"]
+    keeps = acts[acts["role"] == "keep"]
+    for _, r in dups.iterrows():
+        src = os.path.join(root, relof(r["file_id"]))
+        can = os.path.join(root, relof(r["canonical_file_id"]))
+        assert os.path.islink(src)
+        # link resolves to the canonical file and reads its content
+        assert os.path.realpath(src) == os.path.realpath(can)
+        assert open(src).read() == open(can).read()
+    for _, r in keeps.iterrows():
+        p = os.path.join(root, relof(r["file_id"]))
+        assert os.path.isfile(p) and not os.path.islink(p)
+
+    # idempotent: second run reports applied with no errors, no change
+    res2 = _apply(scanned, root, dry_run=False)
+    assert res2["applied"].all() and res2["error"].isna().all()
+
+
+def test_move_quarantines_dups(scanned, tmp_path):
+    root = str(tmp_path / "tree")
+    _fresh_tree(scanned, root)
+    # rewrite the actions to move-mode by feeding a patched dataset
+    import ray.data
+    from image_deduper_ray.sources.checkpoints import read_stage
+    from image_deduper_ray.stages.apply import apply_actions
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    actions = read_stage(scanned["out"], "actions").map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("action"), "action",
+            pc.if_else(pc.equal(t["role"], "dup"),
+                       pa.scalar("move"), t["action"])),
+        batch_format="pyarrow")
+    clusters = read_stage(scanned["out"], "clusters")
+    res = apply_actions(actions, clusters, root,
+                        dry_run=False).to_pandas()
+    assert res["applied"].all() and res["error"].isna().all()
+    clus = scanned["clusters"].set_index("file_id")
+    dups = scanned["actions"].query("role == 'dup'")
+    for _, r in dups.iterrows():
+        rel = f"{clus.loc[r['file_id'],'repo']}/{clus.loc[r['file_id'],'path']}"
+        assert not os.path.exists(os.path.join(root, rel))
+        assert os.path.isfile(os.path.join(root, "_duplicates", rel))
+
+
+def test_missing_file_records_error_row(scanned, tmp_path):
+    root = str(tmp_path / "tree")
+    _fresh_tree(scanned, root)
+    clus = scanned["clusters"].set_index("file_id")
+    dups = scanned["actions"].query("role == 'dup'")
+    victim = dups.iloc[0]["file_id"]
+    rel = f"{clus.loc[victim,'repo']}/{clus.loc[victim,'path']}"
+    os.unlink(os.path.join(root, rel))
+
+    res = _apply(scanned, root, dry_run=False).set_index("file_id")
+    assert res.loc[victim, "error"] == "duplicate missing"
+    assert not res.loc[victim, "applied"]
+    others = res.drop(index=victim)
+    assert others["applied"].all() and others["error"].isna().all()
+
+
+def test_path_escape_is_refused(tmp_path):
+    from image_deduper_ray.stages.apply import _apply_row
+
+    root = str(tmp_path)
+    for rel in ["../evil", "/abs/evil"]:
+        _, ok, err = _apply_row("delete", rel, None, root,
+                                "_duplicates", False)
+        assert not ok and "escapes root" in err
