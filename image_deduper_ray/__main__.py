@@ -125,27 +125,99 @@ def cmd_stats(args) -> int:
 
 
 def cmd_diagnose(args) -> int:
-    """Consistency cross-check between stage checkpoints (J5)."""
-    import pyarrow.parquet as pq
+    """Consistency cross-check between ALL stage checkpoints — the J5
+    diagnose_database analog (reference db.rs:213-278 audits every
+    keyspace asymmetry; here: signatures<->clusters<->actions row
+    accounting, one-keep-per-cluster, canonical self-consistency, and
+    edge/pair endpoints contained in signatures). Vectorized numpy
+    membership on fixed-width keys, not Python sets. Stages absent on
+    disk (light checkpoint mode skips the edge stages) are reported
+    'absent' and skipped, not failed."""
     import os
 
-    def keys(stage, col):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    def col(stage: str, c: str) -> "np.ndarray | None":
         d = os.path.join(args.out, stage)
-        out = set()
+        if not os.path.isdir(d):
+            return None
+        vals = []
         for f in sorted(os.listdir(d)):
             if f.endswith(".parquet"):
-                out |= set(pq.read_table(os.path.join(d, f),
-                                         columns=[col])[col].to_pylist())
-        return out
+                t = pq.read_table(os.path.join(d, f), columns=[c])
+                vals.append(np.asarray(t[c].to_pylist(), dtype="S64"))
+        return np.concatenate(vals) if vals else np.array([], "S64")
 
-    sig = keys("signatures", "file_id")
-    clu = keys("clusters", "file_id")
-    report = {"signatures": len(sig), "clusters": len(clu),
-              "missing_in_clusters": sorted(sig - clu)[:20],
-              "orphan_clusters": sorted(clu - sig)[:20],
-              "consistent": sig == clu}
+    def diff_counts(a: np.ndarray, b: np.ndarray) -> dict:
+        only_a = np.unique(a[~np.isin(a, b)])
+        only_b = np.unique(b[~np.isin(b, a)])
+        return {"only_left": [x.decode() for x in only_a[:20]],
+                "n_only_left": int(len(only_a)),
+                "only_right": [x.decode() for x in only_b[:20]],
+                "n_only_right": int(len(only_b))}
+
+    report: dict = {"checks": {}}
+    ok = True
+
+    sig = col("signatures", "file_id")
+    clu = col("clusters", "file_id")
+    act = col("actions", "file_id")
+    report["rows"] = {"signatures": None if sig is None else int(len(sig)),
+                      "clusters": None if clu is None else int(len(clu)),
+                      "actions": None if act is None else int(len(act))}
+
+    # 1. every signed file is clustered and vice versa
+    if sig is not None and clu is not None:
+        d = diff_counts(sig, clu)
+        good = d["n_only_left"] == 0 and d["n_only_right"] == 0
+        report["checks"]["signatures_vs_clusters"] = {"ok": good, **d}
+        ok &= good
+    # 2. every clustered file has exactly one action row
+    if clu is not None and act is not None:
+        d = diff_counts(clu, act)
+        good = (d["n_only_left"] == 0 and d["n_only_right"] == 0
+                and len(act) == len(np.unique(act)))
+        report["checks"]["clusters_vs_actions"] = {
+            "ok": good, "duplicate_action_rows":
+                int(len(act) - len(np.unique(act))), **d}
+        ok &= good
+    # 3. actions invariants: one keep per cluster; every canonical id
+    #    is a keep row's file_id; dups reference their own cluster's
+    #    canonical
+    if act is not None:
+        roles = col("actions", "role")
+        cids = col("actions", "cluster_id")
+        canon = col("actions", "canonical_file_id")
+        keeps = roles == b"keep"
+        n_clusters = len(np.unique(cids)) if len(cids) else 0
+        keep_ids = act[keeps]
+        good = (int(keeps.sum()) == n_clusters
+                and bool(np.isin(canon, keep_ids).all())
+                and len(np.unique(cids[keeps])) == int(keeps.sum()))
+        report["checks"]["actions_invariants"] = {
+            "ok": good, "n_keep": int(keeps.sum()),
+            "n_clusters": n_clusters,
+            "n_bad_canonicals": int((~np.isin(canon, keep_ids)).sum())}
+        ok &= good
+    # 4. edge/pair endpoints all come from signed files
+    if sig is not None:
+        for stage in ["edges_exact", "pairs", "verified", "edges_cont",
+                      "edges"]:
+            a = col(stage, "a")
+            if a is None:
+                report["checks"][f"{stage}_endpoints"] = "absent"
+                continue
+            b = col(stage, "b")
+            bad = int((~np.isin(a, sig)).sum() + (~np.isin(b, sig)).sum())
+            report["checks"][f"{stage}_endpoints"] = {
+                "ok": bad == 0, "rows": int(len(a)),
+                "n_endpoints_not_in_signatures": bad}
+            ok &= bad == 0
+
+    report["consistent"] = bool(ok)
     print(json.dumps(report))
-    return 0 if report["consistent"] else 1
+    return 0 if ok else 1
 
 
 def cmd_query(args) -> int:

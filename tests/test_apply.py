@@ -147,6 +147,58 @@ def test_missing_file_records_error_row(scanned, tmp_path):
     assert others["applied"].all() and others["error"].isna().all()
 
 
+def test_diagnose_healthy_and_corrupted(scanned, tmp_path, capsys):
+    """The broadened J5 diagnose (db.rs:213-278 analog): a healthy run
+    passes every pairwise check; dropping a clusters row, planting a
+    foreign edge endpoint, or doubling a keep must each flip the
+    matching check and the exit code."""
+    import json
+
+    import pyarrow.parquet as pq
+    from image_deduper_ray.__main__ import main
+
+    assert main(["diagnose", "--out", scanned["out"]]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["consistent"]
+    assert rep["checks"]["actions_invariants"]["ok"]
+    assert rep["checks"]["edges_endpoints"]["ok"]
+
+    # corrupt a COPY: drop one clusters row + point one edge endpoint
+    # at a file_id that was never signed
+    bad = str(tmp_path / "bad_out")
+    shutil.copytree(scanned["out"], bad)
+
+    cdir = os.path.join(bad, "clusters")
+    f = sorted(x for x in os.listdir(cdir) if x.endswith(".parquet"))[0]
+    t = pq.read_table(os.path.join(cdir, f))
+    if t.num_rows:
+        pq.write_table(t.slice(1), os.path.join(cdir, f))
+
+    edir = os.path.join(bad, "edges")
+    for f in sorted(os.listdir(edir)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(edir, f))
+        if t.num_rows == 0:
+            continue
+        import pyarrow as pa
+        a = t["a"].to_pylist()
+        a[0] = "f" * 32          # not a signed file_id
+        pq.write_table(t.set_column(0, "a", pa.array(a)),
+                       os.path.join(edir, f))
+        break
+
+    assert main(["diagnose", "--out", bad]) == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not rep["consistent"]
+    assert not rep["checks"]["signatures_vs_clusters"]["ok"]
+    assert rep["checks"]["signatures_vs_clusters"]["n_only_left"] == 1
+    assert not rep["checks"]["clusters_vs_actions"]["ok"]
+    assert not rep["checks"]["edges_endpoints"]["ok"]
+    # untouched pairings still pass independently
+    assert rep["checks"]["pairs_endpoints"]["ok"]
+
+
 def test_path_escape_is_refused(tmp_path):
     from image_deduper_ray.stages.apply import _apply_row
 
