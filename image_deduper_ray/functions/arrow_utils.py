@@ -42,6 +42,32 @@ def rename_drop(tb: pa.Table, renames: dict[str, str], drops: tuple[str, ...]) -
     return tb.drop_columns(present) if present else tb
 
 
+def fixed_str_view(col, width: int):
+    """Zero-copy ``S{width}`` numpy view of a pyarrow string column
+    whose values are ALL exactly ``width`` bytes (file_ids are 32-hex):
+    views the Arrow data buffer directly instead of round-tripping
+    every value through a Python str (``to_pylist``). Falls back to the
+    pylist copy when the layout doesn't qualify (nulls, ragged widths,
+    non-contiguous after slicing)."""
+    import numpy as np
+
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(a, pa.ChunkedArray):          # zero-chunk edge
+        return np.array(a.to_pylist(), dtype=f"S{width}")
+    n = len(a)
+    if n == 0:
+        return np.empty(0, dtype=f"S{width}")
+    if a.null_count == 0 and pa.types.is_string(a.type):
+        offs_buf, data_buf = a.buffers()[1], a.buffers()[2]
+        offs = np.frombuffer(offs_buf, np.int32,
+                             count=n + 1, offset=4 * a.offset)
+        if offs[-1] - offs[0] == n * width \
+                and (np.diff(offs) == width).all():
+            return np.frombuffer(data_buf, dtype=f"S{width}",
+                                 count=n, offset=int(offs[0]))
+    return np.array(a.to_pylist(), dtype=f"S{width}")
+
+
 def safe_coalesce(a, b):
     """``pc.coalesce`` with both inputs combined to a single chunk
     first. pyarrow 16.1.0's coalesce kernel mishandles validity bitmaps

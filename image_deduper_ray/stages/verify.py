@@ -159,7 +159,8 @@ def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
                 # Ray 2.49 empty partitions can arrive schema-less
                 return (np.empty(0, dtype="S32"),
                         np.empty((0, P), np.uint64))
-            return (np.array(t["file_id"].to_pylist(), dtype="S32"),
+            from ..functions.arrow_utils import fixed_str_view
+            return (fixed_str_view(t["file_id"], 32).copy(),
                     _sig_of(t["minhash"], P))
 
         @ray.remote
@@ -202,8 +203,10 @@ def verify_pairs(pairs: ray.data.Dataset, sigs: ray.data.Dataset,
                                  "verdict": pa.array([], pa.string())})
             sids, part_of, row_of = ray.get(index_ref)
             parts = ray.get(mat_refs)   # plasma views, zero-copy local
-            a = np.array(batch["a"].to_pylist(), dtype="S32")
-            b = np.array(batch["b"].to_pylist(), dtype="S32")
+            # direct fixed-width buffer view — no per-value Python str
+            from ..functions.arrow_utils import fixed_str_view
+            a = fixed_str_view(batch["a"], 32)
+            b = fixed_str_view(batch["b"], 32)
             pa_ = np.searchsorted(sids, a).clip(0, max(len(sids) - 1, 0))
             pb_ = np.searchsorted(sids, b).clip(0, max(len(sids) - 1, 0))
             if len(sids) == 0:

@@ -209,6 +209,35 @@ def test_fid64_collision_expansion():
         assert all(a != b for a, b in got)
 
 
+def test_fixed_str_view_layouts():
+    """fixed_str_view must equal the pylist conversion on every layout:
+    the qualifying uniform-width fast path (incl. a sliced array with a
+    non-zero offset) and the ragged / null / chunked fallbacks."""
+    import numpy as np
+    import pyarrow as pa
+
+    from image_deduper_ray.functions.arrow_utils import fixed_str_view
+
+    ids = [f"{i:032x}" for i in range(10)]
+    ref = np.array(ids, dtype="S32")
+
+    flat = pa.array(ids)
+    np.testing.assert_array_equal(fixed_str_view(flat, 32), ref)
+    np.testing.assert_array_equal(fixed_str_view(flat.slice(3, 4), 32),
+                                  ref[3:7])
+    chunked = pa.chunked_array([ids[:4], ids[4:]])
+    np.testing.assert_array_equal(fixed_str_view(chunked, 32), ref)
+
+    ragged = pa.array(["ab", "c" * 32, "d"])
+    np.testing.assert_array_equal(
+        fixed_str_view(ragged, 32),
+        np.array(["ab", "c" * 32, "d"], dtype="S32"))
+    with_null = pa.array([ids[0], None, ids[2]])
+    got = fixed_str_view(with_null, 32)
+    assert got[0] == ref[0] and got[2] == ref[2]
+    assert fixed_str_view(pa.array([], pa.string()), 32).shape == (0,)
+
+
 def test_hash_join_right_dup_modes():
     """right_dup='unique' keeps one right row per key (supply
     semantics); right_dup='expand' emits one output row per matching
