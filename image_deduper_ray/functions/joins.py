@@ -141,6 +141,80 @@ def collect_i64_under_cap(ds: ray.data.Dataset, cols: list[str],
             for p in parts]
 
 
+def broadcast_attach_str(left: ray.data.Dataset, key_left: str,
+                         right: ray.data.Dataset, key_right: str,
+                         val_col: str, out_col: str,
+                         max_bytes: int = 256 << 20,
+                         num_partitions: int | None = None
+                         ) -> ray.data.Dataset:
+    """Left-attach ONE string value column by STRING key — the
+    cluster-label attach shape (labels cover only the nodes that appear
+    in an edge; the full file stream is the big side). The right side
+    is collected streaming under ``max_bytes`` into ONE Arrow table and
+    broadcast via ``ray.put`` (Arrow is zero-copy through plasma —
+    never a Python dict, which is stored pickled and re-unpickled per
+    worker); each batch probes with ``index_in``/``take`` C kernels, so
+    the big side never shuffles at all. Past the byte cap it falls back
+    to the partitioned ``hash_join``. Right keys must be UNIQUE (labels
+    are); unmatched left keys get null ``out_col``."""
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    parts: list[pa.Table] | None = []
+    total = 0
+    for b in right.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        total += b.nbytes
+        if total > max_bytes:
+            parts = None
+            break
+        parts.append(b.select([key_right, val_col]))
+
+    out_field = pa.field(out_col, pa.string())
+
+    if parts is None:
+        key_str = "__battach_k"
+        l2 = left.map_batches(
+            lambda t: t.append_column(key_str,
+                                      t[key_left].cast(pa.string())),
+            batch_format="pyarrow", zero_copy_batch=True)
+        r2 = right.map_batches(
+            lambda t: pa.table({
+                "__battach_rk": t[key_right].cast(pa.string()),
+                out_col: t[val_col].cast(pa.string())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        s = left.schema(fetch_if_missing=True)
+        lschema = pa.schema(list(zip(s.names, s.types))
+                            + [(key_str, pa.string())])
+        j = hash_join(l2, r2, key_str, "__battach_rk", lschema,
+                      pa.schema([out_field]), how="left",
+                      num_partitions=num_partitions)
+        return j.map_batches(lambda t: t.drop_columns([key_str]),
+                             batch_format="pyarrow")
+
+    rtbl = pa.concat_tables(parts).combine_chunks() if parts \
+        else pa.table({key_right: pa.array([], pa.string()),
+                       val_col: pa.array([], pa.string())})
+    ref = _ray.put(rtbl)
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.string()))
+        rt = _ray.get(ref)
+        keys = rt[key_right].combine_chunks() \
+            if isinstance(rt[key_right], pa.ChunkedArray) \
+            else rt[key_right]
+        idx = pc.index_in(t[key_left], value_set=keys)
+        vals = pc.take(rt[val_col], idx)    # null idx -> null value
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        return t.append_column(out_col, vals.cast(pa.string()))
+
+    return left.map_batches(attach, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def broadcast_attach_i64(left: ray.data.Dataset, key_left: str,
                          right: ray.data.Dataset, key_right: str,
                          val_col: str, out_col: str,

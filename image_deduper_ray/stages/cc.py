@@ -34,10 +34,24 @@ def _driver_union_find(edge_batches) -> pd.DataFrame:
     so min label index == min node id), then min-label relaxation over
     the edge arrays + pointer jumping until fixpoint — O(log n) rounds
     of pure C kernels, no per-edge Python loop."""
+    import pyarrow as pa
+
+    from ..functions.arrow_utils import fixed_str_view
+
     parts_a, parts_b = [], []
+    str_nodes = False
     for batch in edge_batches:
-        parts_a.append(batch["a"].to_numpy(zero_copy_only=False))
-        parts_b.append(batch["b"].to_numpy(zero_copy_only=False))
+        # string endpoints (32-hex file_ids): fixed-width S32 views —
+        # np.unique on S-dtype is C-speed memcmp, vs the object-array
+        # path which compares Python strs (measured ~6 s of the
+        # clusters stage at 1M files / 554k edges)
+        if pa.types.is_string(batch["a"].type):
+            str_nodes = True
+            parts_a.append(fixed_str_view(batch["a"], 32))
+            parts_b.append(fixed_str_view(batch["b"], 32))
+        else:
+            parts_a.append(batch["a"].to_numpy(zero_copy_only=False))
+            parts_b.append(batch["b"].to_numpy(zero_copy_only=False))
     if not parts_a:
         return pd.DataFrame({"file_id": [], "cluster_id": []})
     a = np.concatenate(parts_a)
@@ -55,6 +69,9 @@ def _driver_union_find(edge_batches) -> pd.DataFrame:
             label = new
         if np.all(label[ai] == label[bi]):
             break
+    if str_nodes:
+        # back to str so downstream Arrow columns stay utf8, not binary
+        uniq = uniq.astype("U32")
     return pd.DataFrame({"file_id": uniq, "cluster_id": uniq[label]})
 
 

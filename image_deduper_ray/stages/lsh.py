@@ -47,7 +47,6 @@ content-joining substring pass.
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 import pandas as pd
@@ -122,27 +121,19 @@ def fid64(file_ids) -> np.ndarray:
 
 class ExplodeBands:
     """map_batches fn: signature rows -> (band_id, band_key, salt,
-    file_id, simhash) rows. ``hot_ref`` is the broadcast dict
-    {(band_id, band_key): n_sub} from the counting pass (empty on the
-    counting pass itself)."""
+    file_id, simhash) rows. ``hot_ref`` is the broadcast hot-bucket
+    table from the counting pass (empty on the counting pass itself):
+    a PRE-SORTED (combo uint64 array, n_sub int64 array) pair — numpy
+    arrays go zero-copy through plasma, and the searchsorted lookup
+    tables are built once on the driver instead of once per actor
+    (never a ray.put dict, which is stored pickled and re-unpickled by
+    every worker)."""
 
     def __init__(self, config: DedupConfig, hot_ref=None, include_containment: bool = True):
         self.cfg = config
         self.include_containment = include_containment
-        self.hot = ray.get(hot_ref) if hot_ref is not None else {}
-        # vectorized lookup tables (built once per actor): hot keys as a
-        # sorted combo array for np.searchsorted — the per-row dict loop
-        # was a Python hot path over every band row
-        if self.hot:
-            keys = list(self.hot)
-            with np.errstate(over="ignore"):
-                combos = (_combo(
-                    np.array([k[0] for k in keys], dtype=np.int64),
-                    np.array([k[1] for k in keys], dtype=np.int64)))
-            order = np.argsort(combos)
-            self._hot_combos = combos[order]
-            self._hot_nsub = np.array([self.hot[k] for k in keys],
-                                      dtype=np.int64)[order]
+        if hot_ref is not None:
+            self._hot_combos, self._hot_nsub = ray.get(hot_ref)
         else:
             self._hot_combos = np.empty(0, dtype=np.uint64)
             self._hot_nsub = np.empty(0, dtype=np.int64)
@@ -226,8 +217,10 @@ class PartialBucketCounts:
 
 def find_hot_buckets(sigs: ray.data.Dataset, cfg: DedupConfig,
                      include_containment: bool = True):
-    """Pass 1: returns a ray.put ObjectRef of {(band_id, band_key): n_sub}
-    for buckets whose total count exceeds bucket_cap.
+    """Pass 1: returns a ray.put ObjectRef of the hot-bucket table —
+    a pre-sorted (combo uint64 array, n_sub int64 array) pair for
+    buckets whose total count exceeds bucket_cap (numpy broadcasts
+    zero-copy through plasma; a dict would re-unpickle per worker).
 
     Counts on a deterministic 1/sample_k row sample (hash(file_id)
     selector): mega-buckets — the ones salting exists for — are found
@@ -262,12 +255,25 @@ def find_hot_buckets(sigs: ray.data.Dataset, cfg: DedupConfig,
     hot_ds = counts.map_batches(
         lambda t: t.filter(pa.compute.greater(t["sum(partial)"], threshold)),
         batch_format="pyarrow", zero_copy_batch=True)
-    hot = {}
-    for row in hot_ds.iter_rows():
-        est_total = int(row["sum(partial)"]) * k
-        hot[(int(row["band_id"]), int(row["band_key"]))] = int(
-            math.ceil(est_total / cfg.bucket_cap))
-    return ray.put(hot)
+    bids, bkeys, nsubs = [], [], []
+    for b in hot_ds.iter_batches(batch_size=65536,
+                                 batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        bids.append(b["band_id"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+        bkeys.append(b["band_key"].to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+        est = b["sum(partial)"].to_numpy(zero_copy_only=False) * k
+        nsubs.append(np.ceil(est / cfg.bucket_cap).astype(np.int64))
+    if bids:
+        with np.errstate(over="ignore"):
+            combos = _combo(np.concatenate(bids), np.concatenate(bkeys))
+        nsub = np.concatenate(nsubs)
+        order = np.argsort(combos)
+        return ray.put((combos[order], nsub[order]))
+    return ray.put((np.empty(0, dtype=np.uint64),
+                    np.empty(0, dtype=np.int64)))
 
 
 _EMPTY_RAW = {

@@ -268,6 +268,40 @@ def test_hash_join_right_dup_modes():
         hash_join(left, right, "k", "rk", ls, rs, right_dup="bogus")
 
 
+def test_broadcast_attach_str_routes():
+    """Both routes of the string-keyed label attach (zero-copy Arrow
+    broadcast and hash-join fallback at cap=0) agree: matched keys get
+    the value, unmatched get null, left row count preserved."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from image_deduper_ray.functions.joins import broadcast_attach_str
+
+    left = ray.data.from_arrow(pa.table({
+        "file_id": pa.array(["a", "b", "c", "d"]),
+        "x": pa.array([1, 2, 3, 4], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "node": pa.array(["b", "d"]),
+        "label": pa.array(["b", "b"])}))
+
+    outs = []
+    for cap in (1 << 20, 0):
+        df = broadcast_attach_str(
+            ray.data.from_arrow(pa.table({
+                "file_id": pa.array(["a", "b", "c", "d"]),
+                "x": pa.array([1, 2, 3, 4], pa.int64())})),
+            "file_id", right, "node", "label", "cluster",
+            max_bytes=cap, num_partitions=2).to_pandas() \
+            .sort_values("file_id").reset_index(drop=True)
+        assert len(df) == 4
+        assert df.loc[df.file_id == "b", "cluster"].iloc[0] == "b"
+        assert df.loc[df.file_id == "d", "cluster"].iloc[0] == "b"
+        assert df.loc[df.file_id.isin(["a", "c"]), "cluster"].isna().all()
+        outs.append(df)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
 def test_broadcast_attach_i64_routes():
     """Both routes of the byte-capped broadcast attach (broadcast and
     hash-join fallback) produce identical left-join semantics on
