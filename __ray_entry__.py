@@ -381,6 +381,16 @@ def _q_pii_counts(sf_dir: str):
     return pii_counts(sf_dir)
 
 
+def _q_dedup_against(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import dedup_against_reference
+    return dedup_against_reference(sf_dir)
+
+
+def _q_ngram_novelty(sf_dir: str):
+    from image_deduper_ray.pipelines.docdedup import ngram_novelty
+    return ngram_novelty(sf_dir)
+
+
 def _q_dedup_report(sf_dir: str):
     from image_deduper_ray.pipelines.docdedup import dedup_report
     return dedup_report(sf_dir)
@@ -427,6 +437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_top_docs": _q_top_docs,
         "t_decontaminate": _q_decontaminate,
         "t_repetition": _q_repetition,
+        "t_dedup_against": _q_dedup_against,
+        "t_ngram_novelty": _q_ngram_novelty,
         "t_pii_counts": _q_pii_counts,
         "doc_containment_pairs": _q_containment_pairs,
         "a5_dedup_report": _q_dedup_report,
@@ -773,6 +785,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, COUNT(*) AS n_lines, "
             "CAST(COUNT(DISTINCT line) AS BIGINT) AS n_distinct_lines "
             "FROM l GROUP BY doc_id",
+        # t_dedup_against: cross-corpus EXACT dedup — drop docs whose
+        # sha256 matches the reference slice (doc_id % 31 = 0); the
+        # engine broadcasts the reference hashes and streams the corpus
+        "t_dedup_against":
+            "WITH ref AS (SELECT DISTINCT sha256(text) AS h "
+            "  FROM documents WHERE doc_id % 31 = 0) "
+            "SELECT doc_id, sha256(text) AS sha256 FROM documents "
+            "WHERE sha256(text) NOT IN (SELECT h FROM ref)",
+        # t_ngram_novelty: per-doc counts of distinct word 3-grams and
+        # of those with corpus df == 1 (unique to the doc); gramless
+        # docs report zeros
+        "t_ngram_novelty":
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, "
+            "  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM ("
+            "    SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i"
+            "    FROM toks)), "
+            "df AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g), "
+            "per AS (SELECT doc_id, COUNT(*) AS n_distinct, "
+            "  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "  AS n_unique FROM grams JOIN df USING (g) GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(p.n_distinct, 0) AS BIGINT) "
+            "AS n_distinct, CAST(COALESCE(p.n_unique, 0) AS BIGINT) "
+            "AS n_unique FROM documents d "
+            "LEFT JOIN per p ON p.doc_id = d.doc_id",
         "t_pii_counts":
             "SELECT doc_id, "
             "len(regexp_extract_all(text, "

@@ -733,6 +733,91 @@ def _gram_intersections(sf_dir: str, n: int = 3,
                                  out_schema=out_schema or inter_schema)
 
 
+def ngram_novelty(sf_dir: str, n: int = 3,
+                  num_partitions: int | None = None) -> ray.data.Dataset:
+    """Per-doc duplication-aware novelty counts: of a document's
+    DISTINCT word ``n``-grams, how many appear in NO other document
+    (corpus document-frequency 1) — the standard "how much of this text
+    is boilerplate vs original" curation signal, the per-document
+    inverse of the df view the jaccard/containment caps use.
+
+    Scale shape (no join): gram rows (gram, doc_id) hash-partition by
+    GRAM, so every occurrence of a gram lands in one reduce block —
+    each block computes df locally (one C-speed hash groupby) and emits
+    per-doc partial (n_distinct, n_unique) counts; zero rows for every
+    doc ride along from the corpus scan so gramless docs still report;
+    one narrow second shuffle sums by doc_id. Output integers only
+    (hash-stable): (doc_id, n_distinct, n_unique)."""
+    from ..functions.groups import group_starts, partitioned_group_map
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    gram_schema = pa.schema([("gram", pa.string()),
+                             ("doc_id", pa.int64())])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return gram_schema.empty_table()
+        d, grams = _distinct_word_ngrams_batch(t, n)
+        if d is None:
+            return gram_schema.empty_table()
+        dids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[d]
+        return pa.table({"gram": pa.array(grams, pa.string()),
+                         "doc_id": pa.array(dids)})
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    part_schema = pa.schema([("doc_id", pa.int64()),
+                             ("n_distinct", pa.int64()),
+                             ("n_unique", pa.int64())])
+
+    def df_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64)
+                 for c in ["doc_id", "n_distinct", "n_unique"]})
+        sizes = df.groupby("gram", sort=False)["doc_id"] \
+            .transform("size").to_numpy()
+        out = df.assign(u=(sizes == 1).astype(np.int64)) \
+            .groupby("doc_id", sort=False) \
+            .agg(n_distinct=("gram", "size"), n_unique=("u", "sum")) \
+            .reset_index()
+        return out.astype({"doc_id": np.int64, "n_distinct": np.int64,
+                           "n_unique": np.int64})
+
+    partials = partitioned_group_map(grams, ["gram"], df_block,
+                                     num_partitions,
+                                     out_schema=part_schema)
+
+    # every doc appears, even gramless ones: zero partials from the scan
+    zeros = ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_distinct": pa.array(np.zeros(t.num_rows, np.int64)),
+            "n_unique": pa.array(np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def sum_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        df = df.sort_values("doc_id", kind="mergesort")
+        dids = df["doc_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(group_starts(dids))
+        return pd.DataFrame({
+            "doc_id": dids[starts],
+            "n_distinct": np.add.reduceat(
+                df["n_distinct"].to_numpy(np.int64), starts),
+            "n_unique": np.add.reduceat(
+                df["n_unique"].to_numpy(np.int64), starts)})
+
+    return partitioned_group_map(partials.union(zeros), ["doc_id"],
+                                 sum_block, num_partitions,
+                                 out_schema=part_schema)
+
+
 def ngram_jaccard_pairs(sf_dir: str, n: int = 3, tau: float = 0.1,
                         df_cap: int | None | str = "auto",
                         num_partitions: int = 16) -> ray.data.Dataset:

@@ -552,6 +552,69 @@ def decontaminate(sf_dir: str, n: int = 5,
         scan, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def dedup_against_reference(sf_dir: str, ref_mod: int = 31,
+                            max_ref_bytes: int = 256 << 20
+                            ) -> ray.data.Dataset:
+    """Cross-corpus EXACT dedup by content hash: drop every corpus doc
+    whose sha256(text) appears in the reference set — the hash-match
+    decontamination / already-trained-on scrub that complements the
+    n-gram overlap flagging of ``decontaminate``. Returns the SURVIVORS
+    (doc_id, sha256).
+
+    The reference here is the deterministic slice ``doc_id % ref_mod
+    == 0`` of the same table (standing in for an external corpus), so
+    matched == the slice's texts; at 100 TB the reference side is small
+    by nature: its distinct hashes are collected once (byte-capped,
+    raises past the cap — never silently degrades), broadcast via
+    ``ray.put`` as ONE Arrow array (zero-copy through plasma), and the
+    corpus streams through a stateless is_in probe — no shuffle."""
+    import numpy as np
+    import ray
+
+    from ..functions import hashing
+
+    def sha_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sha256": pa.array([], pa.string())})
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "sha256": pa.array(hashing.sha256_hex(t["text"].to_pylist()),
+                               pa.string())})
+
+    def ref_only(t: pa.Table) -> pa.Table:
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(dids % ref_mod == 0))
+
+    ref_hashes: set[str] = set()
+    rds = read_documents(sf_dir, ["doc_id", "text"]) \
+        .map_batches(ref_only, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .map_batches(sha_rows, batch_format="pyarrow",
+                     zero_copy_batch=True).materialize()
+    for b in rds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows:
+            ref_hashes.update(b["sha256"].to_pylist())
+        if len(ref_hashes) * 64 > max_ref_bytes:
+            raise ValueError(
+                "reference hash set exceeds the broadcast budget; "
+                "shard the reference or raise max_ref_bytes")
+    ref_ref = ray.put(pa.array(sorted(ref_hashes), pa.string()))
+
+    def scan(t: pa.Table) -> pa.Table:
+        h = sha_rows(t)
+        if h.num_rows == 0:
+            return h
+        vs = ray.get(ref_ref)
+        if len(vs) == 0:
+            return h
+        hit = pc.is_in(h["sha256"], value_set=vs)
+        return h.filter(pc.invert(hit))
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def repetition_stats(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, n_lines, n_distinct_lines) — the duplicate-line signal
     quality filters cut on (boilerplate/template pages repeat lines;
