@@ -331,6 +331,16 @@ def _q_orders_by_segment(sf_dir: str):
     return orders_by_segment(sf_dir)
 
 
+def _q_distinct_users_daily(sf_dir: str):
+    from image_deduper_ray.pipelines.events import distinct_users_daily
+    return distinct_users_daily(sf_dir)
+
+
+def _q_shipping_priority(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import shipping_priority
+    return shipping_priority(sf_dir)
+
+
 def _q_stratified_sample(sf_dir: str):
     from image_deduper_ray.pipelines.textops import stratified_sample
     return stratified_sample(sf_dir)
@@ -464,6 +474,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_asof_join": _q_asof_join,
         "e_range_join": _q_range_join,
         "j_orders_by_segment": _q_orders_by_segment,
+        "e_distinct_users_daily": _q_distinct_users_daily,
+        "q3_shipping_priority": _q_shipping_priority,
     }
 
 
@@ -837,6 +849,32 @@ def oracle_sql() -> dict[str, str]:
             "AND length(a.text) >= 64 AND length(a.text) < length(b.text) "
             "AND len(regexp_extract_all(a.text, '\\S+')) >= 3 "
             "AND strpos(b.text, a.text) > 0",
+        # e_distinct_users_daily: exact distinct users per (day, type) —
+        # the engine dedupes (day, type, user) triples through a
+        # triple-keyed hash shuffle, never a sketch
+        "e_distinct_users_daily":
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+            "event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS "
+            "n_users, COUNT(*) AS n_events FROM events GROUP BY 1, 2",
+        # q3_shipping_priority: TPC-H Q3 shape — revenue as exact integer
+        # cents (floor(x*100 + 0.5), the repo-wide money rule), top-10 by
+        # (revenue desc, orderkey) with dates rendered as strings
+        "q3_shipping_priority":
+            "WITH c AS (SELECT c_custkey FROM customer "
+            "  WHERE c_mktsegment = 'BUILDING'), "
+            "o AS (SELECT o_orderkey, o_orderdate FROM orders "
+            "  JOIN c ON o_custkey = c_custkey "
+            "  WHERE o_orderdate < TIMESTAMP '1997-06-30'), "
+            "l AS (SELECT l_orderkey, CAST(FLOOR(l_extendedprice * "
+            "  (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents "
+            "  FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-06-30') "
+            "SELECT l_orderkey, CAST(SUM(cents) AS BIGINT) AS "
+            "revenue_cents, strftime(o_orderdate, '%Y-%m-%d') AS "
+            "o_orderdate, CAST(ROW_NUMBER() OVER (ORDER BY SUM(cents) "
+            "DESC, l_orderkey) AS BIGINT) AS rank "
+            "FROM l JOIN o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue_cents DESC, l_orderkey LIMIT 10",
         "l_pricing_summary":
             "SELECT l_returnflag, l_linestatus, "
             "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "

@@ -65,6 +65,87 @@ def windowed_event_counts(sf_dir: str,
                                  block, 16, out_schema=out_schema)
 
 
+def distinct_users_daily(sf_dir: str,
+                         num_partitions: int | None = None
+                         ) -> ray.data.Dataset:
+    """(day, event_type, n_users, n_events) with n_users an EXACT
+    distinct count — the daily-active-users shape. Exact distinct at
+    scale without ``unique()`` or a sketch: per-batch combiner dedupes
+    (day, type, user) triples carrying an event count, the shuffle
+    hash-partitions BY THE TRIPLE so every copy of a triple meets in one
+    reduce block (cross-batch re-dedupe is local there), and a second
+    narrow shuffle sums the per-(day, type) partials. Shuffle volume is
+    O(distinct triples), never O(events); an approximate path (HLL)
+    would trade the oracle-exact count for constant memory — not needed
+    while triples hash-partition."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "user_id"])
+
+    trip_schema = pa.schema([("day", pa.string()),
+                             ("event_type", pa.string()),
+                             ("user_id", pa.int64()),
+                             ("n", pa.int64())])
+
+    def triples(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return trip_schema.empty_table()
+        day = pc.strftime(pc.floor_temporal(t["ts"], unit="day"),
+                          format="%Y-%m-%d")
+        df = pd.DataFrame({
+            "day": day.to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        g = df.groupby(["day", "event_type", "user_id"], sort=False) \
+            .size().reset_index(name="n")
+        return pa.Table.from_pandas(g, schema=trip_schema,
+                                    preserve_index=False)
+
+    part_schema = pa.schema([("day", pa.string()),
+                             ("event_type", pa.string()),
+                             ("n_users", pa.int64()),
+                             ("n_events", pa.int64())])
+
+    def per_key_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"day": pd.Series([], dtype=object),
+                 "event_type": pd.Series([], dtype=object),
+                 "n_users": pd.Series([], dtype=np.int64),
+                 "n_events": pd.Series([], dtype=np.int64)})
+        # all copies of a triple are in this block: one dedupe-sum, then
+        # users = triples per (day, type)
+        g = df.groupby(["day", "event_type", "user_id"], sort=False)["n"] \
+            .sum().reset_index()
+        out = g.groupby(["day", "event_type"], sort=False).agg(
+            n_users=("user_id", "size"), n_events=("n", "sum")) \
+            .reset_index()
+        return out.astype({"n_users": np.int64, "n_events": np.int64})
+
+    partials = partitioned_group_map(
+        ds.map_batches(triples, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["day", "event_type", "user_id"], per_key_block,
+        num_partitions, out_schema=part_schema)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        df = df.sort_values(["day", "event_type"], kind="mergesort")
+        d = df["day"].to_numpy()
+        e = df["event_type"].to_numpy()
+        starts = np.flatnonzero(group_starts(d, e))
+        return pd.DataFrame({
+            "day": d[starts], "event_type": e[starts],
+            "n_users": np.add.reduceat(
+                df["n_users"].to_numpy(np.int64), starts),
+            "n_events": np.add.reduceat(
+                df["n_events"].to_numpy(np.int64), starts)})
+
+    return partitioned_group_map(partials, ["day", "event_type"], merge,
+                                 8, out_schema=part_schema)
+
+
 def sessionize(sf_dir: str, gap_s: int = 1800) -> ray.data.Dataset:
     """Gap-based sessionization: (user_id, n_sessions, n_events) — a new
     session starts when the inter-event gap exceeds ``gap_s``. Shuffle

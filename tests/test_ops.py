@@ -48,7 +48,8 @@ SQL_CHECKED = [
     "a5_dedup_report", "simhash_groups", "media_decode_real",
     "t_decontaminate", "t_repetition", "t_pii_counts",
     "media_phash_bmp", "media_phash_groups", "media_decode_png",
-    "t_dedup_against", "t_ngram_novelty",
+    "t_dedup_against", "t_ngram_novelty", "e_distinct_users_daily",
+    "q3_shipping_priority",
 ]
 
 
