@@ -267,6 +267,23 @@ def _q_media_decode_png(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_media_decode_tiff(sf_dir: str):
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (decode_features,
+                                                     synth_tiff_table)
+
+    # the REAL decode branch over TIFF: valid uncompressed 8-bit RGB
+    # payloads (byte order and strip layout cycling by media_id) parsed
+    # by the pure-Python IFD walker; the oracle recomputes the decoded
+    # pixel-byte sum from the digest hex — any drift in the endianness
+    # or strip reassembly breaks the sum
+    media = ray.data.from_arrow(synth_tiff_table(n=64))
+    feats = decode_features(media, fake=False)
+    return feats.map_batches(
+        lambda t: t.select(["media_id", "width", "height", "px_sum"]),
+        batch_format="pyarrow")
+
+
 def _q_media_phash(sf_dir: str):
     import ray.data
     from image_deduper_ray.stages.multimodal import (bmp_phash,
@@ -465,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_features": _q_media_decode,
         "media_decode_real": _q_media_decode_real,
         "media_decode_png": _q_media_decode_png,
+        "media_decode_tiff": _q_media_decode_tiff,
         "media_phash_bmp": _q_media_phash,
         "media_phash_groups": _q_media_phash_groups,
         "media_external_probe": _q_media_external,
@@ -638,6 +656,22 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_png":
             "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
             "repeat(sha256('png-' || i || '-42'), 3) AS hx "
+            "FROM range(64) t(i)), "
+            "b AS (SELECT media_id, "
+            "  (strpos('0123456789abcdef', "
+            "    substr(hx, CAST(2 * j + 1 AS INT), 1)) - 1) * 16 "
+            "  + (strpos('0123456789abcdef', "
+            "    substr(hx, CAST(2 * j + 2 AS INT), 1)) - 1) AS byte "
+            "  FROM m, range(96) r(j)) "
+            "SELECT media_id, CAST(8 AS BIGINT) AS width, "
+            "CAST(4 AS BIGINT) AS height, "
+            "CAST(SUM(byte) AS BIGINT) AS px_sum FROM b GROUP BY media_id",
+        # media_decode_tiff: same digest-hex reconstruction; the engine
+        # side must walk the IFD, honor the byte order and reassemble
+        # strips to recover the bytes the oracle computes directly
+        "media_decode_tiff":
+            "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
+            "repeat(sha256('tiff-' || i || '-42'), 3) AS hx "
             "FROM range(64) t(i)), "
             "b AS (SELECT media_id, "
             "  (strpos('0123456789abcdef', "

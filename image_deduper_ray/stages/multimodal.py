@@ -200,6 +200,131 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def decode_tiff(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-Python TIFF decoder for the real-codec branch: classic
+    (non-Big) TIFF, uncompressed (Compression=1) 8-bit RGB, both byte
+    orders, any strip layout — the per-format registry entry the
+    reference keeps for TIFF
+    (/root/reference/crates/image-deduper-core/src/processing/formats/tiff.rs:9-24),
+    runnable with no imaging library installed. Returns
+    (width, height, pixels) with pixels an (H, W, 3) uint8 array."""
+    if payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload (missing II/MM byte order)")
+    end = "<" if payload[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(end + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic} (BigTIFF unsupported)")
+    n_entries = struct.unpack_from(end + "H", payload, ifd_off)[0]
+    sizes = {1: 1, 3: 2, 4: 4}
+    fmts = {1: "B", 3: "H", 4: "I"}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        tag, typ, cnt = struct.unpack_from(end + "HHI", payload,
+                                           ifd_off + 2 + 12 * i)
+        val_field = payload[ifd_off + 10 + 12 * i:ifd_off + 14 + 12 * i]
+        if typ not in sizes:
+            continue
+        total = sizes[typ] * cnt
+        data = val_field[:total] if total <= 4 else payload[
+            struct.unpack(end + "I", val_field)[0]:][:total]
+        tags[tag] = list(struct.unpack(end + fmts[typ] * cnt, data))
+    try:
+        w, h = tags[256][0], tags[257][0]
+        offs, counts = tags[273], tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}")
+    comp = tags.get(259, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [1])
+    if comp != 1 or spp != 3 or any(b != 8 for b in bps):
+        raise ValueError(
+            "only uncompressed 8-bit RGB TIFF is supported "
+            f"(compression={comp} samples={spp} bits={bps})")
+    raw = b"".join(payload[o:o + c] for o, c in zip(offs, counts))
+    if len(raw) != w * h * 3:
+        raise ValueError("TIFF strip data length mismatch")
+    return w, h, np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+
+
+def encode_tiff_rgb(pixels: np.ndarray, big_endian: bool = False,
+                    rows_per_strip: int | None = None) -> bytes:
+    """Minimal classic-TIFF writer (round-trip partner of
+    ``decode_tiff``): (H, W, 3) uint8 RGB, uncompressed, either byte
+    order, ``rows_per_strip`` to exercise multi-strip reads."""
+    h, w, _ = pixels.shape
+    end = ">" if big_endian else "<"
+    rps = rows_per_strip or h
+    strips = [pixels[y:y + rps].tobytes() for y in range(0, h, rps)]
+    n_strips = len(strips)
+    pos = 8
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    aux = bytearray()
+    bps_off = pos
+    aux += struct.pack(end + "HHH", 8, 8, 8)
+    if n_strips > 1:
+        so_off = pos + len(aux)
+        aux += struct.pack(end + "I" * n_strips, *strip_offs)
+        sc_off = pos + len(aux)
+        aux += struct.pack(end + "I" * n_strips,
+                           *[len(s) for s in strips])
+    ifd_off = pos + len(aux)
+
+    def long4(v: int) -> bytes:
+        return struct.pack(end + "I", v)
+
+    def short4(v: int) -> bytes:
+        # inline values are left-justified in the 4-byte field
+        return struct.pack(end + "H", v) + b"\x00\x00"
+
+    entries = [
+        (256, 4, 1, long4(w)), (257, 4, 1, long4(h)),
+        (258, 3, 3, long4(bps_off)),
+        (259, 3, 1, short4(1)),          # uncompressed
+        (262, 3, 1, short4(2)),          # RGB photometric
+        (273, 4, n_strips,
+         long4(strip_offs[0]) if n_strips == 1 else long4(so_off)),
+        (277, 3, 1, short4(3)),
+        (278, 4, 1, long4(rps)),
+        (279, 4, n_strips,
+         long4(len(strips[0])) if n_strips == 1 else long4(sc_off)),
+    ]
+    ifd = struct.pack(end + "H", len(entries)) + b"".join(
+        struct.pack(end + "HHI", t, ty, c) + v
+        for t, ty, c, v in entries) + struct.pack(end + "I", 0)
+    header = (b"MM" if big_endian else b"II") \
+        + struct.pack(end + "HI", 42, ifd_off)
+    return header + b"".join(strips) + bytes(aux) + ifd
+
+
+def synth_tiff_table(n: int = 64, seed: int = 42,
+                     width: int = 8, height: int = 4) -> pa.Table:
+    """Deterministic VALID uncompressed RGB TIFFs for the real-decode
+    branch: pixel bytes are exactly ``unhex(repeat(sha256('tiff-i-seed'),
+    3))`` so the DuckDB oracle recomputes the decoded pixel-byte sum
+    from hex digits alone. Byte order and strip layout cycle by
+    media_id so little/big-endian and single/multi-strip reads are all
+    driver-exercised."""
+    n_px_bytes = width * height * 3
+    assert n_px_bytes % 32 == 0
+    repeats = n_px_bytes // 32
+    rows = []
+    for i in range(n):
+        hx = hashlib.sha256(f"tiff-{i}-{seed}".encode()).hexdigest() * repeats
+        px = np.frombuffer(bytes.fromhex(hx), np.uint8) \
+            .reshape(height, width, 3)
+        rows.append(encode_tiff_rgb(px, big_endian=bool(i % 2),
+                                    rows_per_strip=[None, 1, 2][i % 3]))
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "kind": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(rows, pa.binary()),
+        "meta": pa.array(['{"claimed": "tiff"}'] * n, pa.string()),
+    }, schema=MEDIA_SCHEMA)
+
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("kind", pa.string()),        # image | audio | video
@@ -261,6 +386,11 @@ class DecodeStage:
             feats[:3] = px.reshape(-1, px.shape[2])[:, :3] \
                 .mean(axis=0) / 255.0
             return w, h, 1, feats, int(px.sum())
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            w, h, px = decode_tiff(payload)
+            feats = np.zeros(self.feature_dim, np.float32)
+            feats[:3] = px.reshape(-1, 3).mean(axis=0) / 255.0
+            return w, h, 1, feats, int(px.sum())
         if self._pil_image is not None:
             import io
 
@@ -273,9 +403,9 @@ class DecodeStage:
                 int(np.asarray(img, dtype=np.int64).sum())
         raise NotImplementedError(
             "no codec for this image payload: PIL is not installed and "
-            "the bytes are neither an uncompressed BMP nor a "
-            "non-interlaced 8-bit PNG; construct DecodeStage(fake=True) "
-            "for the deterministic fake path")
+            "the bytes are not an uncompressed BMP, a non-interlaced "
+            "8-bit PNG, or an uncompressed 8-bit RGB TIFF; construct "
+            "DecodeStage(fake=True) for the deterministic fake path")
 
     def _fake_decode(self, payload: bytes, kind: str
                      ) -> tuple[int, int, int, np.ndarray, int]:

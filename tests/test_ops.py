@@ -49,7 +49,7 @@ SQL_CHECKED = [
     "t_decontaminate", "t_repetition", "t_pii_counts",
     "media_phash_bmp", "media_phash_groups", "media_decode_png",
     "t_dedup_against", "t_ngram_novelty", "e_distinct_users_daily",
-    "q3_shipping_priority",
+    "q3_shipping_priority", "media_decode_tiff",
 ]
 
 
@@ -308,6 +308,68 @@ def test_real_decode_stage_png_end_to_end():
     want = [sum(bytes.fromhex(
         hashlib.sha256(f"png-{i}-42".encode()).hexdigest() * 3))
         for i in range(20)]
+    assert out["px_sum"].tolist() == want
+
+
+def test_tiff_decoder_roundtrip_and_rejects():
+    """decode_tiff must invert encode_tiff_rgb across byte orders and
+    strip layouts, refuse compressed / non-8-bit headers loudly, and
+    the synth corpus pixel sums must equal the digest-byte sums."""
+    import hashlib
+
+    from image_deduper_ray.stages.multimodal import (decode_tiff,
+                                                     encode_tiff_rgb,
+                                                     synth_tiff_table)
+
+    rng = np.random.default_rng(7)
+    for be in (False, True):
+        for rps in (None, 1, 2):
+            px = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+            w, h, out = decode_tiff(encode_tiff_rgb(
+                px, big_endian=be, rows_per_strip=rps))
+            assert (w, h) == (9, 5)
+            np.testing.assert_array_equal(out, px)
+
+    with pytest.raises(ValueError):
+        decode_tiff(b"nope")
+    # flip the Compression tag (259) to LZW(5): must refuse
+    good = bytearray(encode_tiff_rgb(np.zeros((2, 2, 3), np.uint8)))
+    import struct
+    ifd_off = struct.unpack_from("<I", good, 4)[0]
+    n = struct.unpack_from("<H", good, ifd_off)[0]
+    for i in range(n):
+        tag = struct.unpack_from("<H", good, ifd_off + 2 + 12 * i)[0]
+        if tag == 259:
+            struct.pack_into("<H", good, ifd_off + 2 + 12 * i + 8, 5)
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(good))
+
+    t = synth_tiff_table(n=8)
+    for i, payload in enumerate(t["payload"].to_pylist()):
+        w, h, px = decode_tiff(payload)
+        hx = hashlib.sha256(f"tiff-{i}-42".encode()).hexdigest() * 3
+        assert (w, h) == (8, 4)
+        assert int(px.sum()) == sum(bytes.fromhex(hx))
+
+
+def test_real_decode_stage_tiff_end_to_end():
+    """The non-fake decode branch over TIFF payloads (IFD walk, both
+    endians, strip reassembly, no PIL): actor-pool stage, px_sum
+    exact."""
+    import hashlib
+
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (decode_features,
+                                                     synth_tiff_table)
+
+    media = ray.data.from_arrow(synth_tiff_table(n=18))
+    out = decode_features(media, fake=False).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert len(out) == 18
+    assert (out["width"] == 8).all() and (out["height"] == 4).all()
+    want = [sum(bytes.fromhex(
+        hashlib.sha256(f"tiff-{i}-42".encode()).hexdigest() * 3))
+        for i in range(18)]
     assert out["px_sum"].tolist() == want
 
 
