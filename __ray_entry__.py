@@ -284,6 +284,21 @@ def _q_media_decode_tiff(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_media_decode_ppm(sf_dir: str):
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (decode_features,
+                                                     synth_ppm_table)
+
+    # the REAL decode branch over binary PPM (P6): header-token parse
+    # (with comments) + raw RGB bytes, no imaging library; same
+    # digest-hex px_sum oracle as the other real-codec branches
+    media = ray.data.from_arrow(synth_ppm_table(n=64))
+    feats = decode_features(media, fake=False)
+    return feats.map_batches(
+        lambda t: t.select(["media_id", "width", "height", "px_sum"]),
+        batch_format="pyarrow")
+
+
 def _q_media_phash(sf_dir: str):
     import ray.data
     from image_deduper_ray.stages.multimodal import (bmp_phash,
@@ -483,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_real": _q_media_decode_real,
         "media_decode_png": _q_media_decode_png,
         "media_decode_tiff": _q_media_decode_tiff,
+        "media_decode_ppm": _q_media_decode_ppm,
         "media_phash_bmp": _q_media_phash,
         "media_phash_groups": _q_media_phash_groups,
         "media_external_probe": _q_media_external,
@@ -672,6 +688,19 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_tiff":
             "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
             "repeat(sha256('tiff-' || i || '-42'), 3) AS hx "
+            "FROM range(64) t(i)), "
+            "b AS (SELECT media_id, "
+            "  (strpos('0123456789abcdef', "
+            "    substr(hx, CAST(2 * j + 1 AS INT), 1)) - 1) * 16 "
+            "  + (strpos('0123456789abcdef', "
+            "    substr(hx, CAST(2 * j + 2 AS INT), 1)) - 1) AS byte "
+            "  FROM m, range(96) r(j)) "
+            "SELECT media_id, CAST(8 AS BIGINT) AS width, "
+            "CAST(4 AS BIGINT) AS height, "
+            "CAST(SUM(byte) AS BIGINT) AS px_sum FROM b GROUP BY media_id",
+        "media_decode_ppm":
+            "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
+            "repeat(sha256('ppm-' || i || '-42'), 3) AS hx "
             "FROM range(64) t(i)), "
             "b AS (SELECT media_id, "
             "  (strpos('0123456789abcdef', "

@@ -299,6 +299,70 @@ def encode_tiff_rgb(pixels: np.ndarray, big_endian: bool = False,
     return header + b"".join(strips) + bytes(aux) + ifd
 
 
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-Python binary PPM (P6) decoder — the fourth codec-less
+    real-format branch (the raw-ish end of the reference's per-format
+    registry, formats/raw.rs:9-18 'parse-or-error'): header tokens
+    (width, height, maxval, with #-comments) then raw RGB bytes.
+    8-bit (maxval <= 255) only. Returns (width, height, pixels)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM payload (missing P6 magic)")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(payload):
+            raise ValueError("PPM header truncated")
+        c = payload[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == ord("#"):
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+        else:
+            end = pos
+            while end < len(payload) and payload[end] not in b" \t\r\n#":
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("only 8-bit PPM (maxval <= 255) is supported")
+    pos += 1                               # single whitespace after maxval
+    raw = payload[pos:pos + w * h * 3]
+    if len(raw) != w * h * 3:
+        raise ValueError("PPM pixel data length mismatch")
+    return w, h, np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(pixels: np.ndarray, comment: str | None = None) -> bytes:
+    """Minimal P6 writer (round-trip partner of ``decode_ppm``)."""
+    h, w, _ = pixels.shape
+    hdr = b"P6\n" + (f"# {comment}\n".encode() if comment else b"") \
+        + f"{w} {h}\n255\n".encode()
+    return hdr + pixels.tobytes()
+
+
+def synth_ppm_table(n: int = 64, seed: int = 42,
+                    width: int = 8, height: int = 4) -> pa.Table:
+    """Deterministic VALID P6 payloads (digest-derived pixels, comments
+    on every other row to exercise the header parser) for the
+    real-decode branch; the same digest-hex px_sum oracle trick."""
+    n_px_bytes = width * height * 3
+    assert n_px_bytes % 32 == 0
+    repeats = n_px_bytes // 32
+    rows = []
+    for i in range(n):
+        hx = hashlib.sha256(f"ppm-{i}-{seed}".encode()).hexdigest() * repeats
+        px = np.frombuffer(bytes.fromhex(hx), np.uint8) \
+            .reshape(height, width, 3)
+        rows.append(encode_ppm(px, comment="synth" if i % 2 else None))
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "kind": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(rows, pa.binary()),
+        "meta": pa.array(['{"claimed": "ppm"}'] * n, pa.string()),
+    }, schema=MEDIA_SCHEMA)
+
+
 def synth_tiff_table(n: int = 64, seed: int = 42,
                      width: int = 8, height: int = 4) -> pa.Table:
     """Deterministic VALID uncompressed RGB TIFFs for the real-decode
@@ -388,6 +452,11 @@ class DecodeStage:
             return w, h, 1, feats, int(px.sum())
         if payload[:4] in (b"II*\x00", b"MM\x00*"):
             w, h, px = decode_tiff(payload)
+            feats = np.zeros(self.feature_dim, np.float32)
+            feats[:3] = px.reshape(-1, 3).mean(axis=0) / 255.0
+            return w, h, 1, feats, int(px.sum())
+        if payload[:2] == b"P6":
+            w, h, px = decode_ppm(payload)
             feats = np.zeros(self.feature_dim, np.float32)
             feats[:3] = px.reshape(-1, 3).mean(axis=0) / 255.0
             return w, h, 1, feats, int(px.sum())

@@ -49,7 +49,7 @@ SQL_CHECKED = [
     "t_decontaminate", "t_repetition", "t_pii_counts",
     "media_phash_bmp", "media_phash_groups", "media_decode_png",
     "t_dedup_against", "t_ngram_novelty", "e_distinct_users_daily",
-    "q3_shipping_priority", "media_decode_tiff",
+    "q3_shipping_priority", "media_decode_tiff", "media_decode_ppm",
 ]
 
 
@@ -371,6 +371,38 @@ def test_real_decode_stage_tiff_end_to_end():
         hashlib.sha256(f"tiff-{i}-42".encode()).hexdigest() * 3))
         for i in range(18)]
     assert out["px_sum"].tolist() == want
+
+
+def test_ppm_decoder_roundtrip_and_rejects():
+    """decode_ppm must invert encode_ppm (with and without header
+    comments), refuse 16-bit and truncated payloads, and match the
+    digest sums on the synth corpus."""
+    import hashlib
+
+    from image_deduper_ray.stages.multimodal import (decode_ppm,
+                                                     encode_ppm,
+                                                     synth_ppm_table)
+
+    rng = np.random.default_rng(11)
+    for comment in (None, "hello # tricky"):
+        px = rng.integers(0, 256, size=(3, 7, 3), dtype=np.uint8)
+        w, h, out = decode_ppm(encode_ppm(px, comment=comment))
+        assert (w, h) == (7, 3)
+        np.testing.assert_array_equal(out, px)
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5 1 1 255 x")
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n4 4\n255\n\x00\x01")  # truncated
+
+    t = synth_ppm_table(n=6)
+    for i, payload in enumerate(t["payload"].to_pylist()):
+        w, h, px = decode_ppm(payload)
+        hx = hashlib.sha256(f"ppm-{i}-42".encode()).hexdigest() * 3
+        assert (w, h) == (8, 4)
+        assert int(px.sum()) == sum(bytes.fromhex(hx))
 
 
 def test_phash64_properties():
