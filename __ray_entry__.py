@@ -423,6 +423,11 @@ def _q_pii_counts(sf_dir: str):
     return pii_counts(sf_dir)
 
 
+def _q_normalized_dups(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import normalized_dup_groups
+    return normalized_dup_groups(sf_dir)
+
+
 def _q_dedup_against(sf_dir: str):
     from image_deduper_ray.pipelines.textops import dedup_against_reference
     return dedup_against_reference(sf_dir)
@@ -481,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_repetition": _q_repetition,
         "t_dedup_against": _q_dedup_against,
         "t_ngram_novelty": _q_ngram_novelty,
+        "t_normalized_dup_groups": _q_normalized_dups,
         "t_pii_counts": _q_pii_counts,
         "doc_containment_pairs": _q_containment_pairs,
         "a5_dedup_report": _q_dedup_report,
@@ -860,6 +866,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, COUNT(*) AS n_lines, "
             "CAST(COUNT(DISTINCT line) AS BIGINT) AS n_distinct_lines "
             "FROM l GROUP BY doc_id",
+        # t_normalized_dup_groups: dedup after lowercase/collapse/trim
+        # normalization; the doc_id % 13 = 0 slice re-enters re-keyed
+        # (+10M) with a whitespace mutation both sides apply literally,
+        # so every seeded pair must collapse to one group
+        "t_normalized_dup_groups":
+            "WITH base AS (SELECT doc_id, text FROM documents "
+            "  UNION ALL SELECT doc_id + 10000000, "
+            "  chr(9) || replace(text, ' ', '  ') || ' ' || chr(10) "
+            "  FROM documents WHERE doc_id % 13 = 0), "
+            "n AS (SELECT doc_id, sha256(trim(regexp_replace("
+            "  lower(text), '\\s+', ' ', 'g'), ' ')) AS h FROM base) "
+            "SELECT h AS norm_sha256, COUNT(*) AS n_docs, "
+            "MIN(doc_id) AS min_doc_id FROM n GROUP BY h "
+            "HAVING COUNT(*) > 1",
         # t_dedup_against: cross-corpus EXACT dedup — drop docs whose
         # sha256 matches the reference slice (doc_id % 31 = 0); the
         # engine broadcasts the reference hashes and streams the corpus

@@ -615,6 +615,89 @@ def dedup_against_reference(sf_dir: str, ref_mod: int = 31,
         scan, batch_format="pyarrow", zero_copy_batch=True)
 
 
+NORM_DUP_SEED_OFFSET = 10_000_000
+
+
+def normalized_dup_groups(sf_dir: str,
+                          seed_dup_mod: int | None = 13
+                          ) -> ray.data.Dataset:
+    """Exact dedup AFTER text normalization (lowercase, collapse runs
+    of whitespace to one space, trim) — the C4/RefinedWeb-style pass
+    that catches trivially-reformatted duplicates a raw content hash
+    misses. Returns (norm_sha256, n_docs, min_doc_id) for groups > 1.
+
+    The synthetic corpora have no reformat twins, so the battery
+    variant unions a re-keyed (+NORM_DUP_SEED_OFFSET) WHITESPACE-mutated
+    copy ('\\t' prefix, doubled internal spaces, trailing ' \\n') of
+    every ``doc_id % seed_dup_mod == 0`` doc — mutations chosen to be
+    literal-replace reproducible in SQL, so the oracle applies the same
+    mutation and normalization and the normalizer must collapse each
+    pair into one group. Normalization itself runs on EVERY doc (the
+    lower/collapse kernels' DuckDB parity is part of what the hash
+    checks)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions import hashing
+    from ..functions.groups import group_starts, partitioned_group_map
+
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+
+    def add_norm_sha(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "norm_sha256": pa.array([], pa.string())})
+        dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if seed_dup_mod:
+            if len(dids) and int(dids.max()) >= NORM_DUP_SEED_OFFSET:
+                raise ValueError("seeded ids would collide with real ones")
+            m = dids % seed_dup_mod == 0
+            mutated = pc.binary_join_element_wise(
+                "\t", pc.replace_substring(text.filter(pa.array(m)),
+                                           " ", "  "), " \n", "")
+            text = pa.concat_arrays([text, mutated.combine_chunks()
+                                     if isinstance(mutated, pa.ChunkedArray)
+                                     else mutated])
+            dids = np.concatenate([dids, dids[m] + NORM_DUP_SEED_OFFSET])
+        norm = pc.utf8_trim(pc.replace_substring_regex(
+            pc.utf8_lower(text), r"\s+", " "), " ")
+        sha = hashing.sha256_hex(norm.to_pylist())
+        return pa.table({"doc_id": pa.array(dids),
+                         "norm_sha256": pa.array(sha, pa.string())})
+
+    out_schema = pa.schema([("norm_sha256", pa.string()),
+                            ("n_docs", pa.int64()),
+                            ("min_doc_id", pa.int64())])
+
+    def groups_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"norm_sha256": pd.Series([], dtype=str),
+                              "n_docs": pd.Series([], dtype=np.int64),
+                              "min_doc_id": pd.Series([], dtype=np.int64)})
+        if df.empty:
+            return empty
+        df = df.sort_values(["norm_sha256", "doc_id"], kind="mergesort")
+        sha = df["norm_sha256"].to_numpy()
+        ids = df["doc_id"].to_numpy(np.int64)
+        bounds = np.append(np.flatnonzero(group_starts(sha)), len(sha))
+        sizes = np.diff(bounds).astype(np.int64)
+        keep = sizes > 1
+        if not keep.any():
+            return empty
+        lo = bounds[:-1][keep]
+        return pd.DataFrame({"norm_sha256": sha[lo], "n_docs": sizes[keep],
+                             "min_doc_id": ids[lo]})
+
+    grouped = partitioned_group_map(
+        ds.map_batches(add_norm_sha, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["norm_sha256"], groups_block, None, out_schema=out_schema)
+    return ray.data.from_arrow(out_schema.empty_table()).union(grouped)
+
+
 def repetition_stats(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, n_lines, n_distinct_lines) — the duplicate-line signal
     quality filters cut on (boilerplate/template pages repeat lines;

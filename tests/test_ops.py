@@ -50,6 +50,7 @@ SQL_CHECKED = [
     "media_phash_bmp", "media_phash_groups", "media_decode_png",
     "t_dedup_against", "t_ngram_novelty", "e_distinct_users_daily",
     "q3_shipping_priority", "media_decode_tiff", "media_decode_ppm",
+    "t_normalized_dup_groups",
 ]
 
 
