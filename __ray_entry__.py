@@ -519,6 +519,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _px_sum_oracle(prefix: str) -> str:
+    """Shared oracle for every real-codec decode query: the synth
+    payloads' decoded pixel region is unhex(repeat(sha256('<prefix>-i-
+    seed'), 3)) — 96 bytes = 8x4x3 — so the SQL recomputes each byte
+    from hex digits and sums; any drift in the engine's decode path
+    (offsets, row order, byte order, inflate, unfilter, strips) breaks
+    the sum. One body, parameterized by the seed prefix, so the
+    arithmetic can never desynchronize across formats."""
+    return (
+        "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
+        f"repeat(sha256('{prefix}-' || i || '-42'), 3) AS hx "
+        "FROM range(64) t(i)), "
+        "b AS (SELECT media_id, "
+        "  (strpos('0123456789abcdef', "
+        "    substr(hx, CAST(2 * j + 1 AS INT), 1)) - 1) * 16 "
+        "  + (strpos('0123456789abcdef', "
+        "    substr(hx, CAST(2 * j + 2 AS INT), 1)) - 1) AS byte "
+        "  FROM m, range(96) r(j)) "
+        "SELECT media_id, CAST(8 AS BIGINT) AS width, "
+        "CAST(4 AS BIGINT) AS height, "
+        "CAST(SUM(byte) AS BIGINT) AS px_sum FROM b GROUP BY media_id")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "m1_sha256":
@@ -658,65 +681,17 @@ def oracle_sql() -> dict[str, str]:
         # the pixel region (unhex of the repeated digest) byte by byte
         # from hex digits and sums, so any decoder drift (offset, row
         # order, padding, channel handling) breaks the sum
-        "media_decode_real":
-            "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
-            "repeat(sha256('bmp-' || i || '-42'), 3) AS hx "
-            "FROM range(64) t(i)), "
-            "b AS (SELECT media_id, "
-            "  (strpos('0123456789abcdef', "
-            "    substr(hx, CAST(2 * j + 1 AS INT), 1)) - 1) * 16 "
-            "  + (strpos('0123456789abcdef', "
-            "    substr(hx, CAST(2 * j + 2 AS INT), 1)) - 1) AS byte "
-            "  FROM m, range(96) r(j)) "
-            "SELECT media_id, CAST(8 AS BIGINT) AS width, "
-            "CAST(4 AS BIGINT) AS height, "
-            "CAST(SUM(byte) AS BIGINT) AS px_sum FROM b GROUP BY media_id",
+        "media_decode_real": _px_sum_oracle("bmp"),
         # media_decode_png: same digest-hex reconstruction as
         # media_decode_real, but the engine side must run zlib inflate
         # + PNG row-unfiltering (all five filter types appear in the
         # corpus) to recover the bytes the oracle computes directly
-        "media_decode_png":
-            "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
-            "repeat(sha256('png-' || i || '-42'), 3) AS hx "
-            "FROM range(64) t(i)), "
-            "b AS (SELECT media_id, "
-            "  (strpos('0123456789abcdef', "
-            "    substr(hx, CAST(2 * j + 1 AS INT), 1)) - 1) * 16 "
-            "  + (strpos('0123456789abcdef', "
-            "    substr(hx, CAST(2 * j + 2 AS INT), 1)) - 1) AS byte "
-            "  FROM m, range(96) r(j)) "
-            "SELECT media_id, CAST(8 AS BIGINT) AS width, "
-            "CAST(4 AS BIGINT) AS height, "
-            "CAST(SUM(byte) AS BIGINT) AS px_sum FROM b GROUP BY media_id",
+        "media_decode_png": _px_sum_oracle("png"),
         # media_decode_tiff: same digest-hex reconstruction; the engine
         # side must walk the IFD, honor the byte order and reassemble
         # strips to recover the bytes the oracle computes directly
-        "media_decode_tiff":
-            "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
-            "repeat(sha256('tiff-' || i || '-42'), 3) AS hx "
-            "FROM range(64) t(i)), "
-            "b AS (SELECT media_id, "
-            "  (strpos('0123456789abcdef', "
-            "    substr(hx, CAST(2 * j + 1 AS INT), 1)) - 1) * 16 "
-            "  + (strpos('0123456789abcdef', "
-            "    substr(hx, CAST(2 * j + 2 AS INT), 1)) - 1) AS byte "
-            "  FROM m, range(96) r(j)) "
-            "SELECT media_id, CAST(8 AS BIGINT) AS width, "
-            "CAST(4 AS BIGINT) AS height, "
-            "CAST(SUM(byte) AS BIGINT) AS px_sum FROM b GROUP BY media_id",
-        "media_decode_ppm":
-            "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
-            "repeat(sha256('ppm-' || i || '-42'), 3) AS hx "
-            "FROM range(64) t(i)), "
-            "b AS (SELECT media_id, "
-            "  (strpos('0123456789abcdef', "
-            "    substr(hx, CAST(2 * j + 1 AS INT), 1)) - 1) * 16 "
-            "  + (strpos('0123456789abcdef', "
-            "    substr(hx, CAST(2 * j + 2 AS INT), 1)) - 1) AS byte "
-            "  FROM m, range(96) r(j)) "
-            "SELECT media_id, CAST(8 AS BIGINT) AS width, "
-            "CAST(4 AS BIGINT) AS height, "
-            "CAST(SUM(byte) AS BIGINT) AS px_sum FROM b GROUP BY media_id",
+        "media_decode_tiff": _px_sum_oracle("tiff"),
+        "media_decode_ppm": _px_sum_oracle("ppm"),
         # media_phash_bmp: engine decodes real BMP bytes and computes
         # the reference-shape Standard pHash; the oracle rebuilds the
         # pixel table from the digest hex (BGR bytes, bottom-up rows),

@@ -44,27 +44,38 @@ def rename_drop(tb: pa.Table, renames: dict[str, str], drops: tuple[str, ...]) -
 
 def fixed_str_view(col, width: int):
     """Zero-copy ``S{width}`` numpy view of a pyarrow string column
-    whose values are ALL exactly ``width`` bytes (file_ids are 32-hex):
-    views the Arrow data buffer directly instead of round-tripping
-    every value through a Python str (``to_pylist``). Falls back to the
-    pylist copy when the layout doesn't qualify (nulls, ragged widths,
-    non-contiguous after slicing)."""
+    whose values are AT MOST ``width`` bytes (key columns — file_ids
+    are 32-hex): the uniform-width fast path views the Arrow data
+    buffer directly instead of round-tripping every value through a
+    Python str (``to_pylist``); other layouts (shorter values, chunked,
+    sliced) take the pylist copy. Values LONGER than ``width`` or null
+    raise — numpy's S-dtype would silently truncate (colliding distinct
+    keys) or stringify None, corrupting downstream key comparisons."""
     import numpy as np
 
     a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if isinstance(a, pa.ChunkedArray):          # zero-chunk edge
-        return np.array(a.to_pylist(), dtype=f"S{width}")
+        a = pa.array([], pa.string())
     n = len(a)
     if n == 0:
         return np.empty(0, dtype=f"S{width}")
-    if a.null_count == 0 and pa.types.is_string(a.type):
+    if a.null_count:
+        raise ValueError("fixed_str_view: null key values")
+    if pa.types.is_string(a.type):
         offs_buf, data_buf = a.buffers()[1], a.buffers()[2]
         offs = np.frombuffer(offs_buf, np.int32,
                              count=n + 1, offset=4 * a.offset)
-        if offs[-1] - offs[0] == n * width \
-                and (np.diff(offs) == width).all():
+        widths = np.diff(offs)
+        if (widths == width).all():
             return np.frombuffer(data_buf, dtype=f"S{width}",
                                  count=n, offset=int(offs[0]))
+    import pyarrow.compute as _pc
+    wmax = _pc.max(_pc.binary_length(a)).as_py()
+    if wmax is not None and wmax > width:
+        raise ValueError(
+            f"fixed_str_view: value of {wmax} bytes exceeds width "
+            f"{width} (S-dtype would truncate and collide distinct "
+            "keys)")
     return np.array(a.to_pylist(), dtype=f"S{width}")
 
 

@@ -139,6 +139,12 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_mktsegment"],
         filter=(pc.field("c_mktsegment") == segment))
+    # the repo convention (pricing_summary): the pushdown prunes row
+    # groups, the residual predicate must still hold row-exactly
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"],
+                                    segment).combine_chunks()),
+        batch_format="pyarrow", zero_copy_batch=True)
     collected = collect_i64_under_cap(cust, ["c_custkey"],
                                       cust_broadcast_bytes := cust_broadcast_max)
     if collected is None:
@@ -157,6 +163,11 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
     def order_days(t: pa.Table) -> pa.Table:
         empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
                           "odays": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        # residual re-filter, same convention as above
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cut))
+                     .combine_chunks())
         if t.num_rows == 0:
             return empty
         ck = ray.get(ckeys_ref)

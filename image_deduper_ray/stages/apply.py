@@ -73,6 +73,10 @@ def _apply_row(action: str, src_rel: str, can_rel: str | None,
         if dry_run:
             return can_rel, False, None
         tmp = src + ".idr_tmp"
+        try:                        # a crash between symlink and replace
+            os.unlink(tmp)          # leaves tmp behind — re-runs must
+        except FileNotFoundError:   # clear it, not FileExistsError out
+            pass
         os.symlink(link_target, tmp)
         os.replace(tmp, src)        # atomic swap, crash-safe
         return can_rel, True, None

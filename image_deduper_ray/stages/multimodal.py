@@ -439,27 +439,30 @@ class DecodeStage:
         decoded pixel bytes — an oracle-checkable content invariant."""
         if kind != "image":
             return self._fake_decode(payload, kind)
+        # built-in parsers first (they run with no imaging library), but
+        # a subformat they refuse (palette/16-bit/interlaced PNG,
+        # compressed TIFF, 16-bit PPM...) must FALL THROUGH to PIL when
+        # it is installed — the built-ins narrow the codec gap, they
+        # must never shadow a codec that could decode the bytes
+        decoder = None
         if payload[:2] == b"BM":
-            w, h, px = decode_bmp(payload)
-            feats = np.zeros(self.feature_dim, np.float32)
-            feats[:3] = px.reshape(-1, 3).mean(axis=0) / 255.0
-            return w, h, 1, feats, int(px.sum())
-        if payload[:8] == _PNG_MAGIC:
-            w, h, px = decode_png(payload)
-            feats = np.zeros(self.feature_dim, np.float32)
-            feats[:3] = px.reshape(-1, px.shape[2])[:, :3] \
-                .mean(axis=0) / 255.0
-            return w, h, 1, feats, int(px.sum())
-        if payload[:4] in (b"II*\x00", b"MM\x00*"):
-            w, h, px = decode_tiff(payload)
-            feats = np.zeros(self.feature_dim, np.float32)
-            feats[:3] = px.reshape(-1, 3).mean(axis=0) / 255.0
-            return w, h, 1, feats, int(px.sum())
-        if payload[:2] == b"P6":
-            w, h, px = decode_ppm(payload)
-            feats = np.zeros(self.feature_dim, np.float32)
-            feats[:3] = px.reshape(-1, 3).mean(axis=0) / 255.0
-            return w, h, 1, feats, int(px.sum())
+            decoder = decode_bmp
+        elif payload[:8] == _PNG_MAGIC:
+            decoder = decode_png
+        elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+            decoder = decode_tiff
+        elif payload[:2] == b"P6":
+            decoder = decode_ppm
+        if decoder is not None:
+            try:
+                w, h, px = decoder(payload)
+                feats = np.zeros(self.feature_dim, np.float32)
+                feats[:3] = px.reshape(-1, px.shape[2])[:, :3] \
+                    .mean(axis=0) / 255.0
+                return w, h, 1, feats, int(px.sum())
+            except ValueError:
+                if self._pil_image is None:
+                    raise
         if self._pil_image is not None:
             import io
 

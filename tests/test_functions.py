@@ -210,11 +210,14 @@ def test_fid64_collision_expansion():
 
 
 def test_fixed_str_view_layouts():
-    """fixed_str_view must equal the pylist conversion on every layout:
-    the qualifying uniform-width fast path (incl. a sliced array with a
-    non-zero offset) and the ragged / null / chunked fallbacks."""
+    """fixed_str_view must equal the pylist conversion on every
+    accepted layout (uniform-width fast path incl. sliced offsets,
+    shorter-value and chunked fallbacks) and must REFUSE layouts the
+    S-dtype would silently corrupt: over-width values (truncation
+    collides distinct keys) and nulls."""
     import numpy as np
     import pyarrow as pa
+    import pytest
 
     from image_deduper_ray.functions.arrow_utils import fixed_str_view
 
@@ -228,13 +231,14 @@ def test_fixed_str_view_layouts():
     chunked = pa.chunked_array([ids[:4], ids[4:]])
     np.testing.assert_array_equal(fixed_str_view(chunked, 32), ref)
 
-    ragged = pa.array(["ab", "c" * 32, "d"])
+    shorter = pa.array(["ab", "c" * 32, "d"])   # <= width: pads, safe
     np.testing.assert_array_equal(
-        fixed_str_view(ragged, 32),
+        fixed_str_view(shorter, 32),
         np.array(["ab", "c" * 32, "d"], dtype="S32"))
-    with_null = pa.array([ids[0], None, ids[2]])
-    got = fixed_str_view(with_null, 32)
-    assert got[0] == ref[0] and got[2] == ref[2]
+    with pytest.raises(ValueError):             # > width: would collide
+        fixed_str_view(pa.array(["x" * 33]), 32)
+    with pytest.raises(ValueError):             # null: would stringify
+        fixed_str_view(pa.array([ids[0], None]), 32)
     assert fixed_str_view(pa.array([], pa.string()), 32).shape == (0,)
 
 

@@ -374,6 +374,24 @@ def test_real_decode_stage_tiff_end_to_end():
     assert out["px_sum"].tolist() == want
 
 
+def test_unsupported_subformat_falls_through_or_raises():
+    """A payload a built-in decoder recognizes but refuses (16-bit PPM
+    here) must fall through to PIL when installed, and raise the
+    decoder's ValueError — not a silent fake — when no codec exists."""
+    import importlib.util
+
+    from image_deduper_ray.stages.multimodal import DecodeStage
+
+    stage = DecodeStage(fake=False)
+    bad_ppm = b"P6\n2 2\n65535\n" + b"\x00" * 24
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(ValueError):
+            stage._real_decode(bad_ppm, "image")
+    else:  # PIL decodes 16-bit PPM: the fall-through must succeed
+        w, h, _, _, _ = stage._real_decode(bad_ppm, "image")
+        assert (w, h) == (2, 2)
+
+
 def test_ppm_decoder_roundtrip_and_rejects():
     """decode_ppm must invert encode_ppm (with and without header
     comments), refuse 16-bit and truncated payloads, and match the
