@@ -35,6 +35,11 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# queries() entries the battery loop skips — MUST stay the only
+# difference between the bench battery and __ray_entry__.queries()
+# (pinned by tests/test_ops.py::test_bench_covers_every_query)
+BENCH_SKIP = {"minhash_lsh_clusters"}  # flagship, measured separately
 BENCH_CLUSTERS = int(os.environ.get("IDR_BENCH_CLUSTERS", "24000"))
 CORPUS_DIR = f"/tmp/idr_bench_corpus_{BENCH_CLUSTERS}"
 
@@ -209,9 +214,8 @@ def main() -> None:
     timings["flagship_code_dedup"] = round(wall, 3)
     files_per_sec = n_files / wall
 
-    skip = {"minhash_lsh_clusters"}  # flagship already measured above
     for name, fn in entry.queries().items():
-        if name in skip:
+        if name in BENCH_SKIP:
             continue
         t0 = time.time()
         try:

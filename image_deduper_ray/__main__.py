@@ -35,9 +35,11 @@ def _load_config(args) -> "DedupConfig":
 def cmd_scan(args) -> int:
     import ray
 
+    started = False
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")
+        started = True
     from .pipelines.dedup import run_pipeline
 
     cfg = _load_config(args)
@@ -65,7 +67,8 @@ def cmd_scan(args) -> int:
     n_files = res["clusters"].count()
     print(json.dumps({"files": n_files, "clusters": int(n_clusters),
                       "out": args.out}))
-    ray.shutdown()
+    if started:                     # never tear down a caller's session
+        ray.shutdown()
     return 0
 
 
@@ -73,17 +76,20 @@ def cmd_apply(args) -> int:
     """Execute the actions checkpoint against a real tree (the
     reference's intended Move/Delete/Symlink loop, types.rs:86-114).
     DRY-RUN by default; --execute makes changes. Writes per-row
-    ActionResult lineage to <out>/apply_results and prints a summary."""
+    ActionResult lineage to a fresh <out>/apply_results/run_NNNN dir
+    (append-only: prior runs' audit records are preserved) and prints a
+    summary."""
     import os
-    import shutil
 
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray
 
+    started = False
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  logging_level="ERROR")
+        started = True
     from .sources import checkpoints as ckpt
     from .stages.apply import apply_actions
 
@@ -91,8 +97,15 @@ def cmd_apply(args) -> int:
     clusters = ckpt.read_stage(args.out, "clusters")
     res = apply_actions(actions, clusters, args.root,
                         dry_run=not args.execute).materialize()
-    res_dir = os.path.join(args.out, "apply_results")
-    shutil.rmtree(res_dir, ignore_errors=True)
+    # each invocation writes its ActionResult lineage to a fresh
+    # numbered run dir — a later dry-run must never destroy the audit
+    # record of an earlier --execute (apply_results/ is append-only)
+    base = os.path.join(args.out, "apply_results")
+    os.makedirs(base, exist_ok=True)
+    run = 1 + max((int(d[4:]) for d in os.listdir(base)
+                   if d.startswith("run_") and d[4:].isdigit()),
+                  default=0)
+    res_dir = os.path.join(base, f"run_{run:04d}")
     res.write_parquet(res_dir)
     # summary via streamed per-batch partials — never a full to_pandas
     n = n_applied = n_errors = 0
@@ -106,7 +119,8 @@ def cmd_apply(args) -> int:
     print(json.dumps({"dups": n, "applied": n_applied,
                       "errors": n_errors, "dry_run": not args.execute,
                       "results": res_dir}))
-    ray.shutdown()
+    if started:                     # never tear down a caller's session
+        ray.shutdown()
     return 0 if n_errors == 0 else 1
 
 
@@ -138,15 +152,37 @@ def cmd_diagnose(args) -> int:
     import numpy as np
     import pyarrow.parquet as pq
 
+    from .functions.arrow_utils import fixed_str_view
+
     def col(stage: str, c: str) -> "np.ndarray | None":
+        # stream per row-group and view each batch's key column as
+        # fixed-width S64 bytes (zero-copy on uniform-width columns) —
+        # never to_pylist: at 10^9 rows the transient Python-str
+        # materialization would OOM the driver, the S64 accumulation
+        # is 64 B/row flat
         d = os.path.join(args.out, stage)
         if not os.path.isdir(d):
             return None
         vals = []
         for f in sorted(os.listdir(d)):
             if f.endswith(".parquet"):
-                t = pq.read_table(os.path.join(d, f), columns=[c])
-                vals.append(np.asarray(t[c].to_pylist(), dtype="S64"))
+                pf = pq.ParquetFile(os.path.join(d, f))
+                for rb in pf.iter_batches(columns=[c], batch_size=262144):
+                    a = rb.column(0)
+                    if len(a) == 0:
+                        continue
+                    # zero-copy when the batch is uniform-width (the
+                    # common case: 32-hex file_ids); per-batch-bounded
+                    # pylist fallback otherwise
+                    w0 = len(a[0].as_py().encode()) if a[0].is_valid \
+                        else 0
+                    try:
+                        v = fixed_str_view(a, w0) if 0 < w0 <= 64 \
+                            else fixed_str_view(a, 64)
+                    except ValueError:
+                        v = fixed_str_view(a, 64)
+                    vals.append(v.astype("S64")
+                                if v.dtype != np.dtype("S64") else v)
         return np.concatenate(vals) if vals else np.array([], "S64")
 
     def diff_counts(a: np.ndarray, b: np.ndarray) -> dict:

@@ -49,6 +49,21 @@ def _safe_join(root: str, rel: str) -> str | None:
     return p if p.startswith(os.path.normpath(root) + os.sep) else None
 
 
+def _parent_contained(path: str, root: str) -> bool:
+    """True iff ``path``'s parent directory REALLY lives under root.
+
+    ``_safe_join`` is lexical only — a directory inside the tree that
+    is itself a symlink pointing outside root would pass it, letting a
+    mutating action (symlink/move/delete) operate outside the root.
+    Resolve the parent with realpath (the leaf stays unresolved so
+    idempotent re-runs over already-created symlinks still work) and
+    re-check containment before any filesystem mutation."""
+    real_root = os.path.realpath(root)
+    real_parent = os.path.realpath(os.path.dirname(path))
+    return real_parent == real_root or \
+        real_parent.startswith(real_root + os.sep)
+
+
 def _apply_row(action: str, src_rel: str, can_rel: str | None,
                root: str, dup_root: str, dry_run: bool
                ) -> tuple[str, bool, str | None]:
@@ -72,6 +87,8 @@ def _apply_row(action: str, src_rel: str, can_rel: str | None,
             return can_rel, False, "duplicate missing"
         if dry_run:
             return can_rel, False, None
+        if not _parent_contained(src, root):
+            return can_rel, False, "parent dir resolves outside root"
         tmp = src + ".idr_tmp"
         try:                        # a crash between symlink and replace
             os.unlink(tmp)          # leaves tmp behind — re-runs must
@@ -92,7 +109,20 @@ def _apply_row(action: str, src_rel: str, can_rel: str | None,
             return tgt_rel, False, "duplicate missing"
         if dry_run:
             return tgt_rel, False, None
+        if not _parent_contained(src, root):
+            return tgt_rel, False, "parent dir resolves outside root"
         os.makedirs(os.path.dirname(tgt), exist_ok=True)
+        if not _parent_contained(tgt, root):
+            return tgt_rel, False, "quarantine dir resolves outside root"
+        if os.path.exists(tgt):
+            # src was re-created after a prior run already quarantined
+            # it: never overwrite the existing quarantine copy (the only
+            # content backup the move action keeps) — move to a
+            # deduplicated suffixed name instead
+            n = 1
+            while os.path.exists(f"{tgt}.dup{n}"):
+                n += 1
+            tgt_rel, tgt = f"{tgt_rel}.dup{n}", f"{tgt}.dup{n}"
         os.replace(src, tgt)
         return tgt_rel, True, None
     if action == "delete":
@@ -100,6 +130,8 @@ def _apply_row(action: str, src_rel: str, can_rel: str | None,
             return "", True, None   # idempotent: already gone
         if dry_run:
             return "", False, None
+        if not _parent_contained(src, root):
+            return "", False, "parent dir resolves outside root"
         os.unlink(src)
         return "", True, None
     return "", False, f"unknown action {action!r}"

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -460,7 +461,12 @@ class DecodeStage:
                 feats[:3] = px.reshape(-1, px.shape[2])[:, :3] \
                     .mean(axis=0) / 255.0
                 return w, h, 1, feats, int(px.sum())
-            except ValueError:
+            # corrupt payloads with a valid magic raise more than
+            # ValueError: zlib.error from an IDAT inflate, struct.error
+            # from a truncated TIFF IFD, IndexError from short buffers —
+            # all must fall through to PIL (or re-raise per-row), never
+            # kill the whole map_batches task
+            except (ValueError, zlib.error, struct.error, IndexError):
                 if self._pil_image is None:
                     raise
         if self._pil_image is not None:

@@ -207,3 +207,124 @@ def test_path_escape_is_refused(tmp_path):
         _, ok, err = _apply_row("delete", rel, None, root,
                                 "_duplicates", False)
         assert not ok and "escapes root" in err
+
+
+def test_crash_leftover_tmp_recovers(scanned, tmp_path):
+    """Crash-resume through the symlink swap: a crash between
+    os.symlink(tmp) and os.replace leaves <src>.idr_tmp behind — the
+    re-run must clear it and finish to a clean, fully-applied lineage
+    (apply.py documents tmp+os.replace as crash-safe; this proves the
+    resume half)."""
+    root = str(tmp_path / "tree")
+    _fresh_tree(scanned, root)
+
+    clus = scanned["clusters"].set_index("file_id")
+    relof = lambda fid: f"{clus.loc[fid,'repo']}/{clus.loc[fid,'path']}"
+    dups = scanned["actions"].query("role == 'dup'")
+    # plant stale leftovers of BOTH crash flavors next to two dups:
+    # a dangling tmp symlink and a tmp pointing at a real file
+    v0 = os.path.join(root, relof(dups.iloc[0]["file_id"]))
+    v1 = os.path.join(root, relof(dups.iloc[1]["file_id"]))
+    os.symlink("no-such-target", v0 + ".idr_tmp")
+    os.symlink(os.path.basename(v1), v1 + ".idr_tmp")
+
+    res = _apply(scanned, root, dry_run=False)
+    assert res["applied"].all() and res["error"].isna().all()
+    # no tmp debris anywhere; the planted victims are correct links now
+    for d, _, fs in os.walk(root):
+        assert not any(f.endswith(".idr_tmp") for f in fs)
+    for _, r in dups.iloc[:2].iterrows():
+        src = os.path.join(root, relof(r["file_id"]))
+        can = os.path.join(root, relof(r["canonical_file_id"]))
+        assert os.path.islink(src)
+        assert os.path.realpath(src) == os.path.realpath(can)
+
+
+def test_symlinked_parent_dir_outside_root_refused(tmp_path):
+    """ADVICE round-4: _safe_join containment is lexical; a directory
+    INSIDE the tree that is itself a symlink to outside the root must
+    not let mutating actions (delete/move/symlink) reach outside. The
+    realpath parent check refuses the row; the outside file survives."""
+    from image_deduper_ray.stages.apply import _apply_row
+
+    outside = tmp_path / "outside"
+    outside.mkdir()
+    (outside / "f.txt").write_text("precious")
+    root = tmp_path / "root"
+    root.mkdir()
+    (root / "can.txt").write_text("canonical")
+    os.symlink(str(outside), str(root / "sub"))  # dir symlink escape
+
+    for action, can in [("delete", None), ("move", None),
+                        ("symlink", "can.txt")]:
+        _, ok, err = _apply_row(action, "sub/f.txt", can, str(root),
+                                "_duplicates", False)
+        assert not ok and "outside root" in err, (action, err)
+    assert (outside / "f.txt").read_text() == "precious"
+
+    # dry-run still reports the row as apply-able without mutating —
+    # and a legit row under the real root is unaffected by the check
+    (root / "legit.txt").write_text("x")
+    _, ok, err = _apply_row("delete", "legit.txt", None, str(root),
+                            "_duplicates", False)
+    assert ok and err is None
+    assert not (root / "legit.txt").exists()
+
+
+def test_move_never_overwrites_quarantine(tmp_path):
+    """ADVICE round-4: if src was re-created after a prior run already
+    quarantined it, the move must NOT os.replace over the existing
+    quarantine copy (the only content backup) — it deduplicates the
+    target name instead."""
+    from image_deduper_ray.stages.apply import _apply_row
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "a"))
+    p = os.path.join(root, "a", "x.txt")
+    open(p, "w").write("original")
+    tgt_rel, ok, err = _apply_row("move", "a/x.txt", None, root,
+                                  "_duplicates", False)
+    assert ok and err is None and tgt_rel == "_duplicates/a/x.txt"
+    q = os.path.join(root, "_duplicates", "a", "x.txt")
+    assert open(q).read() == "original"
+
+    open(p, "w").write("recreated")       # src comes back, different bytes
+    tgt_rel2, ok, err = _apply_row("move", "a/x.txt", None, root,
+                                   "_duplicates", False)
+    assert ok and err is None
+    assert tgt_rel2 == "_duplicates/a/x.txt.dup1"
+    assert open(q).read() == "original"   # backup intact
+    assert open(q + ".dup1").read() == "recreated"
+    assert not os.path.exists(p)
+
+    open(p, "w").write("third")           # and again: .dup2
+    tgt_rel3, ok, err = _apply_row("move", "a/x.txt", None, root,
+                                   "_duplicates", False)
+    assert ok and tgt_rel3 == "_duplicates/a/x.txt.dup2"
+    assert open(q + ".dup2").read() == "third"
+
+
+def test_cli_apply_results_append_only(scanned, tmp_path, capsys):
+    """ADVICE round-4: every `apply` invocation writes its ActionResult
+    lineage to a fresh run_NNNN dir — a later dry-run must never
+    destroy an earlier run's audit record."""
+    import json
+
+    from image_deduper_ray.__main__ import main
+
+    root = str(tmp_path / "tree")
+    _fresh_tree(scanned, root)
+    base = os.path.join(scanned["out"], "apply_results")
+    shutil.rmtree(base, ignore_errors=True)
+
+    assert main(["apply", "--out", scanned["out"], "--root", root]) == 0
+    rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["apply", "--out", scanned["out"], "--root", root]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert rep1["results"] != rep2["results"]
+    assert os.path.basename(rep1["results"]) == "run_0001"
+    assert os.path.basename(rep2["results"]) == "run_0002"
+    # the first run's parquet lineage is still on disk, untouched
+    assert any(f.endswith(".parquet")
+               for f in os.listdir(rep1["results"]))

@@ -82,6 +82,41 @@ def test_queries_have_oracle_or_reason():
     assert set(qs) == set(sqls)
 
 
+def test_bench_covers_every_query():
+    """Driver-battery sync guard (round-4 verdict: q3_shipping_priority
+    was registered+oracled but missing from the recorded correctness
+    battery). Pins three alignments so a new query can never silently
+    fall out of any harness: (a) bench.py's skip-set is the ONLY
+    difference between the bench battery and queries(); (b) the skip-set
+    names real queries; (c) this file's own parametrized oracle list
+    covers every queries() entry."""
+    import importlib.util
+    import os
+
+    import __ray_entry__ as entry
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(repo, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    qnames = set(entry.queries())
+    assert bench.BENCH_SKIP <= qnames, \
+        f"bench skips unknown queries: {bench.BENCH_SKIP - qnames}"
+    benched = qnames - bench.BENCH_SKIP
+    assert benched | bench.BENCH_SKIP == qnames
+    # the flagship is the only allowed skip (it is measured separately
+    # as flagship_code_dedup, not dropped)
+    assert bench.BENCH_SKIP == {"minhash_lsh_clusters"}
+
+    pytest_checked = set(SQL_CHECKED) | {"ngram_jaccard_pairs"}
+    assert pytest_checked == qnames, (
+        f"pytest oracle battery out of sync with queries(): "
+        f"missing={sorted(qnames - pytest_checked)} "
+        f"stale={sorted(pytest_checked - qnames)}")
+
+
 def test_lang_id_detects_cjk():
     from image_deduper_ray.pipelines.textops import lang_id
 
@@ -390,6 +425,65 @@ def test_unsupported_subformat_falls_through_or_raises():
     else:  # PIL decodes 16-bit PPM: the fall-through must succeed
         w, h, _, _, _ = stage._real_decode(bad_ppm, "image")
         assert (w, h) == (2, 2)
+
+
+def test_corrupt_payload_falls_through_not_task_kill():
+    """ADVICE round-4 regression: corrupt payloads with a VALID magic
+    raise more than ValueError from the built-in decoders — zlib.error
+    from a corrupt PNG IDAT, struct.error from a truncated TIFF IFD.
+    With a codec present these must fall through to it (proven here
+    with a stub PIL that records the call); without one they must
+    surface per the row contract — never escape as a raw zlib/struct
+    error that kills the whole map_batches task."""
+    import struct
+    import zlib
+
+    from image_deduper_ray.stages.multimodal import (DecodeStage,
+                                                     encode_png,
+                                                     synth_tiff_table)
+
+    # corrupt PNG: valid signature+IHDR, IDAT bytes are not a zlib
+    # stream -> zlib.error inside decode_png
+    good_png = encode_png(np.zeros((4, 4, 3), np.uint8))
+    idat = good_png.index(b"IDAT")
+    bad_png = bytearray(good_png)
+    bad_png[idat + 4:idat + 12] = b"\xff" * 8
+    bad_png = bytes(bad_png)
+    # truncated TIFF: valid magic, IFD cut short -> struct.error
+    bad_tiff = synth_tiff_table(n=1)["payload"][0].as_py()[:12]
+
+    # sanity: the raw decoders do raise the non-ValueError types
+    from image_deduper_ray.stages.multimodal import decode_png, decode_tiff
+    with pytest.raises(zlib.error):
+        decode_png(bad_png)
+    with pytest.raises(struct.error):
+        decode_tiff(bad_tiff)
+
+    class _StubCodec:                       # stands in for PIL.Image
+        calls = []
+
+        @staticmethod
+        def open(bio):
+            _StubCodec.calls.append(bio.read()[:4])
+            raise _Reached()
+
+    class _Reached(Exception):
+        pass
+
+    stage = DecodeStage(fake=True)          # avoid the probe
+    stage.fake = False
+    stage._pil_image = _StubCodec
+    for payload in (bad_png, bad_tiff):
+        with pytest.raises(_Reached):       # fell THROUGH, not out
+            stage._real_decode(payload, "image")
+    assert len(_StubCodec.calls) == 2
+
+    # codec-less: the error surfaces (row contract) but as the decoder
+    # exception, not a task-killing escape of an unexpected type — the
+    # stage wrapper turns it into a per-row decision either way
+    stage._pil_image = None
+    with pytest.raises((ValueError, zlib.error, struct.error)):
+        stage._real_decode(bad_png, "image")
 
 
 def test_ppm_decoder_roundtrip_and_rejects():
