@@ -299,6 +299,28 @@ def _q_media_decode_ppm(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_media_decode_jpeg(sf_dir: str):
+    import ray.data
+    from image_deduper_ray.stages.jpegcodec import synth_jpeg_table
+    from image_deduper_ray.stages.multimodal import decode_features
+
+    # the REAL decode branch over baseline JPEG — the reference's most-
+    # exercised format (jpeg.rs:8-31) — pure-Python Huffman + dequant +
+    # IDCT + upsample + YCbCr->RGB, no imaging library. The synth
+    # payloads are flat-per-8x8-block under unit quant tables, which
+    # makes the lossy format BIT-EXACT, so the oracle recomputes the
+    # decoded pixel sum from digest hex alone (3 channels x 64 px per
+    # digest-byte tile). Variants cycle grayscale / 4:4:4 / 4:2:0 /
+    # 4:2:0+restart-markers, and every 8th payload carries a garbage
+    # prefix so the 0xFFD8 scan-and-retry corruption recovery
+    # (jpeg.rs:34-66 analog) is driver-gated too.
+    media = ray.data.from_arrow(synth_jpeg_table(n=64))
+    feats = decode_features(media, fake=False)
+    return feats.map_batches(
+        lambda t: t.select(["media_id", "width", "height", "px_sum"]),
+        batch_format="pyarrow")
+
+
 def _q_media_phash(sf_dir: str):
     import ray.data
     from image_deduper_ray.stages.multimodal import (bmp_phash,
@@ -505,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_png": _q_media_decode_png,
         "media_decode_tiff": _q_media_decode_tiff,
         "media_decode_ppm": _q_media_decode_ppm,
+        "media_decode_jpeg": _q_media_decode_jpeg,
         "media_phash_bmp": _q_media_phash,
         "media_phash_groups": _q_media_phash_groups,
         "media_external_probe": _q_media_external,
@@ -519,27 +542,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _px_sum_oracle(prefix: str) -> str:
+def _px_sum_oracle(prefix: str, *, repeats: int = 3, n_bytes: int = 96,
+                   width: int = 8, height: int = 4,
+                   mult: int = 1) -> str:
     """Shared oracle for every real-codec decode query: the synth
-    payloads' decoded pixel region is unhex(repeat(sha256('<prefix>-i-
-    seed'), 3)) — 96 bytes = 8x4x3 — so the SQL recomputes each byte
-    from hex digits and sums; any drift in the engine's decode path
-    (offsets, row order, byte order, inflate, unfilter, strips) breaks
-    the sum. One body, parameterized by the seed prefix, so the
-    arithmetic can never desynchronize across formats."""
+    payloads' decoded pixel region derives from
+    unhex(repeat(sha256('<prefix>-i-seed'), repeats)) — 96 bytes =
+    8x4x3 RGB for BMP/PNG/TIFF/PPM; for JPEG each of the 32 digest
+    bytes fills one flat 8x8 tile over 3 channels (mult = 3*64, 64x32
+    px) — so the SQL recomputes each byte from hex digits and sums;
+    any drift in the engine's decode path (offsets, row order, byte
+    order, inflate, unfilter, strips, Huffman/IDCT) breaks the sum.
+    One body, parameterized, so the arithmetic can never desynchronize
+    across formats."""
     return (
         "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
-        f"repeat(sha256('{prefix}-' || i || '-42'), 3) AS hx "
+        f"repeat(sha256('{prefix}-' || i || '-42'), {repeats}) AS hx "
         "FROM range(64) t(i)), "
         "b AS (SELECT media_id, "
         "  (strpos('0123456789abcdef', "
         "    substr(hx, CAST(2 * j + 1 AS INT), 1)) - 1) * 16 "
         "  + (strpos('0123456789abcdef', "
         "    substr(hx, CAST(2 * j + 2 AS INT), 1)) - 1) AS byte "
-        "  FROM m, range(96) r(j)) "
-        "SELECT media_id, CAST(8 AS BIGINT) AS width, "
-        "CAST(4 AS BIGINT) AS height, "
-        "CAST(SUM(byte) AS BIGINT) AS px_sum FROM b GROUP BY media_id")
+        f"  FROM m, range({n_bytes}) r(j)) "
+        f"SELECT media_id, CAST({width} AS BIGINT) AS width, "
+        f"CAST({height} AS BIGINT) AS height, "
+        f"CAST({mult} * SUM(byte) AS BIGINT) AS px_sum "
+        "FROM b GROUP BY media_id")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -692,6 +721,15 @@ def oracle_sql() -> dict[str, str]:
         # strips to recover the bytes the oracle computes directly
         "media_decode_tiff": _px_sum_oracle("tiff"),
         "media_decode_ppm": _px_sum_oracle("ppm"),
+        # media_decode_jpeg: the engine runs the full baseline-JPEG
+        # decode (Huffman entropy, dequant, IDCT, chroma upsample,
+        # YCbCr->RGB, plus 0xFFD8 corruption recovery on every 8th
+        # payload); the flat-block + unit-quant construction makes the
+        # lossy roundtrip bit-exact, so the oracle is pure digest
+        # arithmetic: each of the 32 digest bytes is one 8x8x3 tile
+        "media_decode_jpeg": _px_sum_oracle(
+            "jpeg", repeats=1, n_bytes=32, width=64, height=32,
+            mult=3 * 64),
         # media_phash_bmp: engine decodes real BMP bytes and computes
         # the reference-shape Standard pHash; the oracle rebuilds the
         # pixel table from the digest hex (BGR bytes, bottom-up rows),

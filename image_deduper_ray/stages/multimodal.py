@@ -442,9 +442,12 @@ class DecodeStage:
             return self._fake_decode(payload, kind)
         # built-in parsers first (they run with no imaging library), but
         # a subformat they refuse (palette/16-bit/interlaced PNG,
-        # compressed TIFF, 16-bit PPM...) must FALL THROUGH to PIL when
-        # it is installed — the built-ins narrow the codec gap, they
-        # must never shadow a codec that could decode the bytes
+        # compressed TIFF, 16-bit PPM, progressive JPEG...) must FALL
+        # THROUGH to PIL when it is installed — the built-ins narrow the
+        # codec gap, they must never shadow a codec that could decode
+        # the bytes
+        from .jpegcodec import decode_jpeg, decode_jpeg_recover
+
         decoder = None
         if payload[:2] == b"BM":
             decoder = decode_bmp
@@ -454,6 +457,11 @@ class DecodeStage:
             decoder = decode_tiff
         elif payload[:2] == b"P6":
             decoder = decode_ppm
+        elif payload[:2] == b"\xff\xd8" or b"\xff\xd8" in payload:
+            # leading SOI, or no known magic but an EMBEDDED SOI (the
+            # reference's corrupt-JPEG case, jpeg.rs:34-66): recover
+            # tries the direct decode first, then scans-and-retries
+            decoder = decode_jpeg_recover
         if decoder is not None:
             try:
                 w, h, px = decoder(payload)
@@ -482,8 +490,9 @@ class DecodeStage:
         raise NotImplementedError(
             "no codec for this image payload: PIL is not installed and "
             "the bytes are not an uncompressed BMP, a non-interlaced "
-            "8-bit PNG, or an uncompressed 8-bit RGB TIFF; construct "
-            "DecodeStage(fake=True) for the deterministic fake path")
+            "8-bit PNG, an uncompressed 8-bit RGB TIFF, a binary PPM, "
+            "or a baseline JPEG; construct DecodeStage(fake=True) for "
+            "the deterministic fake path")
 
     def _fake_decode(self, payload: bytes, kind: str
                      ) -> tuple[int, int, int, np.ndarray, int]:

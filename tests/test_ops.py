@@ -50,7 +50,7 @@ SQL_CHECKED = [
     "media_phash_bmp", "media_phash_groups", "media_decode_png",
     "t_dedup_against", "t_ngram_novelty", "e_distinct_users_daily",
     "q3_shipping_priority", "media_decode_tiff", "media_decode_ppm",
-    "t_normalized_dup_groups",
+    "t_normalized_dup_groups", "media_decode_jpeg",
 ]
 
 
@@ -425,6 +425,116 @@ def test_unsupported_subformat_falls_through_or_raises():
     else:  # PIL decodes 16-bit PPM: the fall-through must succeed
         w, h, _, _, _ = stage._real_decode(bad_ppm, "image")
         assert (w, h) == (2, 2)
+
+
+def test_jpeg_roundtrip_exact_and_tolerant():
+    """Baseline JPEG codec: flat 8x8 blocks under unit quant roundtrip
+    BIT-EXACTLY in every variant (gray / 4:4:4 / 4:2:2 / 4:2:0 /
+    restart markers) — the invariant the driver oracle rides on — and
+    general content roundtrips within DCT rounding (<=2/channel) when
+    the chroma is subsampling-aligned."""
+    import hashlib
+
+    from image_deduper_ray.stages.jpegcodec import decode_jpeg, encode_jpeg
+
+    tiles = np.frombuffer(hashlib.sha256(b"t").digest(), np.uint8) \
+        .reshape(4, 8)
+    y = np.repeat(np.repeat(tiles, 8, 0), 8, 1)
+    neutral = np.full_like(y, 128)
+    variants = [encode_jpeg(y)]
+    for sub, dri in [("444", 0), ("422", 0), ("420", 0), ("420", 2),
+                     ("444", 1)]:
+        variants.append(encode_jpeg(
+            np.stack([y, neutral, neutral], 2), ycbcr=True,
+            subsampling=sub, restart_interval=dri))
+    for payload in variants:
+        w, h, px = decode_jpeg(payload)
+        assert (w, h) == (64, 32)
+        np.testing.assert_array_equal(px, np.repeat(y[:, :, None], 3, 2))
+
+    # general content: random luma, chroma constant per 2x2 window
+    rng = np.random.default_rng(3)
+    yl = rng.integers(40, 216, (32, 48)).astype(np.float64)
+    cb = np.repeat(np.repeat(rng.integers(80, 176, (16, 24)), 2, 0),
+                   2, 1).astype(np.float64)
+    cr = np.repeat(np.repeat(rng.integers(80, 176, (16, 24)), 2, 0),
+                   2, 1).astype(np.float64)
+    for sub in ["444", "420"]:
+        _, _, out = decode_jpeg(encode_jpeg(
+            np.stack([yl, cb, cr], 2), ycbcr=True, subsampling=sub))
+        r = yl + 1.402 * (cr - 128)
+        g = yl - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = yl + 1.772 * (cb - 128)
+        ref = np.clip(np.rint(np.stack([r, g, b], 2)), 0, 255)
+        assert np.abs(out.astype(int) - ref.astype(int)).max() <= 2
+
+    # RGB input path (color conversion both ways), 4:4:4
+    img = rng.integers(60, 196, (16, 24, 3)).astype(np.uint8)
+    _, _, out = decode_jpeg(encode_jpeg(img.astype(np.float64)))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_corrupt_recovery_and_rejects():
+    """The reference's corrupt-JPEG discipline (jpeg.rs:34-66): a
+    garbage prefix before the SOI is recovered by the 0xFFD8 scan;
+    unrecoverable payloads raise ValueError (M8 fallback-hash path);
+    progressive / truncated / non-JPEG inputs are refused."""
+    import hashlib
+
+    from image_deduper_ray.stages.jpegcodec import (decode_jpeg,
+                                                    decode_jpeg_recover,
+                                                    encode_jpeg)
+
+    y = np.repeat(np.repeat(
+        np.frombuffer(hashlib.sha256(b"r").digest(), np.uint8)
+        .reshape(4, 8), 8, 0), 8, 1)
+    good = encode_jpeg(y)
+
+    corrupt = b"\x00garbage\x01\xfe" + good
+    with pytest.raises(ValueError):
+        decode_jpeg(corrupt)            # direct decode refuses
+    w, h, px = decode_jpeg_recover(corrupt)
+    np.testing.assert_array_equal(px, np.repeat(y[:, :, None], 3, 2))
+
+    # a decoy FFD8 BEFORE the real SOI: the scan must keep going
+    decoy = b"\xff\xd8\x00broken" + good
+    _, _, px2 = decode_jpeg_recover(decoy)
+    np.testing.assert_array_equal(px2, px)
+
+    with pytest.raises(ValueError):
+        decode_jpeg_recover(b"\xff\xd8" + b"\x00" * 64)   # no markers
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:40])          # truncated mid-segment
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+    # progressive SOF2 is refused, not mis-decoded
+    prog = bytearray(good)
+    sof = prog.index(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(prog))
+    # entropy truncation surfaces as ValueError (never IndexError)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-20] + b"\xff\xd9")
+
+
+def test_jpeg_decode_stage_end_to_end():
+    """The non-fake decode branch over the JPEG synth corpus: actor
+    pool, px_sum exact against the digest invariant, recovery payloads
+    (every 8th has a garbage prefix) decoded through the registry."""
+    import hashlib
+
+    import ray.data
+    from image_deduper_ray.stages.jpegcodec import synth_jpeg_table
+    from image_deduper_ray.stages.multimodal import decode_features
+
+    t = synth_jpeg_table(n=16)
+    out = decode_features(ray.data.from_arrow(t), fake=False) \
+        .to_pandas().set_index("media_id").sort_index()
+    for i in range(16):
+        d = hashlib.sha256(f"jpeg-{i}-42".encode()).digest()
+        assert out.loc[i, "px_sum"] == 3 * 64 * sum(d), i
+        assert (out.loc[i, "width"], out.loc[i, "height"]) == (64, 32)
 
 
 def test_corrupt_payload_falls_through_not_task_kill():
