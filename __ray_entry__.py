@@ -350,6 +350,22 @@ def _q_media_phash_groups(sf_dir: str):
     return bmp_phash_groups(media)
 
 
+def _q_media_phash_enhanced(sf_dir: str):
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (
+        enhanced_phash_groups, synth_bmp_variant_table)
+
+    # mixed-variant grouping with the reference's full PHash::distance
+    # semantics (types.rs:19-59): Standard pairs at Hamming<=3 on 64
+    # bits, Enhanced pairs at <=48 on 1024 bits (the is_similar x16
+    # scaling), and planted CROSS-VARIANT pairs grouped through the
+    # downgrade rule (standard word vs word 0 of enhanced); the oracle
+    # recomputes pixels, both bit grids, the variant-aware pair set and
+    # the components from digest hex alone
+    media = ray.data.from_arrow(synth_bmp_variant_table(n_groups=24))
+    return enhanced_phash_groups(media)
+
+
 def _q_media_external(sf_dir: str):
     import ray.data
     from image_deduper_ray.stages.multimodal import (external_probe,
@@ -530,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_jpeg": _q_media_decode_jpeg,
         "media_phash_bmp": _q_media_phash,
         "media_phash_groups": _q_media_phash_groups,
+        "media_phash_enhanced": _q_media_phash_enhanced,
         "media_external_probe": _q_media_external,
         "media_frame_sample": _q_media_frames,
         "e_windowed_counts": _q_windowed_counts,
@@ -813,6 +830,71 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s2 = reach.d) "
             "SELECT d AS media_id, CAST(MIN(r) AS BIGINT) AS group_id "
             "FROM reach GROUP BY d",
+        # media_phash_enhanced: mixed Standard/Enhanced grouping with
+        # the reference's variant-aware distance (types.rs:19-59) —
+        # the oracle rebuilds each image's bytes (constant-color for
+        # the cross-variant groups, digest hex with the m=1 byte-0
+        # edit otherwise), computes the 8x8 or 32x32 threshold bit
+        # grid by the image's size-policy variant, pairs with the
+        # variant-aware threshold (both-enhanced 48, else 3 over the
+        # 64 shared positions = the downgrade rule), and min-labels
+        # the components
+        "media_phash_enhanced":
+            "WITH RECURSIVE md AS (SELECT CAST(2*g.g + mm.m AS BIGINT) "
+            "  AS media_id, g.g AS g, mm.m AS m, "
+            "  CASE WHEN g.g % 8 = 7 THEN "
+            "    (CASE WHEN mm.m = 0 THEN 8 ELSE 32 END) "
+            "  WHEN g.g % 2 = 1 THEN 32 ELSE 8 END AS dim, "
+            "  sha256('bmpv-' || g.g || '-42') AS hx "
+            "  FROM range(24) g(g), range(2) mm(m)), "
+            "b AS (SELECT media_id, dim, r.j AS j, "
+            "  CASE WHEN g % 8 = 7 THEN "
+            "    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 "
+            "    + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) "
+            "  WHEN r.j = 0 AND m = 1 THEN "
+            "    ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 "
+            "    + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) "
+            "    + 128) % 256 "
+            "  ELSE "
+            "    (strpos('0123456789abcdef', "
+            "      substr(hx, CAST(2*(r.j % 32) + 1 AS INT), 1)) - 1) * 16 "
+            "    + (strpos('0123456789abcdef', "
+            "      substr(hx, CAST(2*(r.j % 32) + 2 AS INT), 1)) - 1) "
+            "  END AS v "
+            "  FROM md, range(3072) r(j) WHERE r.j < dim*dim*3), "
+            "lum AS (SELECT bb.media_id, bb.dim AS dim, p.p AS p, "
+            "    299*br.v + 587*bg.v + 114*bb.v AS luma "
+            "  FROM range(1024) p(p) "
+            "  JOIN b bb ON p.p < bb.dim*bb.dim AND bb.j = "
+            "    ((bb.dim - 1 - p.p // bb.dim) * bb.dim + (p.p % bb.dim)) "
+            "    * 3 "
+            "  JOIN b bg ON bg.media_id = bb.media_id "
+            "    AND bg.j = bb.j + 1 "
+            "  JOIN b br ON br.media_id = bb.media_id "
+            "    AND br.j = bb.j + 2), "
+            "s AS (SELECT media_id, SUM(luma) AS s FROM lum "
+            "  GROUP BY media_id), "
+            "bits AS (SELECT l.media_id, l.dim, l.p, "
+            "    CASE WHEN l.dim*l.dim*l.luma > s.s THEN 1 ELSE 0 END "
+            "    AS bit FROM lum l JOIN s USING (media_id)), "
+            "prs AS (SELECT x.media_id AS a_id, y.media_id AS b_id "
+            "  FROM bits x JOIN bits y ON x.p = y.p "
+            "    AND x.media_id < y.media_id "
+            "  GROUP BY x.media_id, y.media_id, x.dim, y.dim "
+            "  HAVING SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) "
+            "    <= CASE WHEN x.dim = 32 AND y.dim = 32 "
+            "       THEN 48 ELSE 3 END), "
+            "edges AS (SELECT a_id AS s2, b_id AS d FROM prs "
+            "  UNION ALL SELECT b_id, a_id FROM prs), "
+            "reach AS (SELECT media_id AS d, media_id AS r FROM md "
+            "  UNION "
+            "  SELECT e.d, reach.r FROM reach JOIN edges e "
+            "    ON e.s2 = reach.d) "
+            "SELECT r2.d AS media_id, CAST(MIN(r2.r) AS BIGINT) "
+            "    AS group_id, "
+            "  MIN(CASE WHEN md.dim = 32 THEN 'enhanced' "
+            "      ELSE 'standard' END) AS variant "
+            "FROM reach r2 JOIN md ON md.media_id = r2.d GROUP BY r2.d",
         "media_external_probe":
             "WITH m AS (SELECT CAST(i AS BIGINT) AS media_id, "
             "repeat(sha256('media-' || i || '-42'), "

@@ -26,6 +26,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 
@@ -748,6 +749,359 @@ def bmp_phash_groups(media: ray.data.Dataset, max_hamming: int = 3,
     return out.map_batches(
         lambda t: t.rename_columns(["media_id", "group_id"]),
         batch_format="pyarrow")
+
+
+ENHANCED_MIN_PX = 256                  # w*h at/above -> Enhanced variant
+
+
+def phash_enhanced(px: np.ndarray) -> np.ndarray:
+    """Reference-SHAPE Enhanced pHash
+    (/root/reference/crates/image-deduper-core/src/processing/core.rs:109-154):
+    nearest-neighbor resize to 32x32, integer luma (299R+587G+114B),
+    strict mean threshold (1024*luma > sum, all-integer so the SQL
+    oracle reproduces it bit for bit), and the reference's exact
+    [u64;16] packing — pixel p = y*32+x sets bit p%64 of word p//64.
+    Same sampling caveat as ``phash64``: floor(x*w/32) vs the image
+    crate's center offsets, so not bit-identical on resized inputs
+    (identity on 32x32 inputs). Returns a (16,) uint64 array."""
+    h, w, _ = px.shape
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    small = px[np.ix_(ys, xs)].astype(np.int64)
+    luma = (299 * small[:, :, 0] + 587 * small[:, :, 1]
+            + 114 * small[:, :, 2]).reshape(-1)
+    bits = (1024 * luma) > luma.sum()
+    packed = np.packbits(bits, bitorder="little")     # byte k = bits 8k..
+    return np.frombuffer(packed.tobytes(), dtype="<u8").copy()
+
+
+def phash_enhanced_hex(px: np.ndarray) -> str:
+    """``phash_enhanced`` as the engine's 256-hex-char wire format:
+    word s at chars [16s, 16s+16), each word 016x (the same hex-per-u64
+    convention as the Standard 16-char ``phash``)."""
+    return "".join(format(int(v), "016x") for v in phash_enhanced(px))
+
+
+def phash_distance(a: str, b: str) -> int:
+    """Variant-aware Hamming distance over hex-encoded perceptual
+    hashes — the reference's ``PHash::distance``
+    (/root/reference/crates/image-deduper-core/src/processing/types.rs:19-45):
+    16-char hex = Standard u64, 256-char = Enhanced [u64;16]; equal
+    variants XOR-popcount the whole hash, MIXED variants compare the
+    standard word against word 0 of the enhanced hash (the
+    compatibility downgrade, types.rs:34-43)."""
+    wa = [int(a[i:i + 16], 16) for i in range(0, len(a), 16)]
+    wb = [int(b[i:i + 16], 16) for i in range(0, len(b), 16)]
+    if len(wa) != len(wb):                 # mixed: word 0 only
+        return bin(wa[0] ^ wb[0]).count("1")
+    return sum(bin(x ^ y).count("1") for x, y in zip(wa, wb))
+
+
+def phash_similar(a: str, b: str, threshold: int = 3) -> bool:
+    """The reference's ``PHash::is_similar`` threshold rule
+    (types.rs:47-59): enhanced x enhanced scales the threshold by 16
+    (the hash-size ratio); standard and mixed pairs use it as-is."""
+    scale = 16 if len(a) == len(b) == 256 else 1
+    return phash_distance(a, b) <= threshold * scale
+
+
+def _phash_variant_sigs(media: ray.data.Dataset,
+                        enhanced_min_px: int = ENHANCED_MIN_PX
+                        ) -> ray.data.Dataset:
+    """Decode each payload and emit its perceptual signature under the
+    engine's variant policy (the reference leaves the Standard/Enhanced
+    choice to the caller, file_processing.rs:23-44; here: images with
+    w*h >= ``enhanced_min_px`` hash Enhanced, smaller ones Standard).
+    Output (doc_id, variant, key64, sig1024): ``key64`` is the 64-bit
+    comparison word every variant owns — the Standard hash itself, or
+    word 0 of the Enhanced hash per the downgrade rule — and
+    ``sig1024`` the 128-byte little-endian Enhanced signature (null for
+    Standard rows). Payload dropped on output."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_pylist()
+        variants, keys, sigs = [], [], []
+        for p in t["payload"].to_pylist():
+            _, _, px = decode_bmp(p or b"")
+            if px.shape[0] * px.shape[1] >= enhanced_min_px:
+                arr = phash_enhanced(px)
+                variants.append("enhanced")
+                keys.append(arr[0])
+                sigs.append(arr.astype("<u8").tobytes())
+            else:
+                variants.append("standard")
+                keys.append(np.uint64(phash64(px)))
+                sigs.append(None)
+        kv = np.array(keys, dtype=np.uint64).view(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "variant": pa.array(variants, pa.string()),
+            "key64": pa.array(kv),
+            "sig1024": pa.array(sigs, pa.binary())})
+
+    return media.map_batches(f, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             batch_size=MEDIA_BATCH_SIZE)
+
+
+def enhanced_phash_groups(media: ray.data.Dataset, max_hamming: int = 3,
+                          cfg=None, max_bucket: int = 2048,
+                          band_window: int = 8,
+                          enhanced_min_px: int = ENHANCED_MIN_PX
+                          ) -> ray.data.Dataset:
+    """Mixed-variant perceptual grouping with the reference's full
+    distance semantics (types.rs:19-59): Standard pairs and MIXED pairs
+    group at Hamming<=``max_hamming`` over the 64-bit comparison word
+    (mixed = standard vs word 0 of enhanced, the downgrade rule), and
+    Enhanced pairs over the full 1024 bits at the ``is_similar``-scaled
+    threshold ``16*max_hamming``. Two exact pigeonhole pair-gen passes
+    feed one edge union: pass A bands key64 into 4 16-bit chunks (every
+    pair with a Standard side shares a chunk at d<=3) and skips
+    both-enhanced candidates; pass B bands the 1024-bit signature of
+    enhanced rows into ``16*max_hamming+1`` chunks (a d<=16t pair
+    shares one exactly) and XOR-popcounts the full [u64;16]. Components
+    via stages/cc; labels attached with the byte-capped broadcast.
+    Scale note: pass B carries the 128-byte signature on each of its
+    49 band rows (~6 KB/doc amplification) — acceptable because only
+    enhanced rows band and the signature table was pruned to 4 narrow
+    columns; past ~10^8 enhanced rows, re-attach signatures per
+    partition instead. Returns (media_id, group_id, variant)."""
+    from ..config import DedupConfig
+    from ..functions.arrow_utils import safe_coalesce
+    from ..functions.groups import group_starts, partitioned_group_map_arrow
+    from ..functions.joins import broadcast_attach_i64
+    from ..pipelines.docdedup import _POP8, _popcount64
+    from ..stages.cc import connected_components
+
+    if max_hamming > 3:
+        raise ValueError("pass A's 4x16-bit pigeonhole banding is exact "
+                         "only for max_hamming <= 3")
+    cfg = (cfg or DedupConfig()).resolved()
+    t_std, t_enh = max_hamming, 16 * max_hamming
+    sig = _phash_variant_sigs(media, enhanced_min_px).materialize()
+
+    # ---- pass A: 64-bit comparison word, any pair with a Standard side
+    def band_a(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "key64": pa.array([], pa.int64()),
+                             "enh": pa.array([], pa.int8())})
+        k = t["key64"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        enh = pc.equal(t["variant"], "enhanced") \
+            .to_numpy(zero_copy_only=False).astype(np.int8)
+        n = len(ids)
+        keys = np.empty(4 * n, np.int64)
+        for c in range(4):
+            part = ((k >> np.uint64(16 * c)) & np.uint64(0xFFFF)) \
+                .astype(np.int64)
+            keys[c * n:(c + 1) * n] = (np.int64(c) << np.int64(16)) | part
+        return pa.table({"band_key": pa.array(keys),
+                         "doc_id": pa.array(np.tile(ids, 4)),
+                         "key64": pa.array(np.tile(k.view(np.int64), 4)),
+                         "enh": pa.array(np.tile(enh, 4))})
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    empty_pairs = pa.table({"a": pa.array([], pa.int64()),
+                            "b": pa.array([], pa.int64())})
+
+    def pairs_a_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_pairs
+        bk = t["band_key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t["doc_id"].to_numpy(zero_copy_only=False), bk))
+        bk = bk[order]
+        d = t["doc_id"].to_numpy(zero_copy_only=False)[order]
+        s = t["key64"].to_numpy(zero_copy_only=False)[order].view(np.uint64)
+        e = t["enh"].to_numpy(zero_copy_only=False)[order].astype(bool)
+        bounds = np.append(np.flatnonzero(group_starts(bk)), len(bk))
+        out_a, out_b = [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            m = hi - lo
+            if m < 2:
+                continue
+            ids_b, sh_b, e_b = d[lo:hi], s[lo:hi], e[lo:hi]
+            if m > max_bucket:
+                o2 = np.argsort(sh_b, kind="mergesort")
+                ids_s, sh_s, e_s = ids_b[o2], sh_b[o2], e_b[o2]
+                for w in range(1, band_window + 1):
+                    if w >= m:
+                        break
+                    hv = _popcount64(np.bitwise_xor(sh_s[:-w], sh_s[w:]))
+                    hit = np.flatnonzero((hv <= t_std)
+                                         & ~(e_s[:-w] & e_s[w:]))
+                    if len(hit):
+                        pa_, pb_ = ids_s[hit], ids_s[hit + w]
+                        out_a.append(np.minimum(pa_, pb_))
+                        out_b.append(np.maximum(pa_, pb_))
+                continue
+            x = np.bitwise_xor(sh_b[:, None], sh_b[None, :])
+            ham = _POP8[x.view(np.uint8).reshape(m, m, 8)] \
+                .sum(axis=2, dtype=np.int16)
+            ok = (ham <= t_std) & ~(e_b[:, None] & e_b[None, :])
+            r, c = np.nonzero(np.triu(ok, k=1))
+            if len(r):
+                out_a.append(ids_b[r])
+                out_b.append(ids_b[c])
+        if not out_a:
+            return empty_pairs
+        return pa.table({"a": pa.array(np.concatenate(out_a)),
+                         "b": pa.array(np.concatenate(out_b))})
+
+    banded_a = sig.map_batches(band_a, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    pairs_a = partitioned_group_map_arrow(
+        banded_a, ["band_key"], pairs_a_block, cfg.pair_partitions,
+        out_schema=pair_schema)
+
+    # ---- pass B: full 1024-bit signature, enhanced x enhanced
+    n_bands = t_enh + 1
+    cuts = [(b * 1024) // n_bands for b in range(n_bands + 1)]
+
+    enh_sig = sig.map_batches(
+        lambda t: t.filter(pc.equal(t["variant"], "enhanced")),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def band_b(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "sig1024": pa.array([], pa.binary())})
+        m = t.num_rows
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = b"".join(t["sig1024"].to_pylist())
+        bits = np.unpackbits(np.frombuffer(raw, np.uint8).reshape(m, 128),
+                             axis=1, bitorder="little")   # (m, 1024)
+        keys = np.empty(n_bands * m, np.int64)
+        for b in range(n_bands):
+            lo, hi = cuts[b], cuts[b + 1]
+            val = bits[:, lo:hi].astype(np.int64) \
+                @ (np.int64(1) << np.arange(hi - lo, dtype=np.int64))
+            keys[b * m:(b + 1) * m] = (np.int64(b) << np.int64(22)) | val
+        sig_col = t["sig1024"].combine_chunks()
+        return pa.table({"band_key": pa.array(keys),
+                         "doc_id": pa.array(np.tile(ids, n_bands)),
+                         "sig1024": pa.chunked_array([sig_col] * n_bands)})
+
+    def pairs_b_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_pairs
+        bk = t["band_key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t["doc_id"].to_numpy(zero_copy_only=False), bk))
+        bk = bk[order]
+        d = t["doc_id"].to_numpy(zero_copy_only=False)[order]
+        raw = t["sig1024"].to_pylist()
+        sigw = np.frombuffer(b"".join(raw), np.uint8) \
+            .reshape(len(raw), 16, 8).copy().view("<u8")[order, :, 0]
+        bounds = np.append(np.flatnonzero(group_starts(bk)), len(bk))
+        out_a, out_b = [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            m = hi - lo
+            if m < 2:
+                continue
+            ids_b, sg = d[lo:hi], sigw[lo:hi]
+            if m > max_bucket:
+                # over-cap discipline: windowed along the sorted word-0
+                # order (same bound as the 64-bit machinery)
+                o2 = np.argsort(sg[:, 0], kind="mergesort")
+                ids_s, sg_s = ids_b[o2], sg[o2]
+                for w in range(1, band_window + 1):
+                    if w >= m:
+                        break
+                    hv = np.zeros(m - w, np.int32)
+                    for seg in range(16):
+                        hv += _popcount64(np.bitwise_xor(
+                            sg_s[:-w, seg], sg_s[w:, seg])).astype(np.int32)
+                    hit = np.flatnonzero(hv <= t_enh)
+                    if len(hit):
+                        pa_, pb_ = ids_s[hit], ids_s[hit + w]
+                        out_a.append(np.minimum(pa_, pb_))
+                        out_b.append(np.maximum(pa_, pb_))
+                continue
+            ham = np.zeros((m, m), np.int32)
+            for seg in range(16):
+                x = np.bitwise_xor(sg[:, seg][:, None], sg[:, seg][None, :])
+                ham += _POP8[x.view(np.uint8).reshape(m, m, 8)] \
+                    .sum(axis=2, dtype=np.int32)
+            r, c = np.nonzero(np.triu(ham <= t_enh, k=1))
+            if len(r):
+                out_a.append(ids_b[r])
+                out_b.append(ids_b[c])
+        if not out_a:
+            return empty_pairs
+        return pa.table({"a": pa.array(np.concatenate(out_a)),
+                         "b": pa.array(np.concatenate(out_b))})
+
+    banded_b = enh_sig.map_batches(band_b, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    pairs_b = partitioned_group_map_arrow(
+        banded_b, ["band_key"], pairs_b_block, cfg.pair_partitions,
+        out_schema=pair_schema)
+
+    labels = connected_components(pairs_a.union(pairs_b), cfg)
+
+    left = sig.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "variant": t["variant"]}),
+        batch_format="pyarrow")
+    j = broadcast_attach_i64(left, "doc_id", labels, "file_id",
+                             "cluster_id", "group_id")
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"media_id": pa.array([], pa.int64()),
+                             "group_id": pa.array([], pa.int64()),
+                             "variant": pa.array([], pa.string())})
+        gid = safe_coalesce(t["group_id"], t["doc_id"])
+        return pa.table({"media_id": t["doc_id"],
+                         "group_id": pc.cast(gid, pa.int64()),
+                         "variant": t["variant"]})
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+def synth_bmp_variant_table(n_groups: int = 24, seed: int = 42) -> pa.Table:
+    """Mixed-variant near-dup BMP corpus for the Enhanced-pHash query.
+    Group kinds cycle by g: ``g % 8 == 7`` plants a CROSS-VARIANT pair
+    — member 0 an 8x8 constant-color BMP (hashes Standard under the
+    size policy), member 1 a 32x32 constant-color BMP (hashes Enhanced)
+    — constant images threshold to all-zero bits under the strict mean
+    rule, so the reference's downgrade distance (std ^ enh word 0) is 0
+    and the pair groups ACROSS variants (and with the other flat
+    groups: the deterministic flat-image mega-group the downgrade rule
+    implies); other odd g -> Enhanced pair (two 32x32 images, member 1
+    = +128 edit on pixel byte 0); even g -> Standard pair (8x8, same
+    edit). All pixel bytes are digest hex (repeat(sha256('bmpv-g-s')))
+    so a DuckDB oracle rebuilds every pixel, bit, pair and component
+    from SQL alone. media_id = 2g + m."""
+    ids, payloads = [], []
+    for g in range(n_groups):
+        hx = hashlib.sha256(f"bmpv-{g}-{seed}".encode()).hexdigest()
+        cross = (g % 8 == 7)
+        for m in (0, 1):
+            if cross:
+                dim = 8 if m == 0 else 32
+                px = bytes([int(hx[:2], 16)]) * (dim * dim * 3)
+            else:
+                dim = 32 if g % 2 == 1 else 8
+                body = bytearray(bytes.fromhex(hx * ((dim * dim * 3) // 32)))
+                if m == 1:
+                    body[0] = (body[0] + 128) % 256
+                px = bytes(body)
+            hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(px), 0, 0, 54)
+            dib = struct.pack("<IiiHHIIiiII", 40, dim, dim, 1, 24, 0,
+                              len(px), 2835, 2835, 0, 0)
+            ids.append(2 * g + m)
+            payloads.append(hdr + dib + px)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(["image"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta": pa.array(['{"claimed": "bmp"}'] * len(ids), pa.string()),
+    }, schema=MEDIA_SCHEMA)
 
 
 def synth_bmp_near_dup_table(n_groups: int = 32, seed: int = 42,

@@ -51,6 +51,7 @@ SQL_CHECKED = [
     "t_dedup_against", "t_ngram_novelty", "e_distinct_users_daily",
     "q3_shipping_priority", "media_decode_tiff", "media_decode_ppm",
     "t_normalized_dup_groups", "media_decode_jpeg",
+    "media_phash_enhanced",
 ]
 
 
@@ -651,6 +652,110 @@ def test_phash64_properties():
     wide = np.zeros((8, 16, 3), np.uint8)
     wide[:, 8:, :] = 200
     assert phash64(wide) == want
+
+
+def test_phash_enhanced_packing_and_properties():
+    """Reference [u64;16] packing (core.rs:109-154): pixel p = y*32+x
+    sets bit p%64 of word p//64; constant images hash all-zero under
+    the strict mean rule; a scalar re-derivation of the packing agrees
+    word for word on a random image."""
+    import numpy as np
+    from image_deduper_ray.stages.multimodal import phash_enhanced
+
+    flat = np.full((32, 32, 3), 123, np.uint8)
+    assert phash_enhanced(flat).tolist() == [0] * 16
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    arr = phash_enhanced(px)
+    luma = (299 * px[:, :, 0].astype(np.int64)
+            + 587 * px[:, :, 1].astype(np.int64)
+            + 114 * px[:, :, 2].astype(np.int64)).reshape(-1)
+    want = [0] * 16
+    for p in range(1024):
+        if 1024 * luma[p] > luma.sum():
+            want[p // 64] |= 1 << (p % 64)
+    assert [int(v) for v in arr] == want
+
+    # nearest-neighbor floor sampling: a 64x64 image whose 2x2 blocks
+    # are constant hashes identically to its 32x32 downsample
+    big = np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)
+    assert phash_enhanced(big).tolist() == arr.tolist()
+
+
+def test_phash_distance_variant_rules():
+    """PHash::distance parity (types.rs:19-45): equal variants XOR the
+    whole hash; mixed compares the standard word against enhanced word
+    0 only — and is_similar (types.rs:47-59) scales the threshold by
+    16 for enhanced x enhanced, not for mixed."""
+    from image_deduper_ray.stages.multimodal import (phash_distance,
+                                                     phash_similar)
+
+    std_a = format(0b1011, "016x")
+    std_b = format(0b0010, "016x")
+    assert phash_distance(std_a, std_b) == 2       # bits 0 and 3
+
+    enh_a = "0" * 256
+    # word 0 differs in 2 bits, word 5 in 3 bits
+    words = [0] * 16
+    words[0] = 0b101
+    words[5] = 0b111
+    enh_b = "".join(format(w, "016x") for w in words)
+    assert phash_distance(enh_a, enh_b) == 5
+    # mixed: only word 0 of the enhanced side counts
+    assert phash_distance(std_b, enh_b) == phash_distance(enh_b, std_b) == 3
+
+    # is_similar scaling: d=5 fails std threshold 3 but passes the
+    # enhanced-pair scaled threshold 48; mixed d=3 passes unscaled
+    assert not phash_similar(std_a, std_b, 1)
+    assert phash_similar(enh_a, enh_b, 3)
+    assert phash_similar(std_b, enh_b, 3)
+    assert not phash_similar(std_b, enh_b, 2)
+
+
+def test_enhanced_phash_groups_thresholds(ray_session):
+    """Enhanced pairs group at the SCALED threshold (<=48 over 1024
+    bits) and split beyond it; the planted distance is checked against
+    ``phash_distance`` first so the test pins the pipeline to the
+    scalar rule, not to luck."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (
+        MEDIA_SCHEMA, enhanced_phash_groups, encode_bmp_24,
+        phash_distance, phash_enhanced_hex)
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+
+    def flipped(n_pix, seed):
+        r = np.random.default_rng(seed)
+        out = base.copy()
+        idx = r.choice(1024, n_pix, replace=False)
+        out.reshape(1024, 3)[idx] = 255
+        return out
+
+    near = flipped(12, 1)          # few flips -> d <= 48
+    far = flipped(300, 2)          # many flips -> d > 48
+    d_near = phash_distance(phash_enhanced_hex(base),
+                            phash_enhanced_hex(near))
+    d_far = phash_distance(phash_enhanced_hex(base),
+                           phash_enhanced_hex(far))
+    assert 3 < d_near <= 48, d_near   # beyond pass A, inside pass B
+    assert d_far > 48, d_far
+
+    rows = [encode_bmp_24(p) for p in (base, near, far)]
+    media = ray.data.from_arrow(pa.table({
+        "media_id": pa.array([0, 1, 2], pa.int64()),
+        "kind": pa.array(["image"] * 3, pa.string()),
+        "payload": pa.array(rows, pa.binary()),
+        "meta": pa.array(['{"claimed": "bmp"}'] * 3, pa.string()),
+    }, schema=MEDIA_SCHEMA))
+    out = enhanced_phash_groups(media).to_pandas() \
+        .set_index("media_id").sort_index()
+    assert (out["variant"] == "enhanced").all()
+    assert out.loc[0, "group_id"] == out.loc[1, "group_id"]
+    assert out.loc[2, "group_id"] != out.loc[0, "group_id"]
 
 
 def test_entry_smoke():
