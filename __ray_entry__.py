@@ -267,6 +267,23 @@ def _q_media_decode_png(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_media_decode_png_gray(sf_dir: str):
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (decode_features,
+                                                     synth_png_gray_table)
+
+    # the REAL decode branch over GRAYSCALE PNG (color type 0): the
+    # 1-channel unfilter path (bpp=1 for all five filter types); the
+    # palette branch (color type 3) rides inside media_decode_png's
+    # corpus since it expands back to the identical RGB pixels. Same
+    # digest-hex px_sum oracle, 12x8x1 = 96 bytes = 3 digests
+    media = ray.data.from_arrow(synth_png_gray_table(n=64))
+    feats = decode_features(media, fake=False)
+    return feats.map_batches(
+        lambda t: t.select(["media_id", "width", "height", "px_sum"]),
+        batch_format="pyarrow")
+
+
 def _q_media_decode_tiff(sf_dir: str):
     import ray.data
     from image_deduper_ray.stages.multimodal import (decode_features,
@@ -541,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_features": _q_media_decode,
         "media_decode_real": _q_media_decode_real,
         "media_decode_png": _q_media_decode_png,
+        "media_decode_png_gray": _q_media_decode_png_gray,
         "media_decode_tiff": _q_media_decode_tiff,
         "media_decode_ppm": _q_media_decode_ppm,
         "media_decode_jpeg": _q_media_decode_jpeg,
@@ -733,6 +751,11 @@ def oracle_sql() -> dict[str, str]:
         # + PNG row-unfiltering (all five filter types appear in the
         # corpus) to recover the bytes the oracle computes directly
         "media_decode_png": _px_sum_oracle("png"),
+        # media_decode_png_gray: 1-channel PNGs — 96 gray bytes as a
+        # 12x8 image, same digest arithmetic, exercising the bpp=1
+        # unfilter recurrences end to end
+        "media_decode_png_gray": _px_sum_oracle("pnggray", width=12,
+                                                height=8),
         # media_decode_tiff: same digest-hex reconstruction; the engine
         # side must walk the IFD, honor the byte order and reassemble
         # strips to recover the bytes the oracle computes directly

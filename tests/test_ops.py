@@ -51,7 +51,7 @@ SQL_CHECKED = [
     "t_dedup_against", "t_ngram_novelty", "e_distinct_users_daily",
     "q3_shipping_priority", "media_decode_tiff", "media_decode_ppm",
     "t_normalized_dup_groups", "media_decode_jpeg",
-    "media_phash_enhanced",
+    "media_phash_enhanced", "media_decode_png_gray",
 ]
 
 
@@ -307,9 +307,10 @@ def test_png_decoder_rejects_unsupported():
 
     with pytest.raises(ValueError):
         decode_png(b"nope")
-    # 16-bit depth / interlaced / grayscale headers must raise
+    # 16-bit depth / interlaced / 1-bit headers must raise (grayscale
+    # and palette are SUPPORTED since round 5 — tested separately)
     good = encode_png(np.zeros((2, 2, 3), np.uint8))
-    for depth, color, inter in [(16, 2, 0), (8, 2, 1), (8, 0, 0)]:
+    for depth, color, inter in [(16, 2, 0), (8, 2, 1), (1, 0, 0)]:
         ihdr = (struct.pack(">II", 2, 2) + bytes([depth, color, 0, 0,
                                                   inter]))
         bad = (good[:8]
@@ -407,6 +408,129 @@ def test_real_decode_stage_tiff_end_to_end():
     want = [sum(bytes.fromhex(
         hashlib.sha256(f"tiff-{i}-42".encode()).hexdigest() * 3))
         for i in range(18)]
+    assert out["px_sum"].tolist() == want
+
+
+def test_png_gray_and_palette_roundtrip():
+    """Round-5 decode-breadth branches (round-4 verdict 'What's
+    missing' #2): 8-bit grayscale (color type 0) and palette-indexed
+    (color type 3) PNGs round-trip through every filter type, palette
+    expansion reproduces the exact RGB pixels, and corrupt palette
+    payloads raise per the parse-or-error contract."""
+    from image_deduper_ray.stages.multimodal import (decode_png,
+                                                     encode_png,
+                                                     encode_png_palette)
+
+    rng = np.random.default_rng(11)
+    for ft in range(5):
+        gray = rng.integers(0, 256, size=(6, 10, 1), dtype=np.uint8)
+        w, h, out = decode_png(encode_png(gray, filter_type=ft))
+        assert (w, h) == (10, 6) and out.shape == (6, 10, 1)
+        np.testing.assert_array_equal(out, gray)
+
+        pal = rng.integers(0, 256, size=(13, 3), dtype=np.uint8)
+        px = pal[rng.integers(0, 13, size=(6, 10))]
+        w, h, out = decode_png(encode_png_palette(px, filter_type=ft))
+        assert out.shape == (6, 10, 3)
+        np.testing.assert_array_equal(out, px)
+
+    # palette PNG with the PLTE chunk stripped must raise, not crash
+    payload = encode_png_palette(pal[rng.integers(0, 13, size=(4, 4))])
+    pos, chunks = 8, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        if payload[pos + 4:pos + 8] != b"PLTE":
+            chunks.append(payload[pos:pos + 12 + ln])
+        pos += 12 + ln
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(payload[:8] + b"".join(chunks))
+    # > 256 distinct colors cannot be palette-encoded
+    vals = np.arange(300)
+    big = np.stack([vals % 256, vals // 256, np.zeros(300, np.int64)],
+                   axis=1).astype(np.uint8).reshape(300, 1, 3)
+    with pytest.raises(ValueError, match="256"):
+        encode_png_palette(big)
+
+
+def test_packbits_roundtrip_and_truncation():
+    """PackBits encoder/decoder property round-trip over adversarial
+    byte patterns (long runs, long literals, alternating, empty) plus
+    randomized inputs, and truncated packets raise ValueError."""
+    from image_deduper_ray.stages.multimodal import (packbits_decode,
+                                                     packbits_encode)
+
+    rng = np.random.default_rng(13)
+    cases = [b"", b"x", b"a" * 1000, bytes(range(256)) * 3,
+             b"ab" * 257, b"aab" * 100, bytes(500)]
+    cases += [bytes(rng.integers(0, v, size=rng.integers(1, 700),
+                                 dtype=np.uint8).tolist())
+              for v in (2, 8, 256) for _ in range(5)]
+    for data in cases:
+        enc = packbits_encode(data)
+        assert packbits_decode(enc) == data
+        # runs must actually compress
+        if data == b"a" * 1000:
+            assert len(enc) <= 2 * (1000 // 128 + 1)
+    with pytest.raises(ValueError):
+        packbits_decode(b"\x05ab")        # literal claims 6, has 2
+    with pytest.raises(ValueError):
+        packbits_decode(b"\xfe")          # repeat with no data byte
+    # 128 is a spec no-op
+    assert packbits_decode(b"\x80\x00a") == b"a"
+
+
+def test_tiff_packbits_and_png_subformat_corpus():
+    """The synth corpora cycle through the new branches: PackBits TIFF
+    strips decompress to the same digest pixels, and the PNG corpus's
+    palette rows (media_id % 3 == 2) carry a PLTE chunk yet decode to
+    the identical sums — so the driver queries exercise every branch."""
+    import hashlib
+
+    from image_deduper_ray.stages.multimodal import (decode_tiff,
+                                                     encode_tiff_rgb,
+                                                     synth_png_table,
+                                                     synth_tiff_table)
+
+    rng = np.random.default_rng(17)
+    for be in (False, True):
+        for rps in (None, 1, 3):
+            px = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+            w, h, out = decode_tiff(encode_tiff_rgb(
+                px, big_endian=be, rows_per_strip=rps,
+                compression=32773))
+            np.testing.assert_array_equal(out, px)
+
+    t = synth_tiff_table(n=12)
+    comps = []
+    for i, payload in enumerate(t["payload"].to_pylist()):
+        w, h, px = decode_tiff(payload)
+        hx = hashlib.sha256(f"tiff-{i}-42".encode()).hexdigest() * 3
+        assert int(px.sum()) == sum(bytes.fromhex(hx))
+        comps.append((i // 2) % 2)
+    assert set(comps) == {0, 1}           # both compressions present
+
+    p = synth_png_table(n=12)
+    n_palette = sum(b"PLTE" in pl for pl in p["payload"].to_pylist())
+    assert n_palette == 4                 # media_id 2, 5, 8, 11
+
+
+def test_real_decode_stage_png_gray_end_to_end():
+    """The non-fake decode branch over grayscale PNGs (1-channel
+    unfilter, bpp=1): actor-pool stage, px_sum exact, dims 12x8."""
+    import hashlib
+
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (decode_features,
+                                                     synth_png_gray_table)
+
+    media = ray.data.from_arrow(synth_png_gray_table(n=20))
+    out = decode_features(media, fake=False).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert len(out) == 20
+    assert (out["width"] == 12).all() and (out["height"] == 8).all()
+    want = [sum(bytes.fromhex(
+        hashlib.sha256(f"pnggray-{i}-42".encode()).hexdigest() * 3))
+        for i in range(20)]
     assert out["px_sum"].tolist() == want
 
 
