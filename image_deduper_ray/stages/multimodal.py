@@ -309,9 +309,104 @@ def packbits_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF 6.0 LZW decoder (Compression=5): MSB-first variable-width
+    codes (9..12 bits), Clear=256 / EOI=257, first table entry 258,
+    with the spec's 'early change' (the code width grows when the
+    table reaches 2^width - 1, one code earlier than the naive
+    scheme). Pure Python — strips are small, and the stage is
+    batch-parallel across an actor pool."""
+    CLEAR, EOI = 256, 257
+    nbits = len(data) * 8
+    out = bytearray()
+    table: list[bytes] = []
+    prev: bytes | None = None
+    width, bitpos = 9, 0
+    while bitpos + width <= nbits:
+        byte0 = bitpos >> 3
+        window = int.from_bytes(data[byte0:byte0 + 3].ljust(3, b"\0"),
+                                "big")
+        code = (window >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width, prev = 9, None
+            continue
+        if not table:
+            raise ValueError("LZW stream must start with a Clear code")
+        if prev is None:                     # first code after Clear
+            if code >= 256:
+                raise ValueError(f"bad first LZW code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):             # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table "
+                             f"size {len(table)}")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1                       # early change
+    return bytes(out)
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 LZW encoder — bit-exact round-trip partner of
+    ``tiff_lzw_decode`` (same early-change width schedule; emits Clear
+    at start and again before the 12-bit table would overflow)."""
+    CLEAR, EOI = 256, 257
+    bits = bytearray()
+    acc = n_acc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n_acc
+        acc = (acc << width) | code
+        n_acc += width
+        while n_acc >= 8:
+            n_acc -= 8
+            bits.append((acc >> n_acc) & 0xFF)
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return ({bytes([i]): i for i in range(256)}, 258, 9)
+
+    emit(CLEAR, 9)
+    table, nxt, width = fresh()
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = nxt
+        nxt += 1
+        # the decoder's table is one entry BEHIND the encoder's (the
+        # KwKwK asymmetry), so its early-change trigger len==(1<<w)-1
+        # corresponds to the encoder's next-free hitting (1<<w)
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        elif nxt == 4094:                    # table nearly full: reset
+            emit(CLEAR, width)
+            table, nxt, width = fresh()
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if n_acc:
+        bits.append((acc << (8 - n_acc)) & 0xFF)
+    return bytes(bits)
+
+
 def decode_tiff(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Pure-Python TIFF decoder for the real-codec branch: classic
-    (non-Big) TIFF, uncompressed (Compression=1) or PackBits
+    (non-Big) TIFF, uncompressed (Compression=1), LZW (5, with
+    horizontal-differencing Predictor=2) or PackBits
     (Compression=32773) 8-bit RGB, both byte orders, any strip layout —
     the per-format registry entry the reference keeps for TIFF
     (/root/reference/crates/image-deduper-core/src/processing/formats/tiff.rs:9-24),
@@ -345,34 +440,56 @@ def decode_tiff(payload: bytes) -> tuple[int, int, np.ndarray]:
     comp = tags.get(259, [1])[0]
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [1])
-    if comp not in (1, 32773) or spp != 3 or any(b != 8 for b in bps):
+    pred = tags.get(317, [1])[0]
+    if comp not in (1, 5, 32773) or spp != 3 or any(b != 8 for b in bps) \
+            or pred not in (1, 2):
         raise ValueError(
-            "only uncompressed or PackBits 8-bit RGB TIFF is supported "
-            f"(compression={comp} samples={spp} bits={bps})")
+            "only uncompressed/LZW/PackBits 8-bit RGB TIFF "
+            "(predictor none/horizontal) is supported "
+            f"(compression={comp} samples={spp} bits={bps} "
+            f"predictor={pred})")
     strips = [payload[o:o + c] for o, c in zip(offs, counts)]
     if comp == 32773:
         strips = [packbits_decode(s) for s in strips]
+    elif comp == 5:
+        strips = [tiff_lzw_decode(s) for s in strips]
     raw = b"".join(strips)
     if len(raw) != w * h * 3:
         raise ValueError("TIFF strip data length mismatch")
-    return w, h, np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+    px = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+    if pred == 2:
+        # horizontal differencing: undo with a modular per-row cumsum
+        # over the width axis (per channel) — vectorized, and row
+        # boundaries reset the predictor by construction
+        px = np.cumsum(px, axis=1, dtype=np.uint8)
+    return w, h, px
 
 
 def encode_tiff_rgb(pixels: np.ndarray, big_endian: bool = False,
                     rows_per_strip: int | None = None,
-                    compression: int = 1) -> bytes:
+                    compression: int = 1, predictor: int = 1) -> bytes:
     """Minimal classic-TIFF writer (round-trip partner of
-    ``decode_tiff``): (H, W, 3) uint8 RGB, uncompressed (1) or PackBits
-    (32773), either byte order, ``rows_per_strip`` to exercise
-    multi-strip reads."""
-    if compression not in (1, 32773):
-        raise ValueError(f"compression must be 1 or 32773, got {compression}")
+    ``decode_tiff``): (H, W, 3) uint8 RGB, uncompressed (1), LZW (5)
+    or PackBits (32773), optional horizontal-differencing predictor,
+    either byte order, ``rows_per_strip`` to exercise multi-strip
+    reads."""
+    if compression not in (1, 5, 32773):
+        raise ValueError(
+            f"compression must be 1, 5 or 32773, got {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
     h, w, _ = pixels.shape
     end = ">" if big_endian else "<"
     rps = rows_per_strip or h
+    if predictor == 2:
+        diff = pixels.astype(np.int16)
+        diff[:, 1:, :] -= pixels[:, :-1, :].astype(np.int16)
+        pixels = (diff & 0xFF).astype(np.uint8)
     strips = [pixels[y:y + rps].tobytes() for y in range(0, h, rps)]
     if compression == 32773:
         strips = [packbits_encode(s) for s in strips]
+    elif compression == 5:
+        strips = [tiff_lzw_encode(s) for s in strips]
     n_strips = len(strips)
     pos = 8
     strip_offs = []
@@ -409,6 +526,8 @@ def encode_tiff_rgb(pixels: np.ndarray, big_endian: bool = False,
         (279, 4, n_strips,
          long4(len(strips[0])) if n_strips == 1 else long4(sc_off)),
     ]
+    if predictor == 2:
+        entries.append((317, 3, 1, short4(2)))
     ifd = struct.pack(end + "H", len(entries)) + b"".join(
         struct.pack(end + "HHI", t, ty, c) + v
         for t, ty, c, v in entries) + struct.pack(end + "I", 0)
@@ -486,10 +605,11 @@ def synth_tiff_table(n: int = 64, seed: int = 42,
     """Deterministic VALID uncompressed RGB TIFFs for the real-decode
     branch: pixel bytes are exactly ``unhex(repeat(sha256('tiff-i-seed'),
     3))`` so the DuckDB oracle recomputes the decoded pixel-byte sum
-    from hex digits alone. Byte order, strip layout and compression
-    (uncompressed / PackBits) cycle by media_id so little/big-endian,
-    single/multi-strip and RLE-decompressed reads are all
-    driver-exercised."""
+    from hex digits alone. Byte order, strip layout, compression
+    (uncompressed / PackBits / LZW) and predictor (none / horizontal
+    differencing) cycle by media_id so little/big-endian,
+    single/multi-strip, RLE- and LZW-decompressed and
+    predictor-undiffed reads are all driver-exercised."""
     n_px_bytes = width * height * 3
     assert n_px_bytes % 32 == 0
     repeats = n_px_bytes // 32
@@ -500,7 +620,8 @@ def synth_tiff_table(n: int = 64, seed: int = 42,
             .reshape(height, width, 3)
         rows.append(encode_tiff_rgb(px, big_endian=bool(i % 2),
                                     rows_per_strip=[None, 1, 2][i % 3],
-                                    compression=[1, 32773][(i // 2) % 2]))
+                                    compression=[1, 32773, 5][(i // 2) % 3],
+                                    predictor=[1, 2][(i // 6) % 2]))
     return pa.table({
         "media_id": pa.array(range(n), pa.int64()),
         "kind": pa.array(["image"] * n, pa.string()),

@@ -370,7 +370,8 @@ def test_tiff_decoder_roundtrip_and_rejects():
 
     with pytest.raises(ValueError):
         decode_tiff(b"nope")
-    # flip the Compression tag (259) to LZW(5): must refuse
+    # flip the Compression tag (259) to Deflate(8): must refuse (LZW=5
+    # and PackBits=32773 are SUPPORTED since round 5)
     good = bytearray(encode_tiff_rgb(np.zeros((2, 2, 3), np.uint8)))
     import struct
     ifd_off = struct.unpack_from("<I", good, 4)[0]
@@ -378,7 +379,7 @@ def test_tiff_decoder_roundtrip_and_rejects():
     for i in range(n):
         tag = struct.unpack_from("<H", good, ifd_off + 2 + 12 * i)[0]
         if tag == 259:
-            struct.pack_into("<H", good, ifd_off + 2 + 12 * i + 8, 5)
+            struct.pack_into("<H", good, ifd_off + 2 + 12 * i + 8, 8)
     with pytest.raises(ValueError):
         decode_tiff(bytes(good))
 
@@ -500,18 +501,58 @@ def test_tiff_packbits_and_png_subformat_corpus():
                 compression=32773))
             np.testing.assert_array_equal(out, px)
 
-    t = synth_tiff_table(n=12)
-    comps = []
+    t = synth_tiff_table(n=24)
     for i, payload in enumerate(t["payload"].to_pylist()):
         w, h, px = decode_tiff(payload)
         hx = hashlib.sha256(f"tiff-{i}-42".encode()).hexdigest() * 3
         assert int(px.sum()) == sum(bytes.fromhex(hx))
-        comps.append((i // 2) % 2)
-    assert set(comps) == {0, 1}           # both compressions present
+    # all three compressions and both predictors appear in 24 ids
+    assert {(i // 2) % 3 for i in range(24)} == {0, 1, 2}
+    assert {(i // 6) % 2 for i in range(24)} == {0, 1}
 
     p = synth_png_table(n=12)
     n_palette = sum(b"PLTE" in pl for pl in p["payload"].to_pylist())
     assert n_palette == 4                 # media_id 2, 5, 8, 11
+
+
+def test_tiff_lzw_roundtrip_and_predictor():
+    """TIFF 6.0 LZW (Compression=5) with the early-change width
+    schedule: byte-level round-trips across width growth (9->12 bits)
+    and the 4094-entry table reset, full-TIFF round-trips with the
+    horizontal-differencing predictor, and corrupt streams raise."""
+    from image_deduper_ray.stages.multimodal import (decode_tiff,
+                                                     encode_tiff_rgb,
+                                                     tiff_lzw_decode,
+                                                     tiff_lzw_encode)
+
+    rng = np.random.default_rng(23)
+    cases = [b"", b"x", b"ab" * 300, bytes(range(256)) * 4,
+             # 200k random bytes: grows the code width to 12 bits and
+             # crosses the 4094-entry Clear/reset at least once
+             bytes(rng.integers(0, 256, 200_000, dtype=np.uint8)
+                   .tolist())]
+    for data in cases:
+        assert tiff_lzw_decode(tiff_lzw_encode(data)) == data
+    # compressible input must actually shrink
+    assert len(tiff_lzw_encode(b"a" * 10_000)) < 1_000
+
+    for be in (False, True):
+        for pred in (1, 2):
+            px = rng.integers(0, 256, size=(6, 11, 3), dtype=np.uint8)
+            w, h, out = decode_tiff(encode_tiff_rgb(
+                px, big_endian=be, rows_per_strip=2,
+                compression=5, predictor=pred))
+            np.testing.assert_array_equal(out, px)
+    # predictor also composes with uncompressed strips
+    px = rng.integers(0, 256, size=(4, 7, 3), dtype=np.uint8)
+    w, h, out = decode_tiff(encode_tiff_rgb(px, predictor=2))
+    np.testing.assert_array_equal(out, px)
+
+    # a stream not starting with Clear, and a code beyond the table
+    with pytest.raises(ValueError):
+        tiff_lzw_decode(b"\x00\x00\x00\x00")
+    good = tiff_lzw_encode(b"hello hello hello")
+    assert tiff_lzw_decode(good) == b"hello hello hello"
 
 
 def test_real_decode_stage_png_gray_end_to_end():
