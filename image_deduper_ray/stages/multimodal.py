@@ -73,17 +73,19 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Pure-Python PNG decoder (stdlib ``zlib`` + numpy) for the
-    real-codec branch: non-interlaced 8-bit grayscale (color type 0),
-    RGB (2), palette-indexed (3, expanded through PLTE) or RGBA (6) —
-    the per-format registry entry the reference keeps for PNG
+    real-codec branch: 8-bit grayscale (color type 0), RGB (2),
+    palette-indexed (3, expanded through PLTE) or RGBA (6), sequential
+    or Adam7-interlaced — the per-format registry entry the reference
+    keeps for PNG
     (/root/reference/crates/image-deduper-core/src/processing/formats/png.rs:9-23),
     runnable with no imaging library installed. All five row filters
-    (None/Sub/Up/Average/Paeth) are reconstructed; filter-0 and Up rows
-    stay fully vectorized (the synth corpus and most screenshots),
-    Sub/Average/Paeth fall back to a per-byte scan (their recurrence is
-    sequential by definition). Returns (width, height, pixels) with
-    pixels an (H, W, C) uint8 array in top-down row order — C=3 for
-    palette images (indices expanded), C=1 for grayscale."""
+    (None/Sub/Up/Average/Paeth) are reconstructed per scanline block
+    (each Adam7 pass filters independently); filter-0 and Up rows stay
+    fully vectorized, Sub/Average/Paeth fall back to a per-byte scan
+    (their recurrence is sequential by definition). Returns
+    (width, height, pixels) with pixels an (H, W, C) uint8 array in
+    top-down row order — C=3 for palette images (indices expanded),
+    C=1 for grayscale."""
     import zlib
 
     if payload[:8] != _PNG_MAGIC:
@@ -102,11 +104,11 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             h = int.from_bytes(data[4:8], "big")
             depth, color, comp, filt, inter = data[8:13]
             if depth != 8 or color not in (0, 2, 3, 6) \
-                    or comp or filt or inter:
+                    or comp or filt or inter not in (0, 1):
                 raise ValueError(
-                    "only non-interlaced 8-bit gray/RGB/palette/RGBA PNG"
-                    f" is supported (depth={depth} color_type={color}"
-                    f" interlace={inter})")
+                    "only 8-bit gray/RGB/palette/RGBA PNG (sequential "
+                    f"or Adam7) is supported (depth={depth} "
+                    f"color_type={color} interlace={inter})")
             # bytes per pixel in the FILTERED scanline: palette rows
             # carry 1 index byte per pixel, expanded after unfiltering
             channels = {0: 1, 2: 3, 3: 1, 6: 4}[color]
@@ -121,14 +123,59 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     if w is None or channels is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT chunks")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    if inter == 0:
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+        px = _png_unfilter(arr, channels).reshape(h, w, channels)
+    else:                                   # Adam7: 7 independent passes
+        px = np.zeros((h, w, channels), np.uint8)
+        pos = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:          # pass empty at this size
+                continue
+            pstride = pw * channels
+            nbytes = ph * (pstride + 1)
+            block = raw[pos:pos + nbytes]
+            if len(block) != nbytes:
+                raise ValueError("PNG interlaced pass data truncated")
+            pos += nbytes
+            sub = _png_unfilter(
+                np.frombuffer(block, np.uint8).reshape(ph, pstride + 1),
+                channels)
+            px[ys::ystep, xs::xstep, :] = sub.reshape(ph, pw, channels)
+        if pos != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+    if color == 3:                          # expand palette -> RGB
+        if plte is None:
+            raise ValueError("palette PNG (color type 3) missing PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if idx.size and int(idx.max()) >= len(pal):
+            raise ValueError("PNG palette index out of PLTE range")
+        px = pal[idx]                       # (H, W, 3)
+    return w, h, px
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per PNG spec
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_unfilter(arr: np.ndarray, bpp: int) -> np.ndarray:
+    """Reconstruct one filtered scanline block: ``arr`` is (rows,
+    1 + stride) uint8 (filter byte + filtered bytes per row); returns
+    (rows, stride) reconstructed bytes. Filter-0 and Up rows stay
+    vectorized; Sub/Average/Paeth are sequential recurrences by
+    definition. Shared by the sequential and Adam7 paths (each
+    interlace pass filters independently)."""
+    rows, stride = arr.shape[0], arr.shape[1] - 1
     filters = arr[:, 0]
-    out = np.zeros((h, stride), np.uint8)
-    bpp = channels
-    for y in range(h):
+    out = np.zeros((rows, stride), np.uint8)
+    for y in range(rows):
         f = int(filters[y])
         cur = arr[y, 1:].astype(np.int64)
         prev = out[y - 1].astype(np.int64) if y else np.zeros(stride,
@@ -160,16 +207,7 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         else:
             raise ValueError(f"unknown PNG row filter {f}")
         out[y] = rec.astype(np.uint8)
-    px = out.reshape(h, w, channels)
-    if color == 3:                          # expand palette -> RGB
-        if plte is None:
-            raise ValueError("palette PNG (color type 3) missing PLTE")
-        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-        idx = px[:, :, 0]
-        if idx.size and int(idx.max()) >= len(pal):
-            raise ValueError("PNG palette index out of PLTE range")
-        px = pal[idx]                       # (H, W, 3)
-    return w, h, px
+    return out
 
 
 def _png_filter_body(pixels: np.ndarray, filter_type: int) -> bytes:
@@ -216,23 +254,41 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
             + zlib.crc32(typ + data).to_bytes(4, "big"))
 
 
-def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+def _png_body(pixels: np.ndarray, filter_type: int,
+              interlace: bool) -> bytes:
+    """Filtered IDAT plaintext for either layout: one scanline block
+    (sequential) or the concatenation of the seven Adam7 passes, each
+    filtered independently."""
+    if not interlace:
+        return _png_filter_body(pixels, filter_type)
+    parts = []
+    for xs, ys, xstep, ystep in _ADAM7:
+        sub = pixels[ys::ystep, xs::xstep]
+        if sub.size:
+            parts.append(_png_filter_body(sub, filter_type))
+    return b"".join(parts)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0,
+               interlace: bool = False) -> bytes:
     """Minimal PNG writer (round-trip partner of ``decode_png``, used by
     tests and the synth corpus): (H, W, 1|3|4) uint8 (gray / RGB /
     RGBA), top-down, every row filtered with ``filter_type`` (0..4 —
-    non-zero types exercise the decoder's unfilter paths)."""
+    non-zero types exercise the decoder's unfilter paths), optionally
+    Adam7-interlaced."""
     import zlib
 
     h, w, c = pixels.shape
-    body = _png_filter_body(pixels, filter_type)
+    body = _png_body(pixels, filter_type, interlace)
     ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-            + bytes([8, {1: 0, 3: 2, 4: 6}[c], 0, 0, 0]))
+            + bytes([8, {1: 0, 3: 2, 4: 6}[c], 0, 0, int(interlace)]))
     return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(body))
             + _png_chunk(b"IEND", b""))
 
 
-def encode_png_palette(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png_palette(pixels: np.ndarray, filter_type: int = 0,
+                       interlace: bool = False) -> bytes:
     """Palette-indexed PNG writer (color type 3): (H, W, 3) uint8 RGB
     with <= 256 distinct colors becomes a PLTE chunk plus filtered
     1-byte-per-pixel index scanlines — the screenshot-corpus subformat
@@ -245,10 +301,10 @@ def encode_png_palette(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     pal, idx = np.unique(flat, axis=0, return_inverse=True)
     if len(pal) > 256:
         raise ValueError(f"palette PNG needs <= 256 colors, got {len(pal)}")
-    body = _png_filter_body(idx.astype(np.uint8).reshape(h, w, 1),
-                            filter_type)
+    body = _png_body(idx.astype(np.uint8).reshape(h, w, 1),
+                     filter_type, interlace)
     ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-            + bytes([8, 3, 0, 0, 0]))
+            + bytes([8, 3, 0, 0, int(interlace)]))
     return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"PLTE", pal.astype(np.uint8).tobytes())
             + _png_chunk(b"IDAT", zlib.compress(body))
@@ -1414,10 +1470,11 @@ def synth_png_table(n: int = 64, seed: int = 42,
     reconstructs the decoded pixel-byte sum with hex-digit arithmetic
     alone, gating the zlib-inflate + unfilter path end to end. The row
     filter cycles through all five types by media_id so every unfilter
-    path (None/Sub/Up/Average/Paeth) is driver-exercised, and every
-    third row is palette-encoded (color type 3, same pixels — the
-    oracle is unchanged while the PLTE-expansion branch is
-    driver-exercised too)."""
+    path (None/Sub/Up/Average/Paeth) is driver-exercised; every third
+    row is palette-encoded (color type 3) and every fourth
+    Adam7-interlaced — same pixels, so the oracle is unchanged while
+    the PLTE-expansion and interlace branches are driver-exercised
+    too."""
     n_px_bytes = width * height * 3
     assert n_px_bytes % 32 == 0, \
         "oracle alignment requires digest-multiple pixel bytes"
@@ -1428,7 +1485,7 @@ def synth_png_table(n: int = 64, seed: int = 42,
         px = np.frombuffer(bytes.fromhex(hx), np.uint8) \
             .reshape(height, width, 3)
         enc = encode_png_palette if i % 3 == 2 else encode_png
-        rows.append(enc(px, filter_type=i % 5))
+        rows.append(enc(px, filter_type=i % 5, interlace=i % 4 == 1))
     metas = ['{"claimed": "png"}'] * n
     return pa.table({
         "media_id": pa.array(range(n), pa.int64()),
@@ -1455,7 +1512,8 @@ def synth_png_gray_table(n: int = 64, seed: int = 42,
             f"pnggray-{i}-{seed}".encode()).hexdigest() * repeats
         px = np.frombuffer(bytes.fromhex(hx), np.uint8) \
             .reshape(height, width, 1)
-        rows.append(encode_png(px, filter_type=i % 5))
+        rows.append(encode_png(px, filter_type=i % 5,
+                               interlace=i % 4 == 3))
     return pa.table({
         "media_id": pa.array(range(n), pa.int64()),
         "kind": pa.array(["image"] * n, pa.string()),

@@ -307,10 +307,11 @@ def test_png_decoder_rejects_unsupported():
 
     with pytest.raises(ValueError):
         decode_png(b"nope")
-    # 16-bit depth / interlaced / 1-bit headers must raise (grayscale
-    # and palette are SUPPORTED since round 5 — tested separately)
+    # 16-bit depth / bogus-interlace / 1-bit headers must raise
+    # (grayscale, palette and Adam7 are SUPPORTED since round 5 —
+    # tested separately)
     good = encode_png(np.zeros((2, 2, 3), np.uint8))
-    for depth, color, inter in [(16, 2, 0), (8, 2, 1), (1, 0, 0)]:
+    for depth, color, inter in [(16, 2, 0), (8, 2, 2), (1, 0, 0)]:
         ihdr = (struct.pack(">II", 2, 2) + bytes([depth, color, 0, 0,
                                                   inter]))
         bad = (good[:8]
@@ -513,6 +514,55 @@ def test_tiff_packbits_and_png_subformat_corpus():
     p = synth_png_table(n=12)
     n_palette = sum(b"PLTE" in pl for pl in p["payload"].to_pylist())
     assert n_palette == 4                 # media_id 2, 5, 8, 11
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7-interlaced PNGs round-trip for every color type and filter
+    type, including dimensions where some passes are empty (1x1, 2x2,
+    3x5) — each pass filters independently, so cross-pass state leaks
+    would corrupt the reconstruction."""
+    from image_deduper_ray.stages.multimodal import (decode_png,
+                                                     encode_png,
+                                                     encode_png_palette)
+
+    rng = np.random.default_rng(29)
+    for hw in [(1, 1), (2, 2), (3, 5), (8, 8), (9, 13)]:
+        for c in (1, 3, 4):
+            for ft in range(5):
+                px = rng.integers(0, 256, size=(*hw, c), dtype=np.uint8)
+                w, h, out = decode_png(encode_png(px, filter_type=ft,
+                                                  interlace=True))
+                assert (w, h) == (hw[1], hw[0])
+                np.testing.assert_array_equal(out, px)
+    # interlaced palette
+    pal = rng.integers(0, 256, size=(7, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, 7, size=(9, 13))]
+    w, h, out = decode_png(encode_png_palette(px, filter_type=4,
+                                              interlace=True))
+    np.testing.assert_array_equal(out, px)
+    # truncated interlaced payload raises, never crashes
+    full = encode_png(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8),
+                      interlace=True)
+    import zlib
+    # rebuild with IDAT cut short by one pass-row
+    pos, chunks = 8, []
+    for_idat = None
+    while pos + 8 <= len(full):
+        ln = int.from_bytes(full[pos:pos + 4], "big")
+        typ = full[pos + 4:pos + 8]
+        if typ == b"IDAT":
+            body = zlib.decompress(full[pos + 8:pos + 8 + ln])
+            for_idat = zlib.compress(body[:-5])
+            chunks.append(None)
+        else:
+            chunks.append(full[pos:pos + 12 + ln])
+        pos += 12 + ln
+    rebuilt = full[:8] + b"".join(
+        (len(for_idat).to_bytes(4, "big") + b"IDAT" + for_idat
+         + zlib.crc32(b"IDAT" + for_idat).to_bytes(4, "big"))
+        if c is None else c for c in chunks)
+    with pytest.raises(ValueError):
+        decode_png(rebuilt)
 
 
 def test_tiff_lzw_roundtrip_and_predictor():
