@@ -103,15 +103,19 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             w = int.from_bytes(data[0:4], "big")
             h = int.from_bytes(data[4:8], "big")
             depth, color, comp, filt, inter = data[8:13]
-            if depth != 8 or color not in (0, 2, 3, 6) \
+            if depth not in (8, 16) or color not in (0, 2, 3, 6) \
+                    or (depth == 16 and color == 3) \
                     or comp or filt or inter not in (0, 1):
                 raise ValueError(
-                    "only 8-bit gray/RGB/palette/RGBA PNG (sequential "
-                    f"or Adam7) is supported (depth={depth} "
-                    f"color_type={color} interlace={inter})")
+                    "only 8/16-bit gray/RGB/palette/RGBA PNG "
+                    f"(sequential or Adam7) is supported (depth={depth}"
+                    f" color_type={color} interlace={inter})")
             # bytes per pixel in the FILTERED scanline: palette rows
-            # carry 1 index byte per pixel, expanded after unfiltering
+            # carry 1 index byte per pixel (expanded after
+            # unfiltering); 16-bit rows carry 2 bytes per sample
             channels = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+            if depth == 16:
+                channels *= 2
         elif typ == b"PLTE":
             if len(data) % 3 or not data:
                 raise ValueError("PNG PLTE length not a multiple of 3")
@@ -149,6 +153,11 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             px[ys::ystep, xs::xstep, :] = sub.reshape(ph, pw, channels)
         if pos != len(raw):
             raise ValueError("PNG pixel data length mismatch")
+    if depth == 16:
+        # samples are big-endian u16; downconvert to 8-bit by MSB
+        # (== sample >> 8, the standard 16->8 reduction)
+        px = np.ascontiguousarray(
+            px.reshape(h, w, channels // 2, 2)[..., 0])
     if color == 3:                          # expand palette -> RGB
         if plte is None:
             raise ValueError("palette PNG (color type 3) missing PLTE")
@@ -273,15 +282,21 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0,
                interlace: bool = False) -> bytes:
     """Minimal PNG writer (round-trip partner of ``decode_png``, used by
     tests and the synth corpus): (H, W, 1|3|4) uint8 (gray / RGB /
-    RGBA), top-down, every row filtered with ``filter_type`` (0..4 —
-    non-zero types exercise the decoder's unfilter paths), optionally
-    Adam7-interlaced."""
+    RGBA) — or uint16 for a depth-16 PNG (big-endian samples) — every
+    row filtered with ``filter_type`` (0..4 — non-zero types exercise
+    the decoder's unfilter paths), optionally Adam7-interlaced."""
     import zlib
 
     h, w, c = pixels.shape
+    if pixels.dtype == np.uint16:
+        depth = 16
+        pixels = pixels.astype(">u2").view(np.uint8).reshape(h, w, 2 * c)
+    else:
+        depth = 8
     body = _png_body(pixels, filter_type, interlace)
     ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-            + bytes([8, {1: 0, 3: 2, 4: 6}[c], 0, 0, int(interlace)]))
+            + bytes([depth, {1: 0, 3: 2, 4: 6}[c], 0, 0,
+                     int(interlace)]))
     return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(body))
             + _png_chunk(b"IEND", b""))

@@ -307,11 +307,12 @@ def test_png_decoder_rejects_unsupported():
 
     with pytest.raises(ValueError):
         decode_png(b"nope")
-    # 16-bit depth / bogus-interlace / 1-bit headers must raise
-    # (grayscale, palette and Adam7 are SUPPORTED since round 5 —
-    # tested separately)
+    # 4-bit depth / bogus-interlace / 1-bit / 16-bit-palette headers
+    # must raise (grayscale, palette, Adam7 and 16-bit are SUPPORTED
+    # since round 5 — tested separately)
     good = encode_png(np.zeros((2, 2, 3), np.uint8))
-    for depth, color, inter in [(16, 2, 0), (8, 2, 2), (1, 0, 0)]:
+    for depth, color, inter in [(4, 2, 0), (8, 2, 2), (1, 0, 0),
+                                (16, 3, 0)]:
         ihdr = (struct.pack(">II", 2, 2) + bytes([depth, color, 0, 0,
                                                   inter]))
         bad = (good[:8]
@@ -514,6 +515,25 @@ def test_tiff_packbits_and_png_subformat_corpus():
     p = synth_png_table(n=12)
     n_palette = sum(b"PLTE" in pl for pl in p["payload"].to_pylist())
     assert n_palette == 4                 # media_id 2, 5, 8, 11
+
+
+def test_png_16bit_roundtrip():
+    """Depth-16 PNGs (big-endian samples) decode with the standard
+    MSB downconversion (sample >> 8), across color types, filter
+    types and both interlace layouts."""
+    from image_deduper_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(31)
+    for c in (1, 3, 4):
+        for ft in range(5):
+            for inter in (False, True):
+                px16 = rng.integers(0, 65536, size=(5, 9, c),
+                                    dtype=np.uint16)
+                w, h, out = decode_png(encode_png(px16, filter_type=ft,
+                                                  interlace=inter))
+                assert (w, h) == (9, 5) and out.dtype == np.uint8
+                np.testing.assert_array_equal(
+                    out, (px16 >> 8).astype(np.uint8))
 
 
 def test_png_adam7_interlace_roundtrip():
