@@ -1486,9 +1486,10 @@ def synth_png_table(n: int = 64, seed: int = 42,
     alone, gating the zlib-inflate + unfilter path end to end. The row
     filter cycles through all five types by media_id so every unfilter
     path (None/Sub/Up/Average/Paeth) is driver-exercised; every third
-    row is palette-encoded (color type 3) and every fourth
-    Adam7-interlaced — same pixels, so the oracle is unchanged while
-    the PLTE-expansion and interlace branches are driver-exercised
+    row is palette-encoded (color type 3), every fourth
+    Adam7-interlaced, and every sixth depth-16 (MSB = the digest byte)
+    — same decoded pixels, so the oracle is unchanged while the
+    PLTE-expansion, interlace and 16-bit branches are driver-exercised
     too."""
     n_px_bytes = width * height * 3
     assert n_px_bytes % 32 == 0, \
@@ -1500,6 +1501,10 @@ def synth_png_table(n: int = 64, seed: int = 42,
         px = np.frombuffer(bytes.fromhex(hx), np.uint8) \
             .reshape(height, width, 3)
         enc = encode_png_palette if i % 3 == 2 else encode_png
+        if i % 6 == 1:                     # depth-16 rows (never palette):
+            # MSB = the digest byte the oracle sums, LSB echoes it, so
+            # the MSB downconversion reproduces the same pixels
+            px = (px.astype(np.uint16) << 8) | px
         rows.append(enc(px, filter_type=i % 5, interlace=i % 4 == 1))
     metas = ['{"claimed": "png"}'] * n
     return pa.table({
@@ -1516,7 +1521,8 @@ def synth_png_gray_table(n: int = 64, seed: int = 42,
     real-decode branch: the 96 gray bytes of each 12x8 image are
     exactly ``unhex(repeat(sha256('pnggray-i-seed'), 3))``, so the same
     digest-hex oracle verifies the 1-channel unfilter path (bpp=1 for
-    every filter type, cycling all five)."""
+    every filter type, cycling all five); odd rows are depth-16 (MSB =
+    the digest byte) and every fourth row Adam7-interlaced."""
     n_px_bytes = width * height
     assert n_px_bytes % 32 == 0, \
         "oracle alignment requires digest-multiple pixel bytes"
@@ -1527,6 +1533,8 @@ def synth_png_gray_table(n: int = 64, seed: int = 42,
             f"pnggray-{i}-{seed}".encode()).hexdigest() * repeats
         px = np.frombuffer(bytes.fromhex(hx), np.uint8) \
             .reshape(height, width, 1)
+        if i % 2 == 1:                     # depth-16 gray rows
+            px = (px.astype(np.uint16) << 8) | px
         rows.append(encode_png(px, filter_type=i % 5,
                                interlace=i % 4 == 3))
     return pa.table({

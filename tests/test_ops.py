@@ -513,8 +513,14 @@ def test_tiff_packbits_and_png_subformat_corpus():
     assert {(i // 6) % 2 for i in range(24)} == {0, 1}
 
     p = synth_png_table(n=12)
-    n_palette = sum(b"PLTE" in pl for pl in p["payload"].to_pylist())
+    payloads = p["payload"].to_pylist()
+    n_palette = sum(b"PLTE" in pl for pl in payloads)
     assert n_palette == 4                 # media_id 2, 5, 8, 11
+    # IHDR depth byte at offset 24, interlace flag at offset 28
+    assert [pl[24] for pl in payloads] == \
+        [16 if i % 6 == 1 else 8 for i in range(12)]
+    assert [pl[28] for pl in payloads] == \
+        [1 if i % 4 == 1 else 0 for i in range(12)]
 
 
 def test_png_16bit_roundtrip():
