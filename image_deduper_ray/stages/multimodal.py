@@ -177,10 +177,11 @@ _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 def _png_unfilter(arr: np.ndarray, bpp: int) -> np.ndarray:
     """Reconstruct one filtered scanline block: ``arr`` is (rows,
     1 + stride) uint8 (filter byte + filtered bytes per row); returns
-    (rows, stride) reconstructed bytes. Filter-0 and Up rows stay
-    vectorized; Sub/Average/Paeth are sequential recurrences by
-    definition. Shared by the sequential and Adam7 paths (each
-    interlace pass filters independently)."""
+    (rows, stride) reconstructed bytes. Filter-0, Up and Sub rows stay
+    vectorized (Sub is a per-channel modular prefix sum);
+    Average/Paeth are sequential recurrences by definition. Shared by
+    the sequential and Adam7 paths (each interlace pass filters
+    independently)."""
     rows, stride = arr.shape[0], arr.shape[1] - 1
     filters = arr[:, 0]
     out = np.zeros((rows, stride), np.uint8)
@@ -193,10 +194,11 @@ def _png_unfilter(arr: np.ndarray, bpp: int) -> np.ndarray:
             rec = cur
         elif f == 2:                        # Up: vectorized
             rec = (cur + prev) & 0xFF
-        elif f == 1:                        # Sub: sequential recurrence
-            rec = cur
-            for x in range(bpp, stride):
-                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif f == 1:                        # Sub: per-channel modular
+            # prefix sum — uint8 cumsum wraps mod 256, exactly the
+            # filter recurrence, so this row stays vectorized too
+            rec = np.cumsum(cur.reshape(-1, bpp), axis=0,
+                            dtype=np.uint8).reshape(stride)
         elif f == 3:                        # Average
             rec = cur
             for x in range(stride):
