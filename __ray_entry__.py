@@ -338,6 +338,25 @@ def _q_media_decode_jpeg(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_media_decode_gif(sf_dir: str):
+    import ray.data
+    from image_deduper_ray.stages.gifcodec import synth_gif_table
+    from image_deduper_ray.stages.multimodal import decode_features
+
+    # the REAL decode branch over GIF — variable-width LSB-first LZW
+    # (the convention validated against real-world GIFs), sub-block
+    # reassembly, global/local color tables, extension skipping and
+    # 4-pass interlace, no imaging library. Palette mapping is
+    # lossless, so the decoded RGB bytes ARE the digest bytes and the
+    # shared digest-hex px_sum oracle applies unchanged; variants
+    # cycle 87a/89a+GCE x global/local table x sequential/interlaced.
+    media = ray.data.from_arrow(synth_gif_table(n=64))
+    feats = decode_features(media, fake=False)
+    return feats.map_batches(
+        lambda t: t.select(["media_id", "width", "height", "px_sum"]),
+        batch_format="pyarrow")
+
+
 def _q_media_phash(sf_dir: str):
     import ray.data
     from image_deduper_ray.stages.multimodal import (bmp_phash,
@@ -562,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_tiff": _q_media_decode_tiff,
         "media_decode_ppm": _q_media_decode_ppm,
         "media_decode_jpeg": _q_media_decode_jpeg,
+        "media_decode_gif": _q_media_decode_gif,
         "media_phash_bmp": _q_media_phash,
         "media_phash_groups": _q_media_phash_groups,
         "media_phash_enhanced": _q_media_phash_enhanced,
@@ -770,6 +790,12 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_jpeg": _px_sum_oracle(
             "jpeg", repeats=1, n_bytes=32, width=64, height=32,
             mult=3 * 64),
+        # media_decode_gif: the engine runs the GIF LZW decode
+        # (LSB-first variable-width codes), sub-block reassembly,
+        # palette mapping and interlace reordering; palette indexing is
+        # lossless so the decoded RGB bytes are exactly the digest
+        # bytes and the shared digest-hex arithmetic verifies the sum
+        "media_decode_gif": _px_sum_oracle("gif"),
         # media_phash_bmp: engine decodes real BMP bytes and computes
         # the reference-shape Standard pHash; the oracle rebuilds the
         # pixel table from the digest hex (BGR bytes, bottom-up rows),

@@ -759,6 +759,7 @@ class DecodeStage:
         # THROUGH to PIL when it is installed — the built-ins narrow the
         # codec gap, they must never shadow a codec that could decode
         # the bytes
+        from .gifcodec import decode_gif
         from .jpegcodec import decode_jpeg, decode_jpeg_recover
 
         decoder = None
@@ -770,6 +771,10 @@ class DecodeStage:
             decoder = decode_tiff
         elif payload[:2] == b"P6":
             decoder = decode_ppm
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            # must precede the embedded-SOI scan: GIF LZW bytes can
+            # contain 0xFFD8 by coincidence
+            decoder = decode_gif
         elif payload[:2] == b"\xff\xd8" or b"\xff\xd8" in payload:
             # leading SOI, or no known magic but an EMBEDDED SOI (the
             # reference's corrupt-JPEG case, jpeg.rs:34-66): recover
@@ -804,8 +809,8 @@ class DecodeStage:
             "no codec for this image payload: PIL is not installed and "
             "the bytes are not an uncompressed BMP, a non-interlaced "
             "8-bit PNG, an uncompressed 8-bit RGB TIFF, a binary PPM, "
-            "or a baseline JPEG; construct DecodeStage(fake=True) for "
-            "the deterministic fake path")
+            "a GIF87a/89a, or a baseline JPEG; construct "
+            "DecodeStage(fake=True) for the deterministic fake path")
 
     def _fake_decode(self, payload: bytes, kind: str
                      ) -> tuple[int, int, int, np.ndarray, int]:

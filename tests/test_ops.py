@@ -52,6 +52,7 @@ SQL_CHECKED = [
     "q3_shipping_priority", "media_decode_tiff", "media_decode_ppm",
     "t_normalized_dup_groups", "media_decode_jpeg",
     "media_phash_enhanced", "media_decode_png_gray",
+    "media_decode_gif",
 ]
 
 
@@ -868,6 +869,105 @@ def test_ppm_decoder_roundtrip_and_rejects():
         hx = hashlib.sha256(f"ppm-{i}-42".encode()).hexdigest() * 3
         assert (w, h) == (8, 4)
         assert int(px.sum()) == sum(bytes.fromhex(hx))
+
+
+def test_gif_lzw_roundtrip_and_conventions():
+    """GIF LZW is NOT the TIFF LZW with a flag: LSB-first packing, no
+    early-change bump, variable minimum code size. Roundtrip across
+    min code sizes and sizes big enough to grow codes to 12 bits and
+    trigger the table-reset Clear; decode rejects a stream that does
+    not start with Clear and codes beyond the table."""
+    from image_deduper_ray.stages.gifcodec import (gif_lzw_decode,
+                                                   gif_lzw_encode)
+
+    rng = np.random.default_rng(7)
+    for mcs in (2, 4, 8):
+        for size in (0, 1, 10, 1000, 20000):
+            data = rng.integers(0, 1 << mcs, size).astype(np.uint8) \
+                .tobytes()
+            assert gif_lzw_decode(gif_lzw_encode(data, mcs), mcs) == data
+    # repetitive data drives table growth fastest (deep prefixes)
+    data = b"abcd" * 6000
+    assert gif_lzw_decode(gif_lzw_encode(data, 8), 8) == data
+
+    with pytest.raises(ValueError):
+        gif_lzw_decode(b"\x00\x00", 8)      # code 0 before Clear
+    with pytest.raises(ValueError):
+        gif_lzw_encode(b"", 1)              # mcs below GIF minimum
+    # truncation clamps at EOF instead of raising (real-decoder
+    # tolerance; the container layer decides via the pixel count)
+    enc = gif_lzw_encode(b"abcdefgh" * 40, 8)
+    short = gif_lzw_decode(enc[: len(enc) // 2], 8)
+    assert (b"abcdefgh" * 40).startswith(short) and 0 < len(short) < 320
+
+
+def test_gif_container_roundtrip_variants():
+    """encode_gif -> decode_gif is pixel-exact across every variant the
+    synth corpus cycles: 87a/89a+GCE, global/local color table,
+    sequential/4-pass interlaced; rejects cover bad magic, truncated
+    descriptors, missing color table and >256 colors."""
+    from image_deduper_ray.stages.gifcodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(13)
+    for interlace in (False, True):
+        for local in (False, True):
+            for ver, gce in ((b"GIF87a", False), (b"GIF89a", True)):
+                px = ((rng.integers(0, 256, (16, 13, 3)) // 32) * 32) \
+                    .astype(np.uint8)
+                p = encode_gif(px, interlace=interlace,
+                               local_palette=local, version=ver,
+                               with_gce=gce)
+                w, h, out = decode_gif(p)
+                assert (w, h) == (13, 16)
+                np.testing.assert_array_equal(out, px)
+
+    with pytest.raises(ValueError):
+        decode_gif(b"nope")
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a\x01\x00")       # truncated LSD
+    with pytest.raises(ValueError):
+        # no global table, image descriptor without local table
+        decode_gif(b"GIF89a" + b"\x02\x00\x02\x00\x00\x00\x00"
+                   + b"\x2c" + b"\x00" * 8 + b"\x00")
+    with pytest.raises(ValueError):
+        i = np.arange(300)
+        many = np.stack([i % 256, i // 256, np.zeros_like(i)], axis=1) \
+            .astype(np.uint8).reshape(10, 30, 3)   # 300 unique colors
+        encode_gif(many)
+
+
+def test_gif_truncation_tolerance_and_stage_end_to_end():
+    """A GIF whose pixel data is cut mid-stream still decodes (missing
+    rows pad with the background color) — the behavior real decoders
+    exhibit on a real-world truncated earth.gif. And the non-fake
+    DecodeStage over the synth corpus matches the digest px_sum
+    invariant end to end through the registry dispatch."""
+    import hashlib
+
+    import ray.data
+    from image_deduper_ray.stages.gifcodec import (decode_gif,
+                                                   encode_gif,
+                                                   synth_gif_table)
+    from image_deduper_ray.stages.multimodal import decode_features
+
+    rng = np.random.default_rng(17)
+    px = (rng.integers(0, 8, (32, 32, 1)) * 30).astype(np.uint8) \
+        .repeat(3, axis=2)
+    p = encode_gif(px)
+    w, h, out = decode_gif(p[: len(p) // 2])
+    assert (w, h, out.shape) == (32, 32, (32, 32, 3))
+    # the decoded prefix is intact; only the tail is padded
+    flat_in, flat_out = px.reshape(-1, 3), out.reshape(-1, 3)
+    n_exact = int((flat_in == flat_out).all(axis=1).sum())
+    assert n_exact >= len(flat_in) // 4
+
+    t = synth_gif_table(n=16)
+    res = decode_features(ray.data.from_arrow(t), fake=False) \
+        .to_pandas().set_index("media_id").sort_index()
+    for i in range(16):
+        hx = hashlib.sha256(f"gif-{i}-42".encode()).hexdigest() * 3
+        assert res.loc[i, "px_sum"] == sum(bytes.fromhex(hx)), i
+        assert (res.loc[i, "width"], res.loc[i, "height"]) == (8, 4)
 
 
 def test_phash64_properties():
