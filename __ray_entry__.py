@@ -357,6 +357,23 @@ def _q_media_decode_gif(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_media_cross_format_groups(sf_dir: str):
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (
+        cross_format_phash_groups, synth_cross_format_table)
+
+    # the reference's core promise across the WHOLE codec registry:
+    # the same image encoded six ways (BMP / PNG / TIFF / PPM / GIF /
+    # JPEG) must decode to identical pixels, hash to the identical
+    # Standard pHash, and land in one duplicate group. The corpus uses
+    # the JPEG-exact flat-tile construction so all six decodes are
+    # bit-identical and the oracle recomputes the pHash — and the
+    # grouping — from digest hex alone; any drift in ANY of the six
+    # decoders, the hash, or the grouping shuffle breaks the match.
+    media = ray.data.from_arrow(synth_cross_format_table(n_groups=12))
+    return cross_format_phash_groups(media)
+
+
 def _q_media_phash(sf_dir: str):
     import ray.data
     from image_deduper_ray.stages.multimodal import (bmp_phash,
@@ -582,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode_ppm": _q_media_decode_ppm,
         "media_decode_jpeg": _q_media_decode_jpeg,
         "media_decode_gif": _q_media_decode_gif,
+        "media_cross_format_groups": _q_media_cross_format_groups,
         "media_phash_bmp": _q_media_phash,
         "media_phash_groups": _q_media_phash_groups,
         "media_phash_enhanced": _q_media_phash_enhanced,
@@ -796,6 +814,38 @@ def oracle_sql() -> dict[str, str]:
         # lossless so the decoded RGB bytes are exactly the digest
         # bytes and the shared digest-hex arithmetic verifies the sum
         "media_decode_gif": _px_sum_oracle("gif"),
+        # media_cross_format_groups: the oracle rebuilds each group's
+        # 8x8 sampled luma grid from digest hex (pixel (i,j) of the
+        # 64x32 flat-tile image samples digest byte (i//2)*8 + j; gray
+        # RGB makes luma 1000*byte, and the 1000 cancels in the strict
+        # mean threshold 64*v > sum), packs the bits into the same
+        # LSB-first hex phash, and fans each group out to its six
+        # media_ids with group_id = min id = 6*group — so the engine's
+        # six decoders, pHash and grouping shuffle must all agree
+        "media_cross_format_groups":
+            "WITH m AS (SELECT CAST(g AS BIGINT) AS grp, "
+            "    sha256('xf-' || g || '-42') AS hx FROM range(12) t(g)), "
+            "b AS (SELECT grp, r.j AS j, "
+            "    (strpos('0123456789abcdef', "
+            "      substr(hx, CAST(2*r.j+1 AS INT), 1)) - 1) * 16 "
+            "  + (strpos('0123456789abcdef', "
+            "      substr(hx, CAST(2*r.j+2 AS INT), 1)) - 1) AS v "
+            "  FROM m, range(32) r(j)), "
+            "lum AS (SELECT b.grp, p.p AS p, b.v AS v FROM range(64) p(p) "
+            "  JOIN b ON b.j = ((p.p // 8) // 2) * 8 + (p.p % 8)), "
+            "s AS (SELECT grp, SUM(v) AS s FROM lum GROUP BY grp), "
+            "bits AS (SELECT l.grp, l.p, "
+            "    CASE WHEN 64 * l.v > s.s THEN 1 ELSE 0 END AS bit "
+            "  FROM lum l JOIN s USING (grp)), "
+            "nib AS (SELECT grp, p // 4 AS q, "
+            "    SUM(bit * (1 << (p % 4))) AS val FROM bits "
+            "  GROUP BY grp, p // 4), "
+            "ph AS (SELECT grp, string_agg(substr('0123456789abcdef', "
+            "    CAST(val + 1 AS INT), 1), '' ORDER BY q DESC) AS phash "
+            "  FROM nib GROUP BY grp) "
+            "SELECT CAST(6 * ph.grp + f.f AS BIGINT) AS media_id, "
+            "ph.phash AS phash, CAST(6 * ph.grp AS BIGINT) AS group_id "
+            "FROM ph, range(6) f(f)",
         # media_phash_bmp: engine decodes real BMP bytes and computes
         # the reference-shape Standard pHash; the oracle rebuilds the
         # pixel table from the digest hex (BGR bytes, bottom-up rows),

@@ -714,6 +714,44 @@ MEDIA_SCHEMA = pa.schema([
 MEDIA_BATCH_SIZE = 16
 
 
+def _builtin_decoder_for(payload: bytes):
+    """Magic-bytes dispatch over the six built-in (codec-less) image
+    decoders; None when no magic is recognized. Shared by DecodeStage
+    and the cross-format perceptual ops so the format registry can
+    never fork."""
+    from .gifcodec import decode_gif
+    from .jpegcodec import decode_jpeg_recover
+
+    if payload[:2] == b"BM":
+        return decode_bmp
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff
+    if payload[:2] == b"P6":
+        return decode_ppm
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # must precede the embedded-SOI scan: GIF LZW bytes can
+        # contain 0xFFD8 by coincidence
+        return decode_gif
+    if payload[:2] == b"\xff\xd8" or b"\xff\xd8" in payload:
+        # leading SOI, or no known magic but an EMBEDDED SOI (the
+        # reference's corrupt-JPEG case, jpeg.rs:34-66): recover
+        # tries the direct decode first, then scans-and-retries
+        return decode_jpeg_recover
+    return None
+
+
+def decode_image_builtin(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode any payload the built-in registry recognizes to
+    ``(width, height, RGB uint8 pixels)``; ValueError on unknown magic
+    (callers with a PIL fallback use ``_builtin_decoder_for``)."""
+    decoder = _builtin_decoder_for(payload)
+    if decoder is None:
+        raise ValueError("no built-in decoder recognizes this payload")
+    return decoder(payload)
+
+
 class DecodeStage:
     """Actor-pool stage: decode payload -> fixed-size feature vector.
 
@@ -759,27 +797,7 @@ class DecodeStage:
         # THROUGH to PIL when it is installed — the built-ins narrow the
         # codec gap, they must never shadow a codec that could decode
         # the bytes
-        from .gifcodec import decode_gif
-        from .jpegcodec import decode_jpeg, decode_jpeg_recover
-
-        decoder = None
-        if payload[:2] == b"BM":
-            decoder = decode_bmp
-        elif payload[:8] == _PNG_MAGIC:
-            decoder = decode_png
-        elif payload[:4] in (b"II*\x00", b"MM\x00*"):
-            decoder = decode_tiff
-        elif payload[:2] == b"P6":
-            decoder = decode_ppm
-        elif payload[:6] in (b"GIF87a", b"GIF89a"):
-            # must precede the embedded-SOI scan: GIF LZW bytes can
-            # contain 0xFFD8 by coincidence
-            decoder = decode_gif
-        elif payload[:2] == b"\xff\xd8" or b"\xff\xd8" in payload:
-            # leading SOI, or no known magic but an EMBEDDED SOI (the
-            # reference's corrupt-JPEG case, jpeg.rs:34-66): recover
-            # tries the direct decode first, then scans-and-retries
-            decoder = decode_jpeg_recover
+        decoder = _builtin_decoder_for(payload)
         if decoder is not None:
             try:
                 w, h, px = decoder(payload)
@@ -1066,6 +1084,93 @@ def bmp_phash_groups(media: ray.data.Dataset, max_hamming: int = 3,
     return out.map_batches(
         lambda t: t.rename_columns(["media_id", "group_id"]),
         batch_format="pyarrow")
+
+
+def cross_format_phash_groups(media: ray.data.Dataset,
+                              *, grid: int = 8) -> ray.data.Dataset:
+    """The reference's core promise exercised across the whole codec
+    registry: the SAME image encoded as BMP / PNG / TIFF / PPM / GIF /
+    JPEG must land in ONE duplicate group (image-deduper's
+    format-agnostic grouping intent — its catalog treats formats as an
+    open enum, ``crates/image-deduper-core/src/types.rs:14-21``, and
+    hashes DECODED pixels, ``src/processing/core.rs:37-104``, so
+    re-encodes are dups by construction).
+
+    Shape: stateless map_batches decodes each payload through the
+    magic-bytes registry and emits the Standard pHash as hex, then a
+    phash-hash-partitioned shuffle assigns ``group_id = min media_id``
+    per identical hash — exact grouping, no pair generation, the same
+    partitioned-group-map machinery as exact sha256 dedup (volume
+    O(rows), content never crossing the shuffle twice). Returns
+    (media_id, phash, group_id)."""
+    import pandas as pd
+
+    from ..functions.groups import group_starts, partitioned_group_map
+
+    def sig(t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_pylist()
+        out = []
+        for p in t["payload"].to_pylist():
+            _, _, px = decode_image_builtin(p or b"")
+            out.append(format(phash64(px, grid), "016x"))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "phash": pa.array(out, pa.string())})
+
+    sigs = media.map_batches(sig, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             batch_size=MEDIA_BATCH_SIZE)
+
+    out_schema = pa.schema([("media_id", pa.int64()),
+                            ("phash", pa.string()),
+                            ("group_id", pa.int64())])
+
+    def label_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"media_id": pd.Series([], dtype=np.int64),
+                                 "phash": pd.Series([], dtype=str),
+                                 "group_id": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["phash", "media_id"], kind="mergesort")
+        ids = df["media_id"].to_numpy(np.int64)
+        starts = group_starts(df["phash"].to_numpy())
+        gid = ids[starts][np.cumsum(starts) - 1]
+        return pd.DataFrame({"media_id": ids,
+                             "phash": df["phash"].to_numpy(),
+                             "group_id": gid})
+
+    return partitioned_group_map(sigs, ["phash"], label_block, None,
+                                 out_schema=out_schema)
+
+
+def synth_cross_format_table(n_groups: int = 12, seed: int = 42) -> pa.Table:
+    """``n_groups`` images, each encoded SIX ways (BMP, PNG, TIFF, PPM,
+    GIF, JPEG) from identical pixels — the cross-format dup corpus.
+    Pixels use the JPEG-exact construction (each 8x8 tile flat at one
+    sha256 digest byte, gray replicated to RGB, 64x32) so ALL six
+    decodes are bit-identical and the pHash — and therefore the
+    grouping — is reproducible from digest hex alone in SQL.
+    media_id = group*6 + format, so the expected group_id is 6*group."""
+    from .gifcodec import encode_gif
+    from .jpegcodec import encode_jpeg
+
+    rows = []
+    metas = []
+    for g in range(n_groups):
+        digest = hashlib.sha256(f"xf-{g}-{seed}".encode()).digest()
+        tiles = np.frombuffer(digest, np.uint8).reshape(4, 8)
+        y = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)   # 32 x 64
+        px = np.repeat(y[:, :, None], 3, axis=2)
+        rows += [encode_bmp_24(px), encode_png(px),
+                 encode_tiff_rgb(px), encode_ppm(px),
+                 encode_gif(px), encode_jpeg(y)]
+        metas += ['{"claimed": "%s"}' % f
+                  for f in ("bmp", "png", "tiff", "ppm", "gif", "jpeg")]
+    n = 6 * n_groups
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "kind": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(rows, pa.binary()),
+        "meta": pa.array(metas, pa.string()),
+    }, schema=MEDIA_SCHEMA)
 
 
 ENHANCED_MIN_PX = 256                  # w*h at/above -> Enhanced variant

@@ -52,7 +52,7 @@ SQL_CHECKED = [
     "q3_shipping_priority", "media_decode_tiff", "media_decode_ppm",
     "t_normalized_dup_groups", "media_decode_jpeg",
     "media_phash_enhanced", "media_decode_png_gray",
-    "media_decode_gif",
+    "media_decode_gif", "media_cross_format_groups",
 ]
 
 
@@ -968,6 +968,36 @@ def test_gif_truncation_tolerance_and_stage_end_to_end():
         hx = hashlib.sha256(f"gif-{i}-42".encode()).hexdigest() * 3
         assert res.loc[i, "px_sum"] == sum(bytes.fromhex(hx)), i
         assert (res.loc[i, "width"], res.loc[i, "height"]) == (8, 4)
+
+
+def test_cross_format_groups_all_six_codecs_agree(ray_session):
+    """The same pixels encoded as BMP / PNG / TIFF / PPM / GIF / JPEG
+    must decode bit-identically through the registry, hash to the
+    identical pHash, and group together — and a perturbed group must
+    NOT merge with its original. Exercises every built-in decoder in
+    one distributed run."""
+    import ray.data
+    from image_deduper_ray.stages.multimodal import (
+        cross_format_phash_groups, decode_image_builtin,
+        synth_cross_format_table)
+
+    t = synth_cross_format_table(n_groups=8)
+    # decoder agreement, directly: all six payloads of a group decode
+    # to the same array
+    payloads = t["payload"].to_pylist()
+    ref = decode_image_builtin(payloads[0])[2]
+    for p in payloads[1:6]:
+        np.testing.assert_array_equal(decode_image_builtin(p)[2], ref)
+
+    out = cross_format_phash_groups(ray.data.from_arrow(t)) \
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert len(out) == 48
+    for g in range(8):
+        rows = out[out.media_id // 6 == g]
+        assert rows.group_id.nunique() == 1
+        assert rows.group_id.iloc[0] == 6 * g
+        assert rows.phash.nunique() == 1
+    assert out.group_id.nunique() == 8
 
 
 def test_phash64_properties():
