@@ -464,6 +464,17 @@ def _q_shipping_priority(sf_dir: str):
     return shipping_priority(sf_dir)
 
 
+def _q_local_supplier_volume(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import local_supplier_volume
+
+    # TPC-H Q5 shape, six tables: region x nation reduce on the driver,
+    # customer + supplier as sorted-array broadcasts (byte-capped),
+    # orders and lineitem stream with date pruning at the read, and the
+    # same-nation predicate applies at the byte-capped order attach —
+    # no fact-table shuffle below the cap, one tiny nation merge
+    return local_supplier_volume(sf_dir)
+
+
 def _q_stratified_sample(sf_dir: str):
     from image_deduper_ray.pipelines.textops import stratified_sample
     return stratified_sample(sf_dir)
@@ -612,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j_orders_by_segment": _q_orders_by_segment,
         "e_distinct_users_daily": _q_distinct_users_daily,
         "q3_shipping_priority": _q_shipping_priority,
+        "q5_local_supplier_volume": _q_local_supplier_volume,
     }
 
 
@@ -1152,6 +1164,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM l JOIN o ON l.l_orderkey = o.o_orderkey "
             "GROUP BY l_orderkey, o_orderdate "
             "ORDER BY revenue_cents DESC, l_orderkey LIMIT 10",
+        # q5_local_supplier_volume: TPC-H Q5 shape — six tables, the
+        # same-nation (customer == supplier) predicate, revenue as the
+        # repo-wide exact integer cents rule
+        "q5_local_supplier_volume":
+            "SELECT n_name, CAST(SUM(CAST(FLOOR(l_extendedprice * "
+            "(1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS "
+            "revenue_cents "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name ORDER BY revenue_cents DESC",
         "l_pricing_summary":
             "SELECT l_returnflag, l_linestatus, "
             "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "

@@ -288,3 +288,208 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
     # single logical group: reduce input <= limit x num_blocks rows
     return partitioned_group_map(cands, ["g"], final, 2,
                                  out_schema=out_schema)
+
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+
+def local_supplier_volume(sf_dir: str, region: str = Q5_REGION,
+                          date_lo: str = Q5_DATE_LO,
+                          date_hi: str = Q5_DATE_HI,
+                          dim_broadcast_max: int = 64 << 20
+                          ) -> ray.data.Dataset:
+    """(n_name, revenue_cents) — the TPC-H Q5 shape over SIX tables:
+    revenue from lineitems whose supplier AND ordering customer sit in
+    the same nation of one region, for orders placed in [date_lo,
+    date_hi). The widest join pattern in the battery — and the one
+    that shows why dimension-size tiering matters at 100 TB:
+
+    - region x nation (O(10) rows) reduce on the driver to the
+      in-region nationkey set + the nationkey -> name map;
+    - customer and supplier are BROADCAST dimensions: their
+      (key, nationkey) pairs stream-collect under a byte cap
+      (``collect_i64_under_cap`` — loud failure past it), sort once,
+      ship once via ``ray.put``, and every fact batch resolves
+      membership with a vectorized searchsorted — no shuffle;
+    - orders (big) streams: date-pruned at the Parquet read, probes
+      the customer broadcast, emits only (o_orderkey, c_nat);
+    - lineitem (biggest) streams: probes the supplier broadcast,
+      pre-reduces to integer cents per (l_orderkey, s_nat), then the
+      order side attaches via the byte-capped zero-copy broadcast
+      with the partitioned hash-join fallback
+      (``broadcast_attach_i64``) — the fact table never shuffles
+      below the cap, and the same-nation predicate (c_nat == s_nat)
+      applies right at the attach;
+    - per-block partial sums collapse to O(25 nations) rows before
+      the only tiny shuffle (group-merge by nation).
+
+    Money is exact integer cents (floor(x*100 + 0.5)), bit-stable
+    under any summation order, same rule as the SQL oracle."""
+    import datetime
+
+    import ray as _ray
+
+    from ..functions.joins import broadcast_attach_i64, collect_i64_under_cap
+
+    lo = datetime.datetime.fromisoformat(date_lo)
+    hi = datetime.datetime.fromisoformat(date_hi)
+
+    # region x nation: O(10) rows — a driver-side reduce is the right
+    # plan at any scale
+    rg = ray.data.read_parquet(f"{sf_dir}/region.parquet",
+                               columns=["r_regionkey", "r_name"]) \
+        .to_pandas()
+    rkeys = set(rg.loc[rg.r_name == region, "r_regionkey"].astype(int))
+    na = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    na = na[na.n_regionkey.astype(int).isin(rkeys)]
+    nation_keys = np.sort(na.n_nationkey.to_numpy(np.int64))
+    nation_names = na.set_index(na.n_nationkey.astype(np.int64))["n_name"] \
+        .to_dict()
+
+    def _nation_dim(path: str, key: str, nat: str) -> tuple:
+        """Collect a (key, nationkey) dimension restricted to in-region
+        nations, sorted by key, broadcast once."""
+        ds = ray.data.read_parquet(f"{sf_dir}/{path}",
+                                   columns=[key, nat])
+        got = collect_i64_under_cap(ds, [key, nat], dim_broadcast_max)
+        if got is None:
+            raise ValueError(
+                f"{path} exceeds the dimension broadcast budget "
+                f"({dim_broadcast_max} B); raise dim_broadcast_max or "
+                "route through the partitioned hash_join")
+        keys, nats = got
+        keep = np.isin(nats, nation_keys)
+        keys, nats = keys[keep], nats[keep]
+        order = np.argsort(keys, kind="stable")
+        return _ray.put(keys[order]), _ray.put(nats[order])
+
+    ck_ref, cn_ref = _nation_dim("customer.parquet", "c_custkey",
+                                 "c_nationkey")
+    sk_ref, sn_ref = _nation_dim("supplier.parquet", "s_suppkey",
+                                 "s_nationkey")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= pc.scalar(lo))
+                & (pc.field("o_orderdate") < pc.scalar(hi))))
+
+    def order_cnat(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                          "c_nat": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        # residual re-filter: the pushdown prunes row groups, the
+        # predicate must still hold row-exactly
+        mask = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                       pc.less(t["o_orderdate"], pa.scalar(hi))) \
+            .combine_chunks()
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return empty
+        ck, cn = ray.get(ck_ref), ray.get(cn_ref)
+        if len(ck) == 0:
+            return empty
+        custs = t["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(ck, custs).clip(0, len(ck) - 1)
+        hit = ck[pos] == custs
+        return pa.table({
+            "o_orderkey": pa.array(t["o_orderkey"]
+                                   .to_numpy(zero_copy_only=False)
+                                   .astype(np.int64)[hit]),
+            "c_nat": pa.array(cn[pos[hit]])})
+
+    okeys = orders.map_batches(order_cnat, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                          "s_nat": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        sk, sn = ray.get(sk_ref), ray.get(sn_ref)
+        if len(sk) == 0:
+            return empty
+        supps = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(sk, supps).clip(0, len(sk) - 1)
+        hit = sk[pos] == supps           # supplier in an in-region nation
+        if not hit.any():
+            return empty
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+        dc = t["l_discount"].to_numpy(zero_copy_only=False)[hit]
+        cents = np.floor(ep * (1 - dc) * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)[hit],
+            "s_nat": sn[pos[hit]], "cents": cents})
+        g = df.groupby(["l_orderkey", "s_nat"], sort=False)["cents"] \
+            .sum().reset_index()
+        return pa.table({
+            "l_orderkey": pa.array(g["l_orderkey"].to_numpy(np.int64)),
+            "s_nat": pa.array(g["s_nat"].to_numpy(np.int64)),
+            "cents": pa.array(g["cents"].to_numpy(np.int64))})
+
+    partials = line.map_batches(line_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    attached = broadcast_attach_i64(partials, "l_orderkey", okeys,
+                                    "o_orderkey", "c_nat", "c_nat")
+
+    nat_schema = pa.schema([("n_nationkey", pa.int64()),
+                            ("cents", pa.int64())])
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return nat_schema.empty_table()
+        c_nat = t["c_nat"].to_numpy(zero_copy_only=False)
+        s_nat = t["s_nat"].to_numpy(zero_copy_only=False)
+        # same-nation predicate right at the attach (c_nat is null
+        # where the order is out of range or out of region)
+        keep = ~pd.isna(c_nat)
+        keep &= np.where(keep, c_nat == s_nat, False)
+        if not keep.any():
+            return nat_schema.empty_table()
+        df = pd.DataFrame({
+            "n_nationkey": s_nat[keep].astype(np.int64),
+            "cents": t["cents"].to_numpy(zero_copy_only=False)[keep]
+            .astype(np.int64)})
+        g = df.groupby("n_nationkey", sort=False)["cents"].sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, schema=nat_schema,
+                                    preserve_index=False)
+
+    nat_partials = attached.map_batches(nation_partial,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True)
+
+    out_schema = pa.schema([("n_name", pa.string()),
+                            ("revenue_cents", pa.int64())])
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"n_name": pd.Series([], dtype=object),
+                 "revenue_cents": pd.Series([], dtype=np.int64)})
+        df = df.sort_values("n_nationkey", kind="mergesort")
+        ks = df["n_nationkey"].to_numpy(np.int64)
+        starts = np.flatnonzero(group_starts(ks))
+        return pd.DataFrame({
+            "n_name": np.array([nation_names[int(k)] for k in ks[starts]],
+                               dtype=object),
+            "revenue_cents": np.add.reduceat(
+                df["cents"].to_numpy(np.int64), starts)})
+
+    # merge input is O(nations x blocks) partial rows — tiny
+    return partitioned_group_map(nat_partials, ["n_nationkey"], merge, 2,
+                                 out_schema=out_schema)

@@ -16,7 +16,7 @@ SF = "/root/testdata/sf0.001"
 def con():
     c = duckdb.connect()
     for t in ["documents", "embeddings", "events", "orders", "customer",
-              "lineitem"]:
+              "lineitem", "supplier", "nation", "region"]:
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
               f"read_parquet('{SF}/{t}.parquet')")
     return c
@@ -53,6 +53,7 @@ SQL_CHECKED = [
     "t_normalized_dup_groups", "media_decode_jpeg",
     "media_phash_enhanced", "media_decode_png_gray",
     "media_decode_gif", "media_cross_format_groups",
+    "q5_local_supplier_volume",
 ]
 
 
