@@ -475,6 +475,16 @@ def _q_local_supplier_volume(sf_dir: str):
     return local_supplier_volume(sf_dir)
 
 
+def _q_large_orders(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import large_orders
+
+    # TPC-H Q18 shape: a big-table self-aggregation (lineitem qty per
+    # order, combiner-first, HAVING inside the merge) whose tiny
+    # qualifying key set broadcasts back to prune the orders stream —
+    # the sum rides the broadcast so lineitem is scanned exactly once
+    return large_orders(sf_dir)
+
+
 def _q_stratified_sample(sf_dir: str):
     from image_deduper_ray.pipelines.textops import stratified_sample
     return stratified_sample(sf_dir)
@@ -624,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_distinct_users_daily": _q_distinct_users_daily,
         "q3_shipping_priority": _q_shipping_priority,
         "q5_local_supplier_volume": _q_local_supplier_volume,
+        "q18_large_orders": _q_large_orders,
     }
 
 
@@ -1179,6 +1190,22 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate >= TIMESTAMP '1996-01-01' "
             "AND o_orderdate < TIMESTAMP '1997-01-01' "
             "GROUP BY n_name ORDER BY revenue_cents DESC",
+        # q18_large_orders: TPC-H Q18 shape — orders whose total
+        # lineitem quantity exceeds the threshold, with customer name;
+        # totalprice as the repo-wide exact integer cents
+        "q18_large_orders":
+            "SELECT c_name, o_custkey, o_orderkey, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS "
+            "total_cents, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) "
+            "AS sum_qty "
+            "FROM customer, orders, lineitem "
+            "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+            "  GROUP BY l_orderkey "
+            "  HAVING SUM(CAST(l_quantity AS BIGINT)) > 280) "
+            "AND c_custkey = o_custkey AND o_orderkey = l_orderkey "
+            "GROUP BY c_name, o_custkey, o_orderkey, o_orderdate, "
+            "o_totalprice",
         "l_pricing_summary":
             "SELECT l_returnflag, l_linestatus, "
             "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "

@@ -493,3 +493,146 @@ def local_supplier_volume(sf_dir: str, region: str = Q5_REGION,
     # merge input is O(nations x blocks) partial rows — tiny
     return partitioned_group_map(nat_partials, ["n_nationkey"], merge, 2,
                                  out_schema=out_schema)
+
+
+Q18_MIN_QTY = 280
+
+
+def large_orders(sf_dir: str, min_qty: int = Q18_MIN_QTY,
+                 hot_broadcast_max: int = 64 << 20) -> ray.data.Dataset:
+    """(c_name, o_custkey, o_orderkey, o_orderdate, total_cents,
+    sum_qty) — the TPC-H Q18 shape: orders whose TOTAL lineitem
+    quantity exceeds ``min_qty``, with their customer name.
+
+    The pattern the battery lacked: a BIG-table self-aggregation whose
+    qualifying key set is tiny, broadcast back to prune the other big
+    streams. Scale shape:
+
+    - lineitem pre-reduces (orderkey, qty) per block, then ONE
+      hash-partitioned sum by orderkey — the only wide op, volume
+      O(distinct orderkeys per block) after the combiner;
+    - the HAVING filter runs inside the merge block, so only
+      qualifying (orderkey, sum_qty) rows ever leave the shuffle —
+      a handful by construction — and they stream-collect under a
+      byte cap (loud failure past it) and broadcast sorted;
+    - orders streams once, probes the hot set with searchsorted, and
+      carries sum_qty along from the aligned broadcast array — the
+      second lineitem scan Q18 naively implies never happens;
+    - c_name attaches via the byte-capped zero-copy Arrow broadcast
+      (hash-join fallback past the cap); the final render is a
+      single tiny group.
+
+    Money is exact integer cents; quantities are exact int64 sums."""
+    import ray as _ray
+
+    from ..functions.joins import broadcast_attach_str, collect_i64_under_cap
+
+    line = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                 columns=["l_orderkey", "l_quantity"])
+
+    pre_schema = pa.schema([("l_orderkey", pa.int64()),
+                            ("qty", pa.int64())])
+
+    def pre(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pre_schema.empty_table()
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "qty": t["l_quantity"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        g = df.groupby("l_orderkey", sort=False)["qty"].sum().reset_index()
+        return pa.Table.from_pandas(g, schema=pre_schema,
+                                    preserve_index=False)
+
+    def having(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"l_orderkey": pd.Series([], dtype=np.int64),
+                                 "qty": pd.Series([], dtype=np.int64)})
+        df = df.sort_values("l_orderkey", kind="mergesort")
+        ks = df["l_orderkey"].to_numpy(np.int64)
+        starts = np.flatnonzero(group_starts(ks))
+        sums = np.add.reduceat(df["qty"].to_numpy(np.int64), starts)
+        keep = sums > min_qty
+        return pd.DataFrame({"l_orderkey": ks[starts][keep],
+                             "qty": sums[keep]})
+
+    hot = partitioned_group_map(
+        line.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"], having, None, out_schema=pre_schema)
+
+    got = collect_i64_under_cap(hot, ["l_orderkey", "qty"],
+                                hot_broadcast_max)
+    if got is None:
+        raise ValueError(
+            "qualifying order set exceeds the broadcast budget "
+            f"({hot_broadcast_max} B); raise min_qty or hot_broadcast_max")
+    hkeys, hsums = got
+    order = np.argsort(hkeys, kind="stable")
+    hk_ref = _ray.put(hkeys[order])
+    hs_ref = _ray.put(hsums[order])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                          "o_custkey": pa.array([], pa.int64()),
+                          "odays": pa.array([], pa.int64()),
+                          "total_cents": pa.array([], pa.int64()),
+                          "sum_qty": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        hk = ray.get(hk_ref)
+        if len(hk) == 0:
+            return empty
+        oks = t["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(hk, oks).clip(0, len(hk) - 1)
+        hit = hk[pos] == oks
+        if not hit.any():
+            return empty
+        hs = ray.get(hs_ref)
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[hit]
+        tp = t["o_totalprice"].to_numpy(zero_copy_only=False)[hit]
+        return pa.table({
+            "o_orderkey": pa.array(oks[hit]),
+            "o_custkey": pa.array(t["o_custkey"]
+                                  .to_numpy(zero_copy_only=False)
+                                  .astype(np.int64)[hit]),
+            "odays": pa.array(us // 86_400_000_000),
+            "total_cents": pa.array(np.floor(tp * 100 + 0.5)
+                                    .astype(np.int64)),
+            "sum_qty": pa.array(hs[pos[hit]])})
+
+    picked = orders.map_batches(pick, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+    named = broadcast_attach_str(picked, "o_custkey", cust, "c_custkey",
+                                 "c_name", "c_name")
+
+    out_schema = pa.schema([
+        ("c_name", pa.string()), ("o_custkey", pa.int64()),
+        ("o_orderkey", pa.int64()), ("o_orderdate", pa.string()),
+        ("total_cents", pa.int64()), ("sum_qty", pa.int64())])
+
+    def render(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        days = t["odays"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dates = np.datetime_as_string(days.astype("datetime64[D]"),
+                                      unit="D").astype(object)
+        return pa.table({
+            "c_name": t["c_name"],
+            "o_custkey": t["o_custkey"],
+            "o_orderkey": t["o_orderkey"],
+            "o_orderdate": pa.array(dates, pa.string()),
+            "total_cents": t["total_cents"],
+            "sum_qty": t["sum_qty"]})
+
+    return named.map_batches(render, batch_format="pyarrow",
+                             zero_copy_batch=True)

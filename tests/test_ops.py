@@ -53,7 +53,7 @@ SQL_CHECKED = [
     "t_normalized_dup_groups", "media_decode_jpeg",
     "media_phash_enhanced", "media_decode_png_gray",
     "media_decode_gif", "media_cross_format_groups",
-    "q5_local_supplier_volume",
+    "q5_local_supplier_volume", "q18_large_orders",
 ]
 
 
