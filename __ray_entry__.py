@@ -490,6 +490,18 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_sample(sf_dir)
 
 
+def _q_hll_user_registers(sf_dir: str):
+    from image_deduper_ray.pipelines.events import hll_user_registers
+
+    # the sketch-based scale path beside the exact distinct shuffle:
+    # HyperLogLog registers merge associatively (MAX per bucket), so
+    # shuffle volume is O(4096) per block regardless of cardinality.
+    # Emitting registers (not the estimate) keeps it integer-exact and
+    # SQL-oracle-able: the oracle recomputes bucket and leading-zero
+    # rank from sha256 hex digits per user
+    return hll_user_registers(sf_dir)
+
+
 def _q_asof_join(sf_dir: str):
     from image_deduper_ray.pipelines.events import asof_match
     return asof_match(sf_dir)
@@ -632,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_range_join": _q_range_join,
         "j_orders_by_segment": _q_orders_by_segment,
         "e_distinct_users_daily": _q_distinct_users_daily,
+        "e_hll_user_registers": _q_hll_user_registers,
         "q3_shipping_priority": _q_shipping_priority,
         "q5_local_supplier_volume": _q_local_supplier_volume,
         "q18_large_orders": _q_large_orders,
@@ -1156,6 +1169,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
             "event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS "
             "n_users, COUNT(*) AS n_events FROM events GROUP BY 1, 2",
+        # e_hll_user_registers: the oracle recomputes each user's HLL
+        # register from sha256 hex — bucket = first 3 hex digits (p=12),
+        # rank = 49 - bit_length of the next 12 hex digits (length of
+        # the binary rendering; the v=0 row maps to rank 49) — then
+        # MAX per bucket; integer-exact, so any drift in the engine's
+        # hashing, bucketing or merge breaks the match
+        "e_hll_user_registers":
+            "WITH u AS (SELECT DISTINCT user_id FROM events), "
+            "h AS (SELECT sha256(CAST(user_id AS VARCHAR)) AS hx FROM u), "
+            "d AS (SELECT hx, "
+            "    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 256 "
+            "  + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16 "
+            "  + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) "
+            "    AS bucket FROM h), "
+            "v AS (SELECT d.hx, d.bucket, "
+            "    SUM((strpos('0123456789abcdef', "
+            "         substr(d.hx, CAST(4 + r.k AS INT), 1)) - 1) "
+            "        * (CAST(1 AS BIGINT) << CAST(4 * (11 - r.k) AS INT))) "
+            "    AS val "
+            "  FROM d, range(12) r(k) GROUP BY d.hx, d.bucket), "
+            "rk AS (SELECT bucket, CASE WHEN val = 0 THEN 49 "
+            "    ELSE 49 - length(bin(val)) END AS rank FROM v) "
+            "SELECT CAST(bucket AS BIGINT) AS bucket, "
+            "CAST(MAX(rank) AS BIGINT) AS max_rank FROM rk GROUP BY bucket",
         # q3_shipping_priority: TPC-H Q3 shape — revenue as exact integer
         # cents (floor(x*100 + 0.5), the repo-wide money rule), top-10 by
         # (revenue desc, orderkey) with dates rendered as strings

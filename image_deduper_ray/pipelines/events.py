@@ -474,3 +474,90 @@ def orders_by_segment(sf_dir: str,
 
     return partitioned_group_map(j, ["c_mktsegment"], block, 8,
                                  out_schema=out_schema)
+
+
+HLL_P = 12                          # 2^12 = 4096 registers
+
+
+def hll_user_registers(sf_dir: str, p: int = HLL_P) -> ray.data.Dataset:
+    """(bucket, max_rank) — the HyperLogLog register table for distinct
+    ``user_id``, the SCALE path beside ``distinct_users_daily``'s exact
+    triple shuffle: registers merge associatively (MAX per bucket), so
+    the shuffle volume is O(2^p) per block REGARDLESS of cardinality —
+    at 10^12 events the exact path shuffles O(distinct) rows, this
+    ships 4096 tiny rows per block, and cross-day / cross-partition /
+    cross-cluster merges are the same MAX.
+
+    Emitting REGISTERS (not the estimate) keeps the operator exact and
+    SQL-oracle-able: bucket = first ``p`` bits of sha256(user_id as
+    decimal string), rank = leading zeros of the next 48 bits + 1
+    (exact integer bit_length, never float log2 — ``2^k - 1`` rounds up
+    under log2 at 48 bits). The estimate is a driver-side fold over
+    4096 rows (``hll_estimate``), with the standard small-range linear
+    counting correction."""
+    from ..functions import hashing
+
+    if not 4 <= p <= 16 or p % 4:
+        raise ValueError(f"p={p}: need a multiple of 4 in [4, 16] "
+                         "(hex-digit aligned so the SQL oracle shares "
+                         "the arithmetic)")
+    hex_b = p // 4                  # bucket hex digits
+
+    out_schema = pa.schema([("bucket", pa.int64()),
+                            ("max_rank", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        uids = np.unique(t["user_id"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+        hx = hashing.sha256_hex([str(u) for u in uids])
+        buckets = np.empty(len(hx), np.int64)
+        ranks = np.empty(len(hx), np.int64)
+        for i, h in enumerate(hx):
+            buckets[i] = int(h[:hex_b], 16)
+            v = int(h[hex_b:hex_b + 12], 16)        # next 48 bits
+            ranks[i] = 49 - v.bit_length() if v else 49
+        df = pd.DataFrame({"bucket": buckets, "max_rank": ranks}) \
+            .groupby("bucket", sort=False)["max_rank"].max().reset_index()
+        return pa.Table.from_pandas(df, schema=out_schema,
+                                    preserve_index=False)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                                 "max_rank": pd.Series([], dtype=np.int64)})
+        df = df.sort_values("bucket", kind="mergesort")
+        ks = df["bucket"].to_numpy(np.int64)
+        starts = np.flatnonzero(group_starts(ks))
+        return pd.DataFrame({
+            "bucket": ks[starts],
+            "max_rank": np.maximum.reduceat(
+                df["max_rank"].to_numpy(np.int64), starts)})
+
+    # merge input is O(2^p x blocks) rows — tiny at any input scale
+    return partitioned_group_map(partials, ["bucket"], merge, 4,
+                                 out_schema=out_schema)
+
+
+def hll_estimate(registers: "pd.DataFrame", p: int = HLL_P) -> float:
+    """Fold a (bucket, max_rank) register table to the HLL cardinality
+    estimate (Flajolet et al. 2007): harmonic mean with the alpha_m
+    bias constant, linear counting below the small-range threshold.
+    Driver-side over 2^p rows — trivially cheap."""
+    m = 1 << p
+    regs = np.zeros(m, np.int64)
+    if len(registers):
+        regs[registers["bucket"].to_numpy(np.int64)] = \
+            registers["max_rank"].to_numpy(np.int64)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)         # linear counting
+    return float(est)

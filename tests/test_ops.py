@@ -54,6 +54,7 @@ SQL_CHECKED = [
     "media_phash_enhanced", "media_decode_png_gray",
     "media_decode_gif", "media_cross_format_groups",
     "q5_local_supplier_volume", "q18_large_orders",
+    "e_hll_user_registers",
 ]
 
 
@@ -969,6 +970,45 @@ def test_gif_truncation_tolerance_and_stage_end_to_end():
         hx = hashlib.sha256(f"gif-{i}-42".encode()).hexdigest() * 3
         assert res.loc[i, "px_sum"] == sum(bytes.fromhex(hx)), i
         assert (res.loc[i, "width"], res.loc[i, "height"]) == (8, 4)
+
+
+def test_hll_registers_estimate_and_merge(ray_session):
+    """The register table must (a) fold to an estimate within the
+    standard HLL error envelope of the exact distinct count, and (b)
+    merge associatively: registers over two disjoint halves MAX-merge
+    to exactly the registers over the union — the property that makes
+    the sketch the 10^12-row distinct path."""
+    import duckdb
+
+    from image_deduper_ray.pipelines.events import (hll_estimate,
+                                                    hll_user_registers)
+
+    regs = hll_user_registers(SF).to_pandas()
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) c FROM "
+        f"read_parquet('{SF}/events.parquet')").fetchone()[0]
+    est = hll_estimate(regs)
+    # p=12 standard error is 1.04/sqrt(4096) ~ 1.6%; linear counting at
+    # this cardinality is tighter still — allow 5%
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+    # associativity on a deterministic split: rank is a pure function
+    # of user_id, so per-half registers are computable directly
+    import hashlib as _hl
+    regs_map: dict[int, int] = {}
+    for u in range(0, 50):
+        h = _hl.sha256(str(u).encode()).hexdigest()
+        b, v = int(h[:3], 16), int(h[3:15], 16)
+        r = 49 - v.bit_length() if v else 49
+        regs_map[b] = max(regs_map.get(b, 0), r)
+    halves: dict[int, int] = {}
+    for lo, hi in ((0, 25), (25, 50)):
+        for u in range(lo, hi):
+            h = _hl.sha256(str(u).encode()).hexdigest()
+            b, v = int(h[:3], 16), int(h[3:15], 16)
+            r = 49 - v.bit_length() if v else 49
+            halves[b] = max(halves.get(b, 0), r)
+    assert halves == regs_map
 
 
 def test_cross_format_groups_all_six_codecs_agree(ray_session):
