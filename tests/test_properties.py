@@ -125,3 +125,33 @@ def test_distinct_word_ngrams_matches_python_split(texts):
         toks = s.split()
         want = {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
         assert got.get(i, set()) == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(2, 8), st.binary(max_size=4000))
+def test_gif_lzw_roundtrip_arbitrary_bytes(mcs, raw):
+    """GIF LZW must invert itself for ANY index stream whose symbols
+    fit the minimum code size — including streams long enough to grow
+    the code width and pathological repetition."""
+    from image_deduper_ray.stages.gifcodec import (gif_lzw_decode,
+                                                   gif_lzw_encode)
+
+    data = bytes(b % (1 << mcs) for b in raw)
+    assert gif_lzw_decode(gif_lzw_encode(data, mcs), mcs) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 24), st.integers(1, 16), st.booleans(),
+       st.booleans(), st.integers(0, 2**32 - 1))
+def test_gif_roundtrip_any_dims(w, h, interlace, local, seed):
+    """encode_gif -> decode_gif is pixel-exact for any dimensions and
+    any palette size <= 256, across interlace and table placement."""
+    from image_deduper_ray.stages.gifcodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    # bounded palette: quantize to 64 possible colors
+    px = (rng.integers(0, 4, size=(h, w, 3)) * 85).astype(np.uint8)
+    payload = encode_gif(px, interlace=interlace, local_palette=local)
+    w2, h2, out = decode_gif(payload)
+    assert (w2, h2) == (w, h)
+    np.testing.assert_array_equal(out, px)
