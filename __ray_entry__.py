@@ -485,6 +485,17 @@ def _q_large_orders(sf_dir: str):
     return large_orders(sf_dir)
 
 
+def _q_part_type_revenue(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import part_type_revenue
+
+    # TPC-H Q14 shape generalized to a per-type breakdown: the part
+    # dimension ships as sorted partkeys + int8 type codes (the string
+    # never rides the fact stream), lineitem is date-pruned at the
+    # read, each batch is a searchsorted probe + int8 take, and the
+    # per-block partial is O(types) rows
+    return part_type_revenue(sf_dir)
+
+
 def _q_stratified_sample(sf_dir: str):
     from image_deduper_ray.pipelines.textops import stratified_sample
     return stratified_sample(sf_dir)
@@ -648,6 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": _q_shipping_priority,
         "q5_local_supplier_volume": _q_local_supplier_volume,
         "q18_large_orders": _q_large_orders,
+        "q14_part_type_revenue": _q_part_type_revenue,
     }
 
 
@@ -1243,6 +1255,16 @@ def oracle_sql() -> dict[str, str]:
             "AND c_custkey = o_custkey AND o_orderkey = l_orderkey "
             "GROUP BY c_name, o_custkey, o_orderkey, o_orderdate, "
             "o_totalprice",
+        # q14_part_type_revenue: one month of lineitems joined to the
+        # part dimension, revenue per part type as exact integer cents
+        "q14_part_type_revenue":
+            "SELECT p_type, CAST(SUM(CAST(FLOOR(l_extendedprice * "
+            "(1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS "
+            "revenue_cents, COUNT(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-03-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY p_type",
         "l_pricing_summary":
             "SELECT l_returnflag, l_linestatus, "
             "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "

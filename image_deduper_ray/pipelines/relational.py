@@ -636,3 +636,134 @@ def large_orders(sf_dir: str, min_qty: int = Q18_MIN_QTY,
 
     return named.map_batches(render, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+Q14_MONTH_LO = "1996-03-01"
+Q14_MONTH_HI = "1996-04-01"
+
+
+def part_type_revenue(sf_dir: str, date_lo: str = Q14_MONTH_LO,
+                      date_hi: str = Q14_MONTH_HI,
+                      part_broadcast_max: int = 64 << 20
+                      ) -> ray.data.Dataset:
+    """(p_type, revenue_cents, n_items) — the TPC-H Q14 shape
+    generalized to a per-type breakdown: one month of lineitems joined
+    to the part dimension on partkey, revenue as exact integer cents.
+
+    The pattern this adds to the battery: attaching a LOW-CARDINALITY
+    dimension ATTRIBUTE (part type) to the fact stream and aggregating
+    by it. The dimension ships as two aligned broadcast arrays —
+    sorted partkeys + int8 type CODES (the string column never rides
+    the fact stream; the code -> name map is O(types) and applies at
+    the final merge) — so each fact batch is a searchsorted probe plus
+    an int8 take, and the per-block partial is O(types) rows."""
+    import datetime
+
+    import ray as _ray
+
+    from ..functions.joins import collect_i64_under_cap
+
+    lo = datetime.datetime.fromisoformat(date_lo)
+    hi = datetime.datetime.fromisoformat(date_hi)
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_type"])
+    # the type vocabulary is O(10); codes keep the broadcast numeric.
+    # streamed per-batch unique — never a full-column materialization
+    types_set: set[str] = set()
+    for b in part.select_columns(["p_type"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        types_set.update(pc.unique(b["p_type"]).to_pylist())
+    types = sorted(types_set)
+    type_code = {t: i for i, t in enumerate(types)}
+    got = collect_i64_under_cap(part.map_batches(
+        lambda t: pa.table({
+            "p_partkey": t["p_partkey"].cast(pa.int64()),
+            "code": pa.array(
+                np.array([type_code[x]
+                          for x in t["p_type"].to_pylist()], np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True),
+        ["p_partkey", "code"], part_broadcast_max)
+    if got is None:
+        raise ValueError(
+            "part dimension exceeds the broadcast budget "
+            f"({part_broadcast_max} B); raise part_broadcast_max or "
+            "route through the partitioned hash_join")
+    pkeys, pcodes = got
+    order = np.argsort(pkeys, kind="stable")
+    pk_ref = _ray.put(pkeys[order])
+    pc_ref = _ray.put(pcodes[order].astype(np.int8))
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= pc.scalar(lo))
+                & (pc.field("l_shipdate") < pc.scalar(hi))))
+
+    agg_schema = pa.schema([("code", pa.int64()),
+                            ("revenue_cents", pa.int64()),
+                            ("n_items", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return agg_schema.empty_table()
+        mask = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                       pc.less(t["l_shipdate"], pa.scalar(hi))) \
+            .combine_chunks()
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return agg_schema.empty_table()
+        pk = ray.get(pk_ref)
+        pcd = ray.get(pc_ref)
+        parts = t["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(pk, parts).clip(0, max(len(pk) - 1, 0))
+        if len(pk) == 0:
+            return agg_schema.empty_table()
+        hit = pk[pos] == parts
+        if not hit.any():
+            return agg_schema.empty_table()
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+        dc = t["l_discount"].to_numpy(zero_copy_only=False)[hit]
+        cents = np.floor(ep * (1 - dc) * 100 + 0.5).astype(np.int64)
+        codes = pcd[pos[hit]].astype(np.int64)
+        n_types = len(types)
+        rev = np.bincount(codes, weights=None, minlength=n_types)
+        # exact integer sums per code: bincount with float weights
+        # would round — use add.at on int64 instead
+        revc = np.zeros(n_types, np.int64)
+        np.add.at(revc, codes, cents)
+        nz = np.flatnonzero(rev)
+        return pa.table({
+            "code": pa.array(nz.astype(np.int64)),
+            "revenue_cents": pa.array(revc[nz]),
+            "n_items": pa.array(rev[nz].astype(np.int64))})
+
+    partials = line.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    out_schema = pa.schema([("p_type", pa.string()),
+                            ("revenue_cents", pa.int64()),
+                            ("n_items", pa.int64())])
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"p_type": pd.Series([], dtype=object),
+                 "revenue_cents": pd.Series([], dtype=np.int64),
+                 "n_items": pd.Series([], dtype=np.int64)})
+        df = df.sort_values("code", kind="mergesort")
+        ks = df["code"].to_numpy(np.int64)
+        starts = np.flatnonzero(group_starts(ks))
+        return pd.DataFrame({
+            "p_type": np.array([types[int(k)] for k in ks[starts]],
+                               dtype=object),
+            "revenue_cents": np.add.reduceat(
+                df["revenue_cents"].to_numpy(np.int64), starts),
+            "n_items": np.add.reduceat(
+                df["n_items"].to_numpy(np.int64), starts)})
+
+    # merge input is O(types x blocks) rows — tiny
+    return partitioned_group_map(partials, ["code"], merge, 2,
+                                 out_schema=out_schema)

@@ -16,7 +16,7 @@ SF = "/root/testdata/sf0.001"
 def con():
     c = duckdb.connect()
     for t in ["documents", "embeddings", "events", "orders", "customer",
-              "lineitem", "supplier", "nation", "region"]:
+              "lineitem", "supplier", "nation", "region", "part"]:
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
               f"read_parquet('{SF}/{t}.parquet')")
     return c
@@ -54,7 +54,7 @@ SQL_CHECKED = [
     "media_phash_enhanced", "media_decode_png_gray",
     "media_decode_gif", "media_cross_format_groups",
     "q5_local_supplier_volume", "q18_large_orders",
-    "e_hll_user_registers",
+    "e_hll_user_registers", "q14_part_type_revenue",
 ]
 
 
