@@ -513,6 +513,16 @@ def _q_hll_user_registers(sf_dir: str):
     return hll_user_registers(sf_dir)
 
 
+def _q_user_running_totals(sf_dir: str):
+    from image_deduper_ray.pipelines.events import user_running_totals
+
+    # per-user ROW_NUMBER + cumulative sum (the analytic-window family
+    # Ray Data lacks natively): one user_id hash shuffle, per-block
+    # mergesort, segment-offset cumsum — no per-user Python loop;
+    # event_id tie-break makes it deterministic under any arrival order
+    return user_running_totals(sf_dir)
+
+
 def _q_asof_join(sf_dir: str):
     from image_deduper_ray.pipelines.events import asof_match
     return asof_match(sf_dir)
@@ -656,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "j_orders_by_segment": _q_orders_by_segment,
         "e_distinct_users_daily": _q_distinct_users_daily,
         "e_hll_user_registers": _q_hll_user_registers,
+        "e_user_running_totals": _q_user_running_totals,
         "q3_shipping_priority": _q_shipping_priority,
         "q5_local_supplier_volume": _q_local_supplier_volume,
         "q18_large_orders": _q_large_orders,
@@ -1205,6 +1216,16 @@ def oracle_sql() -> dict[str, str]:
             "    ELSE 49 - length(bin(val)) END AS rank FROM v) "
             "SELECT CAST(bucket AS BIGINT) AS bucket, "
             "CAST(MAX(rank) AS BIGINT) AS max_rank FROM rk GROUP BY bucket",
+        # e_user_running_totals: analytic window — per-user sequence and
+        # cumulative exact-cents sum in (ts, event_id) order
+        "e_user_running_totals":
+            "SELECT event_id, user_id, "
+            "CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq, "
+            "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) "
+            "OVER w AS BIGINT) AS cum_value_cents "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
         # q3_shipping_priority: TPC-H Q3 shape — revenue as exact integer
         # cents (floor(x*100 + 0.5), the repo-wide money rule), top-10 by
         # (revenue desc, orderkey) with dates rendered as strings

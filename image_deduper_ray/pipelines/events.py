@@ -561,3 +561,50 @@ def hll_estimate(registers: "pd.DataFrame", p: int = HLL_P) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)         # linear counting
     return float(est)
+
+
+def user_running_totals(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, user_id, seq, cum_value_cents) — the analytic-window
+    family Ray Data lacks natively: per-user ROW_NUMBER and cumulative
+    value sum in event-time order (event_id is the tie-break, so the
+    result is deterministic under any shuffle arrival order).
+
+    Shape: ONE hash shuffle on user_id co-locates each user's events,
+    then each block sorts its users once ((user, ts, id) mergesort)
+    and computes every user's running sequence and cumulative sum in
+    two vectorized passes — a per-user-segment cumsum is a global
+    cumsum minus the segment-start offset, no Python per-user loop.
+    Value accumulates as exact integer cents (per-row rounding, the
+    same rule as the SQL oracle)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("seq", pa.int64()),
+                            ("cum_value_cents", pa.int64())])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ["event_id", "user_id", "seq",
+                                           "cum_value_cents"]})
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        cents = np.floor(df["value"].to_numpy(np.float64) * 100 + 0.5) \
+            .astype(np.int64)
+        new_user = group_starts(u)
+        idx = np.arange(len(u), dtype=np.int64)
+        seg_start = idx[new_user][np.cumsum(new_user) - 1]
+        seq = idx - seg_start + 1
+        csum = np.cumsum(cents)
+        base = np.concatenate([[0], csum])[seg_start]
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": u,
+            "seq": seq,
+            "cum_value_cents": csum - base})
+
+    return partitioned_group_map(ds, ["user_id"], block, 16,
+                                 out_schema=out_schema)
