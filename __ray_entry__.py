@@ -196,6 +196,11 @@ def _q_ann_ivf(sf_dir: str):
     return knn_ivf(sf_dir, k=10, num_queries=8)
 
 
+def _q_emb_kmeans(sf_dir: str):
+    from image_deduper_ray.pipelines.ann import kmeans_iter
+    return kmeans_iter(sf_dir, k=8)
+
+
 def _q_emb_near_dup(sf_dir: str):
     import pyarrow as pa
     from image_deduper_ray.functions.arrow_utils import collect_arrow
@@ -643,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": _q_ann_ivf,
         "ann_range_search": _q_ann_range,
         "emb_near_dup_pairs": _q_emb_near_dup,
+        "emb_kmeans_iter": _q_emb_kmeans,
         "minhash_lsh_clusters": _q_minhash_clusters,
         "simhash_groups": _q_simhash_groups,
         "media_decode_features": _q_media_decode,
@@ -781,6 +787,28 @@ def oracle_sql() -> dict[str, str]:
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.35",
+        # one Lloyd iteration from the 8 lowest-vec_id seeds: nearest
+        # centroid by squared L2 (tie-break lowest seed id), then
+        # per-centroid counts + integer-quantized inertia / element-sum
+        # witnesses (floor(1000*x) per ROW, summed as integers — so the
+        # hash comparison never rides on float summation order)
+        "emb_kmeans_iter":
+            "WITH seeds AS ("
+            "  SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS se "
+            "  FROM embeddings ORDER BY vec_id LIMIT 8), "
+            "assign AS ("
+            "  SELECT e.vec_id, s.sid, "
+            "    POWER(list_distance(CAST(e.embedding AS DOUBLE[]), "
+            "                        s.se), 2) AS d2, "
+            "    list_sum(CAST(e.embedding AS DOUBLE[])) AS esum, "
+            "    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+            "      list_distance(CAST(e.embedding AS DOUBLE[]), s.se), "
+            "      s.sid) AS rk "
+            "  FROM embeddings e, seeds s) "
+            "SELECT sid AS centroid_id, COUNT(*) AS n_assigned, "
+            "  CAST(SUM(FLOOR(d2 * 1000)) AS BIGINT) AS inertia_q3, "
+            "  CAST(SUM(FLOOR(esum * 1000)) AS BIGINT) AS elem_sum_q3 "
+            "FROM assign WHERE rk = 1 GROUP BY sid ORDER BY sid",
         "ann_range_search":
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
             "  FROM embeddings ORDER BY vec_id LIMIT 8) "

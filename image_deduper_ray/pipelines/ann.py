@@ -626,3 +626,110 @@ def knn_lsh(sf_dir: str, k: int = 10, num_queries: int = 8,
         candidates, batch_format="pyarrow", zero_copy_batch=True)
 
     return _final_topk(cands, k)
+
+
+def load_seed_centroids(sf_dir: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seed centroids for k-means: the ``k`` lowest vec_ids' raw
+    (unnormalized) embeddings, via the same row-filtered driver read as
+    ``load_queries`` — at scale this is the small broadcast side."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ids_only = pq.read_table(path, columns=["vec_id"])["vec_id"] \
+        .to_numpy(zero_copy_only=False)
+    if len(ids_only) == 0:
+        return np.empty(0, np.int64), np.empty((0, 0), np.float64)
+    cut = np.sort(ids_only)[min(k, len(ids_only)) - 1]
+    t = pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<=", int(cut))])
+    ids, m = _to_matrix(t)
+    order = np.argsort(ids, kind="stable")[:k]
+    return ids[order].astype(np.int64), m[order]
+
+
+def kmeans_iter(sf_dir: str, k: int = 8) -> ray.data.Dataset:
+    """One deterministic Lloyd iteration of k-means over the embedding
+    column: assign every vector to its nearest of ``k`` seed centroids
+    (squared-L2, tie-break lowest seed vec_id) and report per-centroid
+    membership counts plus integer-quantized witnesses of the update
+    step. Output columns (one row per seed, all int64 so the DuckDB
+    oracle hash-matches exactly):
+
+    - ``centroid_id``   — the seed's vec_id
+    - ``n_assigned``    — cluster size after assignment
+    - ``inertia_q3``    — sum over members of floor(1000 * ||x - c||^2)
+    - ``elem_sum_q3``   — sum over members of floor(1000 * sum_d x_d)
+                          (pins the new-centroid numerator: mean = that
+                          per-dim sum / n_assigned)
+
+    Scale shape: the (k x dim) seed matrix is ``ray.put`` ONCE and read
+    inside every batch (never re-shipped); each ``map_batches`` task
+    computes the argmin with one matmul (the ||x||^2 - 2xC^T + ||c||^2
+    identity) then re-derives the chosen distance DIRECTLY as
+    ||x - c||^2 so the quantized inertia is float-stable against the
+    oracle; each batch pre-aggregates to k partial rows (np.add.at on
+    int64 accumulators), so only k rows per block reach the final
+    single-partition combine — shuffle volume O(k x blocks), never
+    O(rows). Iterating Lloyd is re-running this with the updated
+    centroids broadcast again; the per-iteration plan is identical.
+
+    This is the embedding-space clustering step a diversity-sampling /
+    semantic-dedup curation pipeline runs upstream of selection
+    (reference intent: grouping by signature distance,
+    /root/reference/crates/image-deduper-core/src/processing/types.rs:22-43).
+    """
+    sids, C = load_seed_centroids(sf_dir, k)
+    kk = len(sids)
+    c_norm2 = np.einsum("ij,ij->i", C, C) if kk else np.empty(0)
+    seed_ref = ray.put((sids, C, c_norm2))
+
+    empty = pa.table({"centroid_id": pa.array([], pa.int64()),
+                      "n_assigned": pa.array([], pa.int64()),
+                      "inertia_q3": pa.array([], pa.int64()),
+                      "elem_sum_q3": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        sids_, C_, cn2 = ray.get(seed_ref)
+        if len(t) == 0 or len(sids_) == 0:
+            return empty
+        _, X = _to_matrix(t)
+        # argmin over the identity form (ties impossible to introduce:
+        # seeds are distinct rows; argmin takes the FIRST minimum =
+        # lowest seed index = lowest seed vec_id, matching the oracle's
+        # ORDER BY d2, sid)
+        d2_all = (np.einsum("ij,ij->i", X, X)[:, None]
+                  - 2.0 * (X @ C_.T) + cn2[None, :])
+        chosen = np.argmin(d2_all, axis=1)
+        # exact distance to the CHOSEN centroid only (k gathers, cheap):
+        # the direct form is what the oracle computes, so quantization
+        # at 1e-3 sees identical float64 values
+        diff = X - C_[chosen]
+        d2 = np.einsum("ij,ij->i", diff, diff)
+        q_inertia = np.floor(d2 * 1000.0).astype(np.int64)
+        q_esum = np.floor(X.sum(axis=1) * 1000.0).astype(np.int64)
+        n = np.zeros(len(sids_), np.int64)
+        si = np.zeros(len(sids_), np.int64)
+        se = np.zeros(len(sids_), np.int64)
+        np.add.at(n, chosen, 1)
+        np.add.at(si, chosen, q_inertia)
+        np.add.at(se, chosen, q_esum)
+        return pa.table({"centroid_id": pa.array(sids_),
+                         "n_assigned": pa.array(n),
+                         "inertia_q3": pa.array(si),
+                         "elem_sum_q3": pa.array(se)})
+
+    def combine(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        df = t.to_pandas()
+        out = df.groupby("centroid_id", sort=True, as_index=False).sum()
+        out = out[out["n_assigned"] > 0]
+        return pa.Table.from_pandas(out[["centroid_id", "n_assigned",
+                                         "inertia_q3", "elem_sum_q3"]],
+                                    preserve_index=False)
+
+    return (_read_embeddings(sf_dir)
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(combine, batch_format="pyarrow"))
