@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -37,8 +38,8 @@ def cmd_scan(args) -> int:
 
     started = False
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
         started = True
     from .pipelines.dedup import run_pipeline
 
@@ -87,8 +88,8 @@ def cmd_apply(args) -> int:
 
     started = False
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
         started = True
     from .sources import checkpoints as ckpt
     from .stages.apply import apply_actions
@@ -281,8 +282,8 @@ def cmd_query(args) -> int:
 
     started = False
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
         started = True
     try:
         spec = importlib.util.spec_from_file_location(
