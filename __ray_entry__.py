@@ -490,6 +490,17 @@ def _q_large_orders(sf_dir: str):
     return large_orders(sf_dir)
 
 
+def _q_returned_items(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import returned_item_report
+
+    # TPC-H Q10 shape: full-customer-grain revenue aggregation over
+    # one quarter's returned lineitems, top-20 with no global sort,
+    # and the wide customer/nation attributes attached to ONLY the 20
+    # winners by a row-group-pruned point read — the customer table
+    # never joins the fact stream
+    return returned_item_report(sf_dir)
+
+
 def _q_part_type_revenue(sf_dir: str):
     from image_deduper_ray.pipelines.relational import part_type_revenue
 
@@ -677,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": _q_local_supplier_volume,
         "q18_large_orders": _q_large_orders,
         "q14_part_type_revenue": _q_part_type_revenue,
+        "q10_returned_items": _q_returned_items,
     }
 
 
@@ -1304,6 +1316,28 @@ def oracle_sql() -> dict[str, str]:
             "AND c_custkey = o_custkey AND o_orderkey = l_orderkey "
             "GROUP BY c_name, o_custkey, o_orderkey, o_orderdate, "
             "o_totalprice",
+        # q10_returned_items: one quarter's returned-item revenue per
+        # customer, top-20 by revenue with customer/nation attributes;
+        # per-row floor(x*100+0.5) cents matches the engine exactly
+        "q10_returned_items":
+            "WITH rev AS ("
+            "  SELECT o_custkey AS c_custkey, "
+            "  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) "
+            "  * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "  WHERE l_returnflag = 'R' "
+            "  AND o_orderdate >= TIMESTAMP '1996-07-01' "
+            "  AND o_orderdate < TIMESTAMP '1996-10-01' "
+            "  GROUP BY 1), "
+            "top AS (SELECT c_custkey, revenue_cents, "
+            "  ROW_NUMBER() OVER (ORDER BY revenue_cents DESC, "
+            "  c_custkey) AS rank FROM rev "
+            "  ORDER BY revenue_cents DESC, c_custkey LIMIT 20) "
+            "SELECT t.c_custkey, c.c_name, t.revenue_cents, "
+            "CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) AS "
+            "acctbal_cents, n.n_name, t.rank "
+            "FROM top t JOIN customer c ON t.c_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey",
         # q14_part_type_revenue: one month of lineitems joined to the
         # part dimension, revenue per part type as exact integer cents
         "q14_part_type_revenue":

@@ -767,3 +767,197 @@ def part_type_revenue(sf_dir: str, date_lo: str = Q14_MONTH_LO,
     # merge input is O(types x blocks) rows — tiny
     return partitioned_group_map(partials, ["code"], merge, 2,
                                  out_schema=out_schema)
+
+
+Q10_DATE_LO = "1996-07-01"
+Q10_DATE_HI = "1996-10-01"
+
+
+def returned_item_report(sf_dir: str, date_lo: str = Q10_DATE_LO,
+                         date_hi: str = Q10_DATE_HI, limit: int = 20,
+                         orders_broadcast_max: int = 256 << 20
+                         ) -> ray.data.Dataset:
+    """(c_custkey, c_name, revenue_cents, acctbal_cents, n_name, rank)
+    — the TPC-H Q10 shape: customers ranked by revenue lost to
+    returned items in one quarter, top-``limit`` with their account
+    and nation attributes attached.
+
+    The pattern the battery lacked: an aggregation whose key grain is
+    the FULL customer population (not a tiny hot set like Q18, not a
+    handful of groups like Q1/Q14), reduced to a top-k WITHOUT a
+    global sort, with the wide dimension attributes attached only to
+    the k winners by a predicate-pushdown point read. Scale shape:
+
+    - the quarter's orders project to an (orderkey -> custkey) map
+      that attaches to the returned-lineitem stream via the
+      byte-capped zero-copy broadcast (``broadcast_attach_i64``,
+      partitioned hash-join fallback past the cap) — the fact table
+      never shuffles below the cap;
+    - revenue pre-reduces per block by orderkey before the attach and
+      by custkey after it, so the ONE hash shuffle moves O(distinct
+      custkeys per block) rows, never O(lineitems);
+    - top-k runs as per-block partials plus one tiny final rank — at
+      any scale only limit x num_blocks candidate rows ever move;
+    - customer/nation attributes are read AFTER the winners are
+      known: a row-group-pruned point read of <= limit keys — the
+      wide customer table never joins the fact stream at all.
+
+    Money is exact integer cents (the repo-wide floor(x*100+0.5) rule
+    on both engine and oracle side)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    from ..functions.joins import broadcast_attach_i64
+
+    lo = datetime.datetime.fromisoformat(date_lo)
+    hi = datetime.datetime.fromisoformat(date_hi)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pc.field("o_orderdate") >= pc.scalar(lo))
+                & (pc.field("o_orderdate") < pc.scalar(hi))))
+
+    def order_cust(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                          "o_custkey": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        # residual re-filter: the pushdown prunes row groups, the
+        # predicate must still hold row-exactly (repo convention)
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))
+        t = t.filter(m.combine_chunks())
+        return pa.table({"o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                         "o_custkey": t["o_custkey"].cast(pa.int64())})
+
+    okeys = orders.map_batches(order_cust, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+        filter=(pc.field("l_returnflag") == "R"))
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.filter(pc.equal(t["l_returnflag"], "R").combine_chunks())
+        if t.num_rows == 0:
+            return empty
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1 - dc) * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64), "cents": cents})
+        g = df.groupby("l_orderkey", sort=False)["cents"].sum() \
+            .reset_index()
+        return pa.table({"l_orderkey": pa.array(g["l_orderkey"]
+                                                .to_numpy(np.int64)),
+                         "cents": pa.array(g["cents"]
+                                           .to_numpy(np.int64))})
+
+    partials = line.map_batches(line_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    attached = broadcast_attach_i64(partials, "l_orderkey", okeys,
+                                    "o_orderkey", "o_custkey",
+                                    "c_custkey",
+                                    max_bytes=orders_broadcast_max)
+
+    sum_schema = pa.schema([("c_custkey", pa.int64()),
+                            ("cents", pa.int64())])
+
+    def sum_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["c_custkey"])  # order outside the window
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ["c_custkey", "cents"]})
+        df = df.sort_values("c_custkey", kind="mergesort")
+        ks = df["c_custkey"].to_numpy(np.int64)
+        starts = np.flatnonzero(group_starts(ks))
+        return pd.DataFrame({
+            "c_custkey": ks[starts],
+            "cents": np.add.reduceat(df["cents"].to_numpy(np.int64),
+                                     starts)})
+
+    summed = partitioned_group_map(attached, ["c_custkey"], sum_block,
+                                   None, out_schema=sum_schema)
+
+    def topn_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.int8())})
+        ks = t["c_custkey"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ks, -cents))[:limit]
+        return pa.table({
+            "c_custkey": pa.array(ks[order].astype(np.int64)),
+            "cents": pa.array(cents[order].astype(np.int64)),
+            "g": pa.array(np.zeros(len(order), np.int8))})
+
+    cands = summed.map_batches(topn_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    top_schema = pa.schema([("c_custkey", pa.int64()),
+                            ("revenue_cents", pa.int64()),
+                            ("rank", pa.int64())])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"c_custkey": pd.Series([], dtype=np.int64),
+                 "revenue_cents": pd.Series([], dtype=np.int64),
+                 "rank": pd.Series([], dtype=np.int64)})
+        ks = df["c_custkey"].to_numpy(np.int64)
+        cents = df["cents"].to_numpy(np.int64)
+        order = np.lexsort((ks, -cents))[:limit]
+        return pd.DataFrame({
+            "c_custkey": ks[order],
+            "revenue_cents": cents[order],
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64)})
+
+    # single logical group: reduce input <= limit x num_blocks rows
+    top = partitioned_group_map(cands, ["g"], final, 2,
+                                out_schema=top_schema)
+
+    # the winners are <= limit rows by construction — a driver
+    # materialization of a bounded-small result, the allowed kind
+    rows = top.take_all()
+    if not rows:
+        return ray.data.from_arrow(pa.table({
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "revenue_cents": pa.array([], pa.int64()),
+            "acctbal_cents": pa.array([], pa.int64()),
+            "n_name": pa.array([], pa.string()),
+            "rank": pa.array([], pa.int64())}))
+    keys = [int(r["c_custkey"]) for r in rows]
+
+    # point read: only the winners' row groups leave storage; nation
+    # is a constant-size dimension (25 rows in TPC-H)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+        filters=[("c_custkey", "in", keys)])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+
+    cdf = cust.to_pandas().set_index("c_custkey")
+    ndf = nat.to_pandas().set_index("n_nationkey")
+    out = pd.DataFrame(rows)
+    out["c_name"] = cdf["c_name"].reindex(keys).to_numpy(object)
+    bal = cdf["c_acctbal"].reindex(keys).to_numpy(np.float64)
+    out["acctbal_cents"] = np.floor(bal * 100 + 0.5).astype(np.int64)
+    nk = cdf["c_nationkey"].reindex(keys).to_numpy(np.int64)
+    out["n_name"] = ndf["n_name"].reindex(nk).to_numpy(object)
+    out = out[["c_custkey", "c_name", "revenue_cents", "acctbal_cents",
+               "n_name", "rank"]]
+    return ray.data.from_arrow(pa.Table.from_pandas(
+        out, preserve_index=False))

@@ -55,7 +55,7 @@ SQL_CHECKED = [
     "media_decode_gif", "media_cross_format_groups",
     "q5_local_supplier_volume", "q18_large_orders",
     "e_hll_user_registers", "q14_part_type_revenue",
-    "e_user_running_totals", "emb_kmeans_iter",
+    "e_user_running_totals", "emb_kmeans_iter", "q10_returned_items",
 ]
 
 
