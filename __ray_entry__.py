@@ -490,6 +490,16 @@ def _q_large_orders(sf_dir: str):
     return large_orders(sf_dir)
 
 
+def _q_snm_pairs(sf_dir: str):
+    from image_deduper_ray.pipelines.docdedup import snm_pairs
+
+    # sorted-neighborhood dedup (merge/purge blocking): ONE sample-
+    # ranged sort instead of signature collisions; window candidates +
+    # exact gram-Jaccard verify inside each range partition, boundary
+    # pairs stitched driver-side from O(window x ranges) rows
+    return snm_pairs(sf_dir)
+
+
 def _q_returned_items(sf_dir: str):
     from image_deduper_ray.pipelines.relational import returned_item_report
 
@@ -689,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": _q_large_orders,
         "q14_part_type_revenue": _q_part_type_revenue,
         "q10_returned_items": _q_returned_items,
+        "snm_dedup_pairs": _q_snm_pairs,
     }
 
 
@@ -1316,6 +1327,36 @@ def oracle_sql() -> dict[str, str]:
             "AND c_custkey = o_custkey AND o_orderkey = l_orderkey "
             "GROUP BY c_name, o_custkey, o_orderkey, o_orderdate, "
             "o_totalprice",
+        # snm_dedup_pairs: sorted-neighborhood near-dup pairs — window
+        # self-join on the normalized-prefix rank order, verified with
+        # the same exploded-gram Jaccard as ngram_jaccard_pairs
+        "snm_dedup_pairs":
+            "WITH norm AS (SELECT doc_id, substr(trim(regexp_replace("
+            "  lower(text), '\\s+', ' ', 'g'), ' '), 1, 16) AS key "
+            "  FROM documents), "
+            "r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, "
+            "  doc_id) AS rnk FROM norm), "
+            "cand AS (SELECT LEAST(x.doc_id, y.doc_id) AS a, "
+            "  GREATEST(x.doc_id, y.doc_id) AS b "
+            "  FROM r x JOIN r y ON y.rnk > x.rnk "
+            "  AND y.rnk <= x.rnk + 4), "
+            "toks AS (SELECT doc_id, "
+            "  regexp_split_to_array(trim(text), '\\s+') AS t "
+            "  FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, "
+            "  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g "
+            "  FROM (SELECT doc_id, t, "
+            "    unnest(generate_series(1, len(t) - 2)) AS i FROM toks)), "
+            "cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams "
+            "  GROUP BY doc_id), "
+            "inter AS (SELECT c.a, c.b, COUNT(*) AS i FROM cand c "
+            "  JOIN grams ga ON ga.doc_id = c.a "
+            "  JOIN grams gb ON gb.doc_id = c.b AND gb.g = ga.g "
+            "  GROUP BY 1, 2) "
+            "SELECT iv.a, iv.b FROM inter iv "
+            "JOIN cnt ca ON ca.doc_id = iv.a "
+            "JOIN cnt cb ON cb.doc_id = iv.b "
+            "WHERE CAST(iv.i AS DOUBLE) / (ca.n + cb.n - iv.i) >= 0.2",
         # q10_returned_items: one quarter's returned-item revenue per
         # customer, top-20 by revenue with customer/nation attributes;
         # per-row floor(x*100+0.5) cents matches the engine exactly

@@ -1049,3 +1049,241 @@ def containment_pairs(sf_dir: str, n: int = 3, min_len: int = 64,
                               zero_copy_batch=True)
     # zero-match results must still carry the schema
     return ray.data.from_arrow(out_schema.empty_table()).union(verified)
+
+
+def snm_pairs(sf_dir: str, window: int = 4, n: int = 3,
+              tau: float = 0.2, key_len: int = 16,
+              num_ranges: int | None = None, sample_mask: int = 15,
+              sample_broadcast_max: int = 64 << 20) -> ray.data.Dataset:
+    """Sorted-neighborhood-method near-dup pairs (a < b): docs whose
+    positions in the global (normalized-prefix key, doc_id) order are
+    within ``window`` of each other AND whose distinct word n-gram
+    Jaccard >= ``tau``. The classic record-linkage blocking strategy
+    (Hernandez & Stolfo's merge/purge) — the dedup family member LSH
+    doesn't cover: candidates come from ONE sort instead of signature
+    collisions, so recall concentrates on documents with near-identical
+    prefixes (headers, boilerplate, templated pages) at O(n·window)
+    verify cost, with zero hash-family tuning.
+
+    Scale shape (the sort IS the algorithm, so it is made cheap):
+    - the blocking key is 16 chars of the normalized text — the only
+      payload that moves in the range shuffle beyond (doc_id, text
+      needed for the in-partition verify);
+    - the global sort is sample-ranged: a deterministic key sample
+      (doc_id & sample_mask == 0) picks range boundaries driver-side
+      (byte-capped), every row tags its range with one searchsorted,
+      and ONE hash shuffle co-locates each range; ranks never
+      materialize globally;
+    - within a range, window pairs + the Jaccard verify run fully
+      vectorized (``window`` shifted self-merges of the distinct-gram
+      frame — never a per-pair loop);
+    - pairs that straddle a range boundary are reconstructed
+      driver-side from each range's first/last ``window`` rows
+      (O(window x ranges) rows — bounded, independent of data size).
+
+    ``tau`` must be > 0 (zero-intersection pairs never verify). The
+    pair set is invariant to the sampled boundaries: windows are
+    defined on the global rank order, which partitioning never
+    changes. Oracle: ROW_NUMBER window self-join + the shared
+    exploded-gram Jaccard (same SQL fragments as ngram_jaccard_pairs).
+    """
+    from ..functions.groups import (default_partitions, group_starts,
+                                    partitioned_group_map_arrow)
+
+    if not tau > 0:
+        raise ValueError("tau must be > 0 (see docstring)")
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        # the exact normalized_dup_groups kernel chain (DuckDB parity
+        # proven by that query's hash): lower -> collapse \s+ -> trim
+        norm = pc.utf8_trim(pc.replace_substring_regex(
+            pc.utf8_lower(text), r"\s+", " "), " ")
+        key = pc.utf8_slice_codeunits(norm, 0, key_len)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "key": key, "text": text})
+
+    keyed = docs.map_batches(add_key, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    # deterministic boundary sample: doc_id & sample_mask == 0
+    samp = keyed.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"],
+                                                    sample_mask), 0))
+        .select(["key"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    chunks: list[np.ndarray] = []
+    total = 0
+    for b in samp.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        total += b.nbytes
+        if total > sample_broadcast_max:
+            raise ValueError(
+                "boundary key sample exceeds the broadcast budget "
+                f"({sample_broadcast_max} B); raise sample_mask")
+        chunks.append(b["key"].to_numpy(zero_copy_only=False).astype(str))
+    ranges = max(2, num_ranges or default_partitions())
+    if chunks:
+        sample = np.sort(np.concatenate(chunks))
+        cuts = sample[np.linspace(0, len(sample) - 1,
+                                  ranges + 1).astype(np.int64)[1:-1]]
+        bounds = np.unique(cuts)
+    else:
+        bounds = np.array([], dtype=str)
+    bounds_ref = ray.put(bounds)
+
+    def tag(t: pa.Table) -> pa.Table:
+        bnd = ray.get(bounds_ref)
+        keys = t["key"].to_numpy(zero_copy_only=False).astype(str)
+        rid = np.searchsorted(bnd, keys, side="right").astype(np.int64) \
+            if len(bnd) else np.zeros(t.num_rows, np.int64)
+        return t.append_column("rid", pa.array(rid))
+
+    tagged = keyed.map_batches(tag, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    out_schema = pa.schema([
+        ("kind", pa.int8()), ("a", pa.int64()), ("b", pa.int64()),
+        ("rid", pa.int64()), ("pos", pa.int64()), ("rcount", pa.int64()),
+        ("doc_id", pa.int64()), ("text", pa.string())])
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(t, sort_keys=[("rid", "ascending"),
+                                            ("key", "ascending"),
+                                            ("doc_id", "ascending")])
+        t = t.take(idx).combine_chunks()
+        rids = t["rid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        pair_a = np.empty(0, np.int64)
+        pair_b = np.empty(0, np.int64)
+        dpos, grams = _distinct_word_ngrams_batch(t, n)
+        if dpos is not None:
+            gd = pd.DataFrame({"rid": rids[dpos],
+                               "pos": dpos.astype(np.int64),
+                               "gram": grams})
+            sizes = np.zeros(t.num_rows, np.int64)
+            cnt = gd.groupby("pos").size()
+            sizes[cnt.index.to_numpy(np.int64)] = cnt.to_numpy(np.int64)
+            frames = []
+            for d in range(1, window + 1):
+                right = pd.DataFrame({"rid": gd["rid"],
+                                      "jpos": gd["pos"] - d,
+                                      "posb": gd["pos"],
+                                      "gram": gd["gram"]})
+                m = gd.merge(right,
+                             left_on=["rid", "pos", "gram"],
+                             right_on=["rid", "jpos", "gram"])
+                if len(m):
+                    frames.append(m[["pos", "posb"]])
+            if frames:
+                ic = pd.concat(frames).groupby(["pos", "posb"]) \
+                    .size().reset_index(name="i")
+                p_a = ic["pos"].to_numpy(np.int64)
+                p_b = ic["posb"].to_numpy(np.int64)
+                i = ic["i"].to_numpy(np.int64)
+                union = sizes[p_a] + sizes[p_b] - i
+                keep = (union > 0) & (i / np.maximum(union, 1) >= tau)
+                aa, bb = dids[p_a[keep]], dids[p_b[keep]]
+                pair_a = np.minimum(aa, bb)
+                pair_b = np.maximum(aa, bb)
+
+        # boundary rows: first/last `window` rows of every range in
+        # this partition, with position-from-start and range size
+        starts = np.flatnonzero(group_starts(rids))
+        ends = np.append(starts[1:], len(rids))
+        bidx: list[int] = []
+        bpos: list[int] = []
+        brc: list[int] = []
+        for s, e in zip(starts, ends):
+            rows = sorted(set(range(s, min(s + window, e)))
+                          | set(range(max(s, e - window), e)))
+            bidx.extend(rows)
+            bpos.extend(r - s for r in rows)
+            brc.extend([e - s] * len(rows))
+        bidx_a = np.asarray(bidx, np.int64)
+
+        npairs, nb = len(pair_a), len(bidx_a)
+        return pa.table({
+            "kind": pa.array(np.concatenate(
+                [np.zeros(npairs, np.int8), np.ones(nb, np.int8)])),
+            "a": pa.array(np.concatenate(
+                [pair_a, np.zeros(nb, np.int64)])),
+            "b": pa.array(np.concatenate(
+                [pair_b, np.zeros(nb, np.int64)])),
+            "rid": pa.array(np.concatenate(
+                [np.zeros(npairs, np.int64), rids[bidx_a]])),
+            "pos": pa.array(np.concatenate(
+                [np.zeros(npairs, np.int64), np.asarray(bpos, np.int64)])),
+            "rcount": pa.array(np.concatenate(
+                [np.zeros(npairs, np.int64), np.asarray(brc, np.int64)])),
+            "doc_id": pa.array(np.concatenate(
+                [np.zeros(npairs, np.int64), dids[bidx_a]])),
+            "text": pa.concat_arrays([
+                pa.nulls(npairs, pa.string()),
+                t["text"].combine_chunks().take(pa.array(bidx_a))
+                if nb else pa.array([], pa.string())])})
+
+    res = partitioned_group_map_arrow(tagged, ["rid"], block, None,
+                                      out_schema=out_schema)
+    # pairs + boundary rows are O(matches + window x ranges) — small by
+    # construction; materialize once so the two splits don't re-shuffle
+    res = res.materialize()
+
+    pairs_in = res.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(["a", "b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    brows = res.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 1))
+        .select(["rid", "pos", "rcount", "doc_id", "text"]),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+
+    cross_a: list[int] = []
+    cross_b: list[int] = []
+    if brows:
+        bdf = pd.DataFrame(brows).sort_values(["rid", "pos"])
+        rc = bdf.groupby("rid")["rcount"].first().sort_index()
+        rids_u = rc.index.to_numpy(np.int64)
+        counts = rc.to_numpy(np.int64)
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        off_map = dict(zip(rids_u.tolist(), offs.tolist()))
+        gpos = (bdf["rid"].map(off_map).to_numpy(np.int64)
+                + bdf["pos"].to_numpy(np.int64))
+        order = np.argsort(gpos, kind="stable")
+        gpos = gpos[order]
+        brid = bdf["rid"].to_numpy(np.int64)[order]
+        bdid = bdf["doc_id"].to_numpy(np.int64)[order]
+        btxt = pa.table({"text": pa.array(
+            bdf["text"].to_numpy(object)[order], pa.string())})
+        dpos, grams = _distinct_word_ngrams_batch(btxt, n)
+        gsets: dict[int, set] = {}
+        if dpos is not None:
+            for p, g in zip(dpos, grams):
+                gsets.setdefault(int(p), set()).add(g)
+        # O(window x ranges) rows: a plain scan is exact and bounded
+        for i in range(len(gpos)):
+            j = i + 1
+            while j < len(gpos) and gpos[j] - gpos[i] <= window:
+                if brid[j] != brid[i]:
+                    ga = gsets.get(i, set())
+                    gb = gsets.get(j, set())
+                    inter = len(ga & gb)
+                    uni = len(ga) + len(gb) - inter
+                    if uni > 0 and inter / uni >= tau:
+                        cross_a.append(int(min(bdid[i], bdid[j])))
+                        cross_b.append(int(max(bdid[i], bdid[j])))
+                j += 1
+
+    cross = ray.data.from_arrow(pa.table({
+        "a": pa.array(cross_a, pa.int64()),
+        "b": pa.array(cross_b, pa.int64())}))
+    return cross.union(pairs_in)

@@ -56,6 +56,7 @@ SQL_CHECKED = [
     "q5_local_supplier_volume", "q18_large_orders",
     "e_hll_user_registers", "q14_part_type_revenue",
     "e_user_running_totals", "emb_kmeans_iter", "q10_returned_items",
+    "snm_dedup_pairs",
 ]
 
 
@@ -66,6 +67,18 @@ def test_query_matches_oracle(name, con):
     fn = entry.queries()[name]
     sql = entry.oracle_sql()[name]
     _compare(fn(SF), sql, con)
+
+
+def test_snm_boundary_stitch_matches_oracle(con):
+    # force ~5-row ranges so windows straddle (and fully span) range
+    # boundaries: the driver-side stitch must reconstruct exactly the
+    # pairs the single-sort oracle sees
+    from image_deduper_ray.pipelines.docdedup import snm_pairs
+
+    import __ray_entry__ as entry
+
+    _compare(snm_pairs(SF, num_ranges=97, sample_mask=3),
+             entry.oracle_sql()["snm_dedup_pairs"], con)
 
 
 def test_ngram_jaccard_matches_oracle(con):
