@@ -490,6 +490,25 @@ def _q_large_orders(sf_dir: str):
     return large_orders(sf_dir)
 
 
+def _q_source_overlap(sf_dir: str):
+    from image_deduper_ray.pipelines.docdedup import source_overlap_matrix
+
+    # cross-source contamination matrix: one content-hash shuffle of
+    # per-batch-deduped (hash, source) pairs, vectorized pair explode
+    # per partition, O(sources^2) partial matrices merged driver-side
+    return source_overlap_matrix(sf_dir)
+
+
+def _q_lang_outliers(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import lang_token_outliers
+
+    # per-group statistics broadcast back to rows: O(langs) moment
+    # partials collect without a shuffle, the flag pass re-streams the
+    # table; the k-sigma test runs in exact integer arithmetic so the
+    # result hashes identically to the SQL oracle
+    return lang_token_outliers(sf_dir)
+
+
 def _q_snm_pairs(sf_dir: str):
     from image_deduper_ray.pipelines.docdedup import snm_pairs
 
@@ -700,6 +719,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_part_type_revenue": _q_part_type_revenue,
         "q10_returned_items": _q_returned_items,
         "snm_dedup_pairs": _q_snm_pairs,
+        "source_overlap_matrix": _q_source_overlap,
+        "t_lang_token_outliers": _q_lang_outliers,
     }
 
 
@@ -1327,6 +1348,34 @@ def oracle_sql() -> dict[str, str]:
             "AND c_custkey = o_custkey AND o_orderkey = l_orderkey "
             "GROUP BY c_name, o_custkey, o_orderkey, o_orderdate, "
             "o_totalprice",
+        # source_overlap_matrix: distinct shared exact texts per source
+        # pair; the engine's %13 seeding re-homes every 13th doc under
+        # 'src'||((doc_id*7)%20) so the matrix is non-vacuous
+        "source_overlap_matrix":
+            "WITH base AS (SELECT source, text FROM documents "
+            "  UNION ALL SELECT 'src' || CAST((doc_id * 7) % 20 AS "
+            "  VARCHAR), text FROM documents WHERE doc_id % 13 = 0), "
+            "h AS (SELECT DISTINCT source, sha256(text) AS h FROM base) "
+            "SELECT a.source AS source_a, b.source AS source_b, "
+            "COUNT(*) AS n_shared FROM h a "
+            "JOIN h b ON a.h = b.h AND a.source < b.source "
+            "GROUP BY 1, 2",
+        # t_lang_token_outliers: |n - mean| > 1 sigma per language, in
+        # exact integer arithmetic: (n*N - S)^2 > (N*SS - S^2); k=1
+        # because the synthetic token counts are near-uniform (no
+        # 2-sigma tail exists)
+        "t_lang_token_outliers":
+            "WITH tc AS (SELECT doc_id, lang, "
+            "  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "  AS n_tokens FROM documents), "
+            "st AS (SELECT lang, COUNT(*) AS nn, "
+            "  CAST(SUM(n_tokens) AS BIGINT) AS s, "
+            "  CAST(SUM(n_tokens * n_tokens) AS BIGINT) AS ss "
+            "  FROM tc GROUP BY lang) "
+            "SELECT doc_id, tc.lang, n_tokens FROM tc "
+            "JOIN st ON tc.lang = st.lang "
+            "WHERE (n_tokens * nn - s) * (n_tokens * nn - s) "
+            "> (nn * ss - s * s)",
         # snm_dedup_pairs: sorted-neighborhood near-dup pairs — window
         # self-join on the normalized-prefix rank order, verified with
         # the same exploded-gram Jaccard as ngram_jaccard_pairs

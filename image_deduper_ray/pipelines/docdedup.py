@@ -1287,3 +1287,101 @@ def snm_pairs(sf_dir: str, window: int = 4, n: int = 3,
         "a": pa.array(cross_a, pa.int64()),
         "b": pa.array(cross_b, pa.int64())}))
     return cross.union(pairs_in)
+
+
+def source_overlap_matrix(sf_dir: str, seed_dup_mod: int | None = 13
+                          ) -> ray.data.Dataset:
+    """Cross-source contamination matrix: (source_a, source_b,
+    n_shared) with source_a < source_b and n_shared the number of
+    DISTINCT exact texts (sha256) present in both — the
+    benchmark-contamination / dataset-overlap audit a5's per-source
+    report cannot answer (a5 counts dups WITHIN a source; this counts
+    identical content ACROSS source pairs).
+
+    Scale shape: one hash-partitioned shuffle on the content hash
+    (per-batch (hash, source) dedupe first, so shuffle volume is
+    O(distinct pairs per block)); each partition explodes its hash
+    groups into source pairs with a vectorized self-merge (group width
+    is bounded by the source count) and pre-aggregates; the partial
+    matrices are O(sources^2) rows by construction and merge
+    driver-side.
+
+    ``seed_dup_mod``: the synthetic corpora have no cross-source exact
+    dups, so every doc with ``doc_id % mod == 0`` is unioned in again
+    under source 'src'||((doc_id*7)%20) — a pseudo-random re-homing
+    that is literal-arithmetic reproducible in SQL and fills a genuine
+    matrix (not a star)."""
+    from ..functions.groups import partitioned_group_map
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+
+    def hash_source(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.string()),
+                             "source": pa.array([], pa.string())})
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        if seed_dup_mod:
+            dids = t["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            m = dids % seed_dup_mod == 0
+            re_homed = pc.binary_join_element_wise(
+                "src", pa.array(((dids[m] * 7) % 20).astype(str),
+                                pa.string()), "")
+            text = pa.concat_arrays([text, text.filter(pa.array(m))])
+            src = pa.concat_arrays([src, re_homed])
+        hs = hashing.sha256_hex(text.to_pylist())
+        df = pd.DataFrame({"h": hs,
+                           "source": src.to_numpy(zero_copy_only=False)})
+        df = df.drop_duplicates()
+        return pa.table({"h": pa.array(df["h"].to_numpy(object),
+                                       pa.string()),
+                         "source": pa.array(df["source"].to_numpy(object),
+                                            pa.string())})
+
+    hs = ds.map_batches(hash_source, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    out_schema = pa.schema([("source_a", pa.string()),
+                            ("source_b", pa.string()),
+                            ("n_shared", pa.int64())])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source_a": pd.Series([], dtype=object),
+                              "source_b": pd.Series([], dtype=object),
+                              "n_shared": pd.Series([], dtype=np.int64)})
+        if df.empty:
+            return empty
+        df = df.drop_duplicates()  # same (h, source) from two blocks
+        m = df.merge(df, on="h")
+        m = m[m["source_x"] < m["source_y"]]
+        if m.empty:
+            return empty
+        g = m.groupby(["source_x", "source_y"]).size() \
+            .reset_index(name="n_shared")
+        return pd.DataFrame({"source_a": g["source_x"],
+                             "source_b": g["source_y"],
+                             "n_shared": g["n_shared"]
+                             .to_numpy(np.int64)})
+
+    partial = partitioned_group_map(hs, ["h"], block, None,
+                                    out_schema=out_schema)
+
+    # the partial matrices are O(sources^2 x partitions) rows — merge
+    # driver-side (bounded by construction, independent of data size)
+    rows = partial.take_all()
+    if not rows:
+        return ray.data.from_arrow(out_schema.empty_table())
+    mdf = pd.DataFrame(rows).groupby(["source_a", "source_b"],
+                                     as_index=False)["n_shared"].sum()
+    return ray.data.from_arrow(pa.table({
+        "source_a": pa.array(mdf["source_a"].to_numpy(object),
+                             pa.string()),
+        "source_b": pa.array(mdf["source_b"].to_numpy(object),
+                             pa.string()),
+        "n_shared": pa.array(mdf["n_shared"].to_numpy(np.int64))}))

@@ -758,3 +758,96 @@ def pii_counts(sf_dir: str) -> ray.data.Dataset:
                 text, _IPV4_RE).cast(pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_token_outliers(sf_dir: str, k: int = 1) -> ray.data.Dataset:
+    """(doc_id, lang, n_tokens) for documents whose whitespace token
+    count deviates from their language's mean by more than ``k``
+    standard deviations — the per-group statistical outlier flag a
+    quality-filtering pass runs before training (too-short / too-long
+    documents relative to their language's distribution).
+
+    The pattern: per-group STATISTICS BROADCAST BACK TO ROWS. Pass 1
+    pre-reduces (lang, count, sum, sum-of-squares) per batch — the
+    partials are O(langs) rows per block, so they collect driver-side
+    without a shuffle; pass 2 re-streams the table and flags each row
+    against its language's broadcast moments.
+
+    Exactness: the test |n - mean| > k*sigma is evaluated in INTEGER
+    arithmetic — (n*N - S)^2 > k^2 * (N*SS - S^2) — so the result is
+    bit-stable and SQL-reproducible with no float epsilon. int64 is
+    safe while N * max(n_tokens)^2 < 2^63 (10^12 docs of 10^3 tokens);
+    past that the moments need a 128-bit accumulator (documented
+    limit). The default k=1 suits the synthetic corpora's near-uniform
+    token counts (a uniform distribution has NO 2-sigma tail: its
+    range is ~±1.73 sigma); real corpora are heavy-tailed and want
+    k=2+."""
+    import numpy as np
+    import pandas as pd
+    import ray as _ray
+
+    ds = read_documents(sf_dir, ["doc_id", "lang", "text"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "nn": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "ss": pa.array([], pa.int64())})
+        n = pc.count_substring_regex(t["text"], _WS_TOKEN_RE) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "n": n, "n2": n * n})
+        g = df.groupby("lang", sort=False).agg(
+            nn=("n", "size"), s=("n", "sum"), ss=("n2", "sum")) \
+            .reset_index()
+        return pa.table({"lang": pa.array(g["lang"].to_numpy(object),
+                                          pa.string()),
+                         "nn": pa.array(g["nn"].to_numpy(np.int64)),
+                         "s": pa.array(g["s"].to_numpy(np.int64)),
+                         "ss": pa.array(g["ss"].to_numpy(np.int64))})
+
+    parts = []
+    for b in ds.map_batches(moments, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows:
+            parts.append(b.to_pandas())
+    if not parts:
+        stats = pd.DataFrame({"lang": [], "nn": [], "s": [], "ss": []})
+    else:
+        stats = pd.concat(parts).groupby("lang", as_index=False).sum()
+    langs = np.sort(stats["lang"].to_numpy(object).astype(str))
+    order = np.argsort(stats["lang"].to_numpy(object).astype(str),
+                       kind="stable")
+    ref = _ray.put((langs,
+                    stats["nn"].to_numpy(np.int64)[order],
+                    stats["s"].to_numpy(np.int64)[order],
+                    stats["ss"].to_numpy(np.int64)[order]))
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("lang", pa.string()),
+                            ("n_tokens", pa.int64())])
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        lg, nn, s, ss = _ray.get(ref)
+        n = pc.count_substring_regex(t["text"], _WS_TOKEN_RE) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        rl = t["lang"].to_numpy(zero_copy_only=False).astype(str)
+        pos = np.searchsorted(lg, rl)
+        d = n * nn[pos] - s[pos]
+        var_n2 = nn[pos] * ss[pos] - s[pos] * s[pos]
+        keep = d * d > k * k * var_n2
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64())
+            .to_numpy(zero_copy_only=False)[keep],
+            "lang": pa.array(rl[keep].astype(object), pa.string()),
+            "n_tokens": pa.array(n[keep])})
+
+    flagged = ds.map_batches(flag, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    # zero-flag results must still carry the schema
+    return ray.data.from_arrow(out_schema.empty_table()).union(flagged)
