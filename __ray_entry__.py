@@ -490,6 +490,16 @@ def _q_large_orders(sf_dir: str):
     return large_orders(sf_dir)
 
 
+def _q_hopping_counts(sf_dir: str):
+    from image_deduper_ray.pipelines.events import hopping_event_counts
+
+    # hopping/sliding windows (60 min advancing every 15): the explode
+    # into window/hop assignments happens inside the combiner, so the
+    # shuffle moves O(windows x types) partials, never the 4x-inflated
+    # event stream
+    return hopping_event_counts(sf_dir)
+
+
 def _q_source_overlap(sf_dir: str):
     from image_deduper_ray.pipelines.docdedup import source_overlap_matrix
 
@@ -721,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_dedup_pairs": _q_snm_pairs,
         "source_overlap_matrix": _q_source_overlap,
         "t_lang_token_outliers": _q_lang_outliers,
+        "e_hopping_counts": _q_hopping_counts,
     }
 
 
@@ -1348,6 +1359,21 @@ def oracle_sql() -> dict[str, str]:
             "AND c_custkey = o_custkey AND o_orderkey = l_orderkey "
             "GROUP BY c_name, o_custkey, o_orderkey, o_orderdate, "
             "o_totalprice",
+        # e_hopping_counts: 60-min windows hopping every 15 — each
+        # event contributes to 4 windows on the epoch-aligned grid
+        # (integer floor on both sides, no time_bucket-origin issues)
+        "e_hopping_counts":
+            "WITH b AS (SELECT event_type, value, "
+            "  CAST(epoch_us(ts) // 900000000 AS BIGINT) * 900000000 "
+            "  AS tb FROM events), "
+            "x AS (SELECT event_type, value, "
+            "  make_timestamp(b.tb - 900000000 * CAST(t.u AS BIGINT)) "
+            "  AS window_start "
+            "  FROM b, (SELECT unnest([0, 1, 2, 3]) AS u) t) "
+            "SELECT window_start, event_type, COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sum_value_cents "
+            "FROM x GROUP BY 1, 2",
         # source_overlap_matrix: distinct shared exact texts per source
         # pair; the engine's %13 seeding re-homes every 13th doc under
         # 'src'||((doc_id*7)%20) so the matrix is non-vacuous

@@ -608,3 +608,81 @@ def user_running_totals(sf_dir: str) -> ray.data.Dataset:
 
     return partitioned_group_map(ds, ["user_id"], block, 16,
                                  out_schema=out_schema)
+
+
+def hopping_event_counts(sf_dir: str, window_min: int = 60,
+                         hop_min: int = 15) -> ray.data.Dataset:
+    """Hopping (sliding) window aggregate: (window_start, event_type,
+    n_events, sum_value_cents) over ``window_min``-minute windows that
+    advance every ``hop_min`` minutes — each event lands in
+    window/hop overlapping windows, the streaming shape tumbling
+    windows can't express (rate monitoring, rolling SLAs).
+
+    Scale shape: the explode happens INSIDE the combiner — each batch
+    replicates its events into their window/hop assignments with one
+    vectorized broadcast-subtract and immediately pre-aggregates, so
+    the shuffle moves O(windows x types per block) partial rows, never
+    the (window/hop)-times-inflated event stream. Window starts stay
+    int64 epoch-micros through the shuffle; the final block renders
+    timestamps. Alignment is the epoch grid (identical integer floor
+    on the oracle side — no time_bucket-origin ambiguity). Assumes
+    non-negative timestamps (floor-division alignment)."""
+    if window_min % hop_min:
+        raise ValueError("window_min must be a multiple of hop_min")
+    hop = hop_min * 60_000_000
+    k = window_min // hop_min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"ws": pa.array([], pa.int64()),
+                          "event_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tb = (us // hop) * hop
+        starts = (tb[:, None]
+                  - (np.arange(k - 1, -1, -1) * hop)[None, :]).ravel()
+        et = np.repeat(t["event_type"].to_numpy(zero_copy_only=False), k)
+        cents = np.repeat(
+            np.floor(t["value"].to_numpy(zero_copy_only=False) * 100
+                     + 0.5).astype(np.int64), k)
+        df = pd.DataFrame({"ws": starts, "event_type": et, "c": cents})
+        g = df.groupby(["ws", "event_type"], sort=False).agg(
+            n=("c", "size"), s=("c", "sum")).reset_index()
+        return pa.table({"ws": pa.array(g["ws"].to_numpy(np.int64)),
+                         "event_type": pa.array(
+                             g["event_type"].to_numpy(object),
+                             pa.string()),
+                         "n": pa.array(g["n"].to_numpy(np.int64)),
+                         "s": pa.array(g["s"].to_numpy(np.int64))})
+
+    out_schema = pa.schema([("window_start", pa.timestamp("us")),
+                            ("event_type", pa.string()),
+                            ("n_events", pa.int64()),
+                            ("sum_value_cents", pa.int64())])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"window_start": pd.Series([], dtype="datetime64[us]"),
+                 "event_type": pd.Series([], dtype=object),
+                 "n_events": pd.Series([], dtype=np.int64),
+                 "sum_value_cents": pd.Series([], dtype=np.int64)})
+        g = df.groupby(["ws", "event_type"], sort=False).agg(
+            n_events=("n", "sum"),
+            sum_value_cents=("s", "sum")).reset_index()
+        return pd.DataFrame({
+            "window_start": g["ws"].to_numpy(np.int64)
+            .view("datetime64[us]"),
+            "event_type": g["event_type"],
+            "n_events": g["n_events"].to_numpy(np.int64),
+            "sum_value_cents": g["sum_value_cents"].to_numpy(np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partitioned_group_map(partials, ["ws", "event_type"],
+                                 block, 16, out_schema=out_schema)

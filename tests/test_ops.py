@@ -57,6 +57,7 @@ SQL_CHECKED = [
     "e_hll_user_registers", "q14_part_type_revenue",
     "e_user_running_totals", "emb_kmeans_iter", "q10_returned_items",
     "snm_dedup_pairs", "source_overlap_matrix", "t_lang_token_outliers",
+    "e_hopping_counts",
 ]
 
 
