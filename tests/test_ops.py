@@ -1314,6 +1314,25 @@ def test_signature_poison_path_completes():
     assert second["minhash"].to_pylist() == third["minhash"].to_pylist()
 
 
+def test_hopping_degenerates_to_tumbling():
+    """With window == hop every event lands in exactly one window, so
+    the hopping operator must reproduce the tumbling hourly aggregate
+    row for row — pins the explode arithmetic (offsets, alignment,
+    cents) against the independently-oracled tumbling path."""
+    from image_deduper_ray.pipelines.events import (hopping_event_counts,
+                                                    windowed_event_counts)
+
+    def norm(ds):
+        df = ds.to_pandas()
+        return df.sort_values(["window_start", "event_type"]) \
+            .reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        norm(hopping_event_counts(SF, window_min=60, hop_min=60)),
+        norm(windowed_event_counts(SF, window="hour")),
+        check_dtype=False)
+
+
 def test_windowed_counts_hour_boundaries(tmp_path):
     """Window semantics pinned at hour edges: ts exactly on the boundary
     belongs to the NEW window (floor_temporal == date_trunc), one
