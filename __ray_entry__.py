@@ -663,6 +663,26 @@ def _q_emb_dedup_canonical(sf_dir: str):
     return dedup_canonical(sf_dir, tau=0.35)
 
 
+def _q_rollup_revenue(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import rollup_revenue
+    return rollup_revenue(sf_dir)
+
+
+def _q_topk_docs_per_lang(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import topk_docs_per_lang
+    return topk_docs_per_lang(sf_dir, k=3)
+
+
+def _q_bloom_decontaminate(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import bloom_decontaminate
+    return bloom_decontaminate(sf_dir)
+
+
+def _q_semantic_prune(sf_dir: str):
+    from image_deduper_ray.pipelines.ann import semantic_prune
+    return semantic_prune(sf_dir, n_centroids=8, tau=0.35)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -732,7 +752,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_matrix": _q_source_overlap,
         "t_lang_token_outliers": _q_lang_outliers,
         "e_hopping_counts": _q_hopping_counts,
+        "l_rollup_revenue": _q_rollup_revenue,
+        "t_topk_docs_per_lang": _q_topk_docs_per_lang,
+        "t_bloom_decontaminate": _q_bloom_decontaminate,
+        "emb_semantic_prune": _q_semantic_prune,
     }
+
+
+def _sha_hex_word(lo: int) -> str:
+    """16-bit integer from sha256 hex digits ``lo..lo+3`` (column
+    ``hx``) — the Bloom-position arithmetic, same hex-digit recipe as
+    the HLL oracle's register rebuild."""
+    d = [f"(strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1)"
+         for i in range(lo, lo + 4)]
+    return f"((({d[0]})*16 + ({d[1]}))*16 + ({d[2]}))*16 + ({d[3]})"
 
 
 def _px_sum_oracle(prefix: str, *, repeats: int = 3, n_bytes: int = 96,
@@ -1647,4 +1680,78 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.d) "
             "SELECT d AS doc_id, CAST(MIN(r) AS BIGINT) AS group_id "
             "FROM reach GROUP BY d",
+        # l_rollup_revenue: multi-grain ROLLUP over the pricing-summary
+        # spine; rolled-up grains carry the 'ALL' sentinel (real values
+        # are single chars, no collision)
+        "l_rollup_revenue":
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) "
+            "  AS BIGINT) AS sum_base_cents, "
+            "CAST(SUM(CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)) "
+            "  AS BIGINT) AS sum_disc_bp, COUNT(*) AS n_rows "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+        # t_topk_docs_per_lang: grouped top-3 by whitespace-token count,
+        # ties to the lower doc_id
+        "t_topk_docs_per_lang":
+            "WITH s AS (SELECT lang, doc_id, "
+            "  len(regexp_extract_all(text, '\\S+')) AS n_tokens "
+            "  FROM documents) "
+            "SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(rn AS BIGINT) AS rank FROM ("
+            "  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang "
+            "    ORDER BY n_tokens DESC, doc_id) AS rn FROM s) "
+            "WHERE rn <= 3",
+        # t_bloom_decontaminate: Bloom membership, m = 65536 bits, k = 2
+        # positions per gram = the first two 16-bit words of
+        # sha256(gram) (hex digits 1-4 / 5-8 via the HLL oracle's digit
+        # arithmetic); a gram hits when BOTH positions are set by the
+        # benchmark side — deterministic false positives included
+        "t_bloom_decontaminate":
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, "
+            "  t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] "
+            "  || ' ' || t[i+4] AS g FROM ("
+            "    SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i"
+            "    FROM toks)), "
+            f"gp AS (SELECT g, {_sha_hex_word(1)} AS p1, "
+            f"  {_sha_hex_word(5)} AS p2 "
+            "  FROM (SELECT g, sha256(g) AS hx "
+            "        FROM (SELECT DISTINCT g FROM grams))), "
+            "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0), "
+            "bset AS (SELECT p1 AS pos FROM gp JOIN bench USING (g) "
+            "  UNION SELECT p2 FROM gp JOIN bench USING (g)), "
+            "hitg AS (SELECT g FROM gp WHERE p1 IN (SELECT pos FROM bset) "
+            "  AND p2 IN (SELECT pos FROM bset)), "
+            "hits AS (SELECT gr.doc_id, COUNT(*) AS nh FROM grams gr "
+            "  JOIN hitg USING (g) GROUP BY gr.doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(h.nh, 0) AS BIGINT) "
+            "AS n_bloom_hits, COALESCE(h.nh, 0) > 0 AS bloom_contaminated "
+            "FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id",
+        # emb_semantic_prune: SemDeDup shape — nearest of the 8
+        # lowest-vec_id centroids (cosine, ties to lower centroid id),
+        # then within-cluster keep-first prune at tau = 0.35 against
+        # ALL earlier cluster-mates (chain-independent)
+        "emb_semantic_prune":
+            "WITH c AS (SELECT vec_id AS cid, embedding AS ce "
+            "  FROM embeddings ORDER BY vec_id LIMIT 8), "
+            "assign AS (SELECT vec_id, cid AS cluster_id FROM ("
+            "  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER ("
+            "    PARTITION BY e.vec_id "
+            "    ORDER BY list_cosine_similarity(CAST(e.embedding "
+            "      AS DOUBLE[]), CAST(c.ce AS DOUBLE[])) DESC, c.cid) AS rn"
+            "  FROM embeddings e, c) WHERE rn = 1), "
+            "pruned AS (SELECT DISTINCT y.vec_id FROM assign x "
+            "  JOIN assign y ON x.cluster_id = y.cluster_id "
+            "    AND x.vec_id < y.vec_id "
+            "  JOIN embeddings ex ON ex.vec_id = x.vec_id "
+            "  JOIN embeddings ey ON ey.vec_id = y.vec_id "
+            "  WHERE list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]), "
+            "    CAST(ey.embedding AS DOUBLE[])) >= 0.35) "
+            "SELECT a.vec_id, a.cluster_id, "
+            "a.vec_id IN (SELECT vec_id FROM pruned) AS pruned "
+            "FROM assign a",
     }

@@ -733,3 +733,84 @@ def kmeans_iter(sf_dir: str, k: int = 8) -> ray.data.Dataset:
                          zero_copy_batch=True)
             .repartition(1)
             .map_batches(combine, batch_format="pyarrow"))
+
+
+def semantic_prune(sf_dir: str, n_centroids: int = 8,
+                   tau: float = 0.35) -> ray.data.Dataset:
+    """SemDeDup-shape semantic dedup: (vec_id, cluster_id, pruned) —
+    assign every embedding to its nearest of ``n_centroids`` fixed
+    centroids (the lowest vec_ids' embeddings, cosine, ties to the
+    lower centroid id), then WITHIN each cluster prune any row that
+    has an earlier (lower vec_id) cluster-mate with cosine >= ``tau``.
+    "Earlier neighbor exists" is evaluated against ALL earlier
+    cluster-mates (chain-independent), so the flag is order-exact and
+    the DuckDB oracle reproduces it with a within-cluster self-join.
+
+    Scale shape (the SemDeDup argument, Abbas et al. 2023): the
+    quadratic prune never runs corpus-wide — the centroid matrix is
+    broadcast once and assignment is one streaming matmul per batch;
+    the prune is per-cluster after ONE hash shuffle on cluster_id,
+    O(sum n_c^2) with k chosen so clusters stay small. Content never
+    moves twice."""
+    import ray
+
+    from ..functions.groups import group_starts, partitioned_group_map_arrow
+
+    cids, Q = load_queries(sf_dir, n_centroids)
+    out_schema = pa.schema([("vec_id", pa.int64()),
+                            ("cluster_id", pa.int64()),
+                            ("pruned", pa.bool_())])
+    if len(cids) == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    cent_ref = ray.put((cids.astype(np.int64), _normalize(Q)))
+
+    mid_schema = pa.schema([("vec_id", pa.int64()),
+                            ("cluster_id", pa.int64()),
+                            ("embedding", pa.list_(pa.float32()))])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids, M = _to_matrix(t)
+        if len(ids) == 0:
+            return mid_schema.empty_table()
+        qids, Qn = ray.get(cent_ref)
+        sims = _normalize(M) @ Qn.T
+        # argmax returns the FIRST max: ties go to the lower centroid
+        # id (qids is ascending), matching the oracle's ORDER BY
+        # sim DESC, cid ASC
+        cl = qids[np.argmax(sims, axis=1)]
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                         "cluster_id": pa.array(cl),
+                         "embedding": emb.cast(pa.list_(pa.float32()))})
+
+    assigned = _read_embeddings(sf_dir).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(t, sort_keys=[("cluster_id", "ascending"),
+                                              ("vec_id", "ascending")])
+        t = t.take(order)
+        ids, M = _to_matrix(t)
+        N = _normalize(M)
+        cl = t["cluster_id"].to_numpy(zero_copy_only=False)
+        pruned = np.zeros(len(ids), bool)
+        starts = np.flatnonzero(group_starts(cl))
+        bounds = np.append(starts, len(ids))
+        # per-CLUSTER loop (not per-row): each iteration is one dense
+        # gram matrix over that cluster's rows, vectorized end to end
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            S = N[s:e] @ N[s:e].T
+            hit = np.triu(S >= tau, k=1)  # rows sorted by vec_id: i<j
+            pruned[s:e] = hit.any(axis=0)
+        return pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                         "cluster_id": pa.array(cl.astype(np.int64)),
+                         "pruned": pa.array(pruned)})
+
+    return partitioned_group_map_arrow(assigned, ["cluster_id"], block,
+                                       8, out_schema=out_schema)

@@ -961,3 +961,41 @@ def returned_item_report(sf_dir: str, date_lo: str = Q10_DATE_LO,
                "n_name", "rank"]]
     return ray.data.from_arrow(pa.Table.from_pandas(
         out, preserve_index=False))
+
+
+def rollup_revenue(sf_dir: str, cutoff: str = PRICING_CUTOFF
+                   ) -> pa.Table:
+    """Multi-grain pricing summary: ``GROUP BY ROLLUP (l_returnflag,
+    l_linestatus)`` — the finest grain plus the per-returnflag
+    subtotals plus the grand total, rolled-up grains labeled with the
+    ``'ALL'`` sentinel (the real values are single characters, so the
+    sentinel cannot collide).
+
+    Scale shape: ONE distributed pass computes the finest grain
+    (``pricing_summary``: per-batch integer-cents combiners, then a
+    partition-count shuffle of O(groups x blocks) partial rows); every
+    coarser grain is derived from the finest by exact integer
+    re-aggregation, because all four measures are decomposable sums.
+    That is the textbook rollup optimization — the 100-TB fact table
+    is scanned once, and the rollup itself touches only the
+    finest-grain result (|flags| x |statuses| rows, single digits
+    here). The derivation runs on the driver over that tiny table.
+
+    Mirrors the same aggregate spine as ``pricing_summary``
+    (reference analog: the per-extension/per-format summary counters,
+    /root/reference/crates/image-deduper-core/src/lib.rs:188-210)."""
+    fine = pricing_summary(sf_dir, cutoff).to_pandas()
+    measures = ["sum_qty", "sum_base_cents", "sum_disc_bp", "n_rows"]
+
+    by_flag = fine.groupby("l_returnflag", as_index=False)[measures].sum()
+    by_flag["l_linestatus"] = "ALL"
+    grand = fine[measures].sum().to_frame().T
+    grand["l_returnflag"] = "ALL"
+    grand["l_linestatus"] = "ALL"
+    out = pd.concat([fine, by_flag, grand], ignore_index=True)
+    out = out[["l_returnflag", "l_linestatus", *measures]]
+    for c in measures:
+        out[c] = out[c].astype(np.int64)
+    out = out.sort_values(["l_returnflag", "l_linestatus"],
+                          kind="mergesort").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

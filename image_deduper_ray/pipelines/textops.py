@@ -851,3 +851,141 @@ def lang_token_outliers(sf_dir: str, k: int = 1) -> ray.data.Dataset:
                              zero_copy_batch=True)
     # zero-flag results must still carry the schema
     return ray.data.from_arrow(out_schema.empty_table()).union(flagged)
+
+
+def topk_docs_per_lang(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """(lang, doc_id, n_tokens, rank) — the ``k`` longest documents
+    (whitespace tokens, ties broken by lower doc_id) WITHIN each
+    language: grouped top-k with no global sort.
+
+    Scale shape: each batch prunes itself to at most ``k`` rows per
+    language before anything moves (top-k is a decomposable
+    aggregate: the global top-k per group is contained in the union
+    of per-batch top-k's), so the shuffle moves O(k x langs x blocks)
+    candidate rows, never the corpus. The final per-language rank is
+    one ``partitioned_group_map`` over those candidates — same spine
+    as ``topk_tokens``."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.groups import partitioned_group_map, segmented_rank
+
+    ds = read_documents(sf_dir, ["doc_id", "text", "lang"])
+    cand_schema = pa.schema([("lang", pa.string()), ("doc_id", pa.int64()),
+                             ("n_tokens", pa.int64())])
+    out_schema = pa.schema([("lang", pa.string()), ("doc_id", pa.int64()),
+                            ("n_tokens", pa.int64()), ("rank", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cand_schema.empty_table()
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "n_tokens": pc.count_substring_regex(t["text"], _WS_TOKEN_RE)
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["lang", "n_tokens", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        keep = segmented_rank(df["lang"].to_numpy()) <= k
+        return pa.Table.from_pandas(df[keep], schema=cand_schema,
+                                    preserve_index=False)
+
+    cands = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "doc_id": pd.Series([], dtype=np.int64),
+                                 "n_tokens": pd.Series([], dtype=np.int64),
+                                 "rank": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["lang", "n_tokens", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        rank = segmented_rank(df["lang"].to_numpy())
+        keep = rank <= k
+        return pd.DataFrame({"lang": df["lang"].to_numpy()[keep],
+                             "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+                             "n_tokens":
+                             df["n_tokens"].to_numpy(np.int64)[keep],
+                             "rank": rank[keep]})
+
+    return partitioned_group_map(cands, ["lang"], block, 8,
+                                 out_schema=out_schema)
+
+
+def bloom_decontaminate(sf_dir: str, n: int = 5, bench_mod: int = 29,
+                        m_bits: int = 65536) -> ray.data.Dataset:
+    """Sketch-based decontamination: (doc_id, n_bloom_hits,
+    bloom_contaminated) — the Bloom-filter companion to
+    ``decontaminate``. The benchmark side's distinct word ``n``-grams
+    set k=2 bits each in an ``m_bits``-wide filter (positions = the
+    first two 16-bit words of sha256(gram)); the corpus streams
+    through one stateless vectorized probe per batch against the
+    broadcast 8 KB bitset. A gram "hits" when BOTH of its positions
+    are set — Bloom semantics, deterministic false positives
+    included, so the DuckDB oracle reproduces the result bit-exactly
+    from the same sha256 hex digits.
+
+    This is the 100-TB scale path for decontamination: the exact
+    variant broadcasts the benchmark's gram VOCABULARY (bounded by
+    ``max_bench_bytes``), while the filter here is fixed-size
+    regardless of benchmark size — the standard memory/precision
+    trade. No shuffle, no join; one tiny benchmark scan plus one
+    streaming corpus scan."""
+    import hashlib
+
+    import numpy as np
+    import ray
+
+    from .docdedup import _distinct_word_ngrams_batch
+
+    assert m_bits & (m_bits - 1) == 0 and m_bits <= 1 << 32
+
+    def gram_positions(grams) -> np.ndarray:
+        """(n_grams, 2) uint32 bit positions from sha256 bytes 0-1 and
+        2-3 (== hex digits 1-4 / 5-8, the oracle's digit arithmetic)."""
+        out = np.empty((len(grams), 2), np.uint32)
+        for i, g in enumerate(grams):
+            d = hashlib.sha256(g.encode()).digest()
+            out[i, 0] = int.from_bytes(d[0:2], "big")
+            out[i, 1] = int.from_bytes(d[2:4], "big")
+        return out % m_bits
+
+    def bench_positions(t: pa.Table) -> pa.Table:
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(dids % bench_mod == 0))
+        empty = pa.table({"pos": pa.array([], pa.uint32())})
+        if t.num_rows == 0:
+            return empty
+        _, gram = _distinct_word_ngrams_batch(t, n)
+        if gram is None:
+            return empty
+        pos = gram_positions(np.unique(gram)).ravel()
+        return pa.table({"pos": pa.array(np.unique(pos), pa.uint32())})
+
+    bits = np.zeros(m_bits, bool)
+    bds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        bench_positions, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+    for b in bds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows:
+            bits[b["pos"].to_numpy(zero_copy_only=False)] = True
+    bits_ref = ray.put(np.packbits(bits))
+
+    def scan(t: pa.Table) -> pa.Table:
+        import numpy as np
+        bset = np.unpackbits(ray.get(bits_ref)).astype(bool)
+        hits = np.zeros(t.num_rows, np.int64)
+        d, gram = _distinct_word_ngrams_batch(t, n)
+        if d is not None and len(d):
+            pos = gram_positions(gram)
+            hit = bset[pos[:, 0]] & bset[pos[:, 1]]
+            np.add.at(hits, d[hit], 1)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bloom_hits": pa.array(hits),
+            "bloom_contaminated": pa.array(hits > 0)})
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        scan, batch_format="pyarrow", zero_copy_batch=True)

@@ -57,7 +57,8 @@ SQL_CHECKED = [
     "e_hll_user_registers", "q14_part_type_revenue",
     "e_user_running_totals", "emb_kmeans_iter", "q10_returned_items",
     "snm_dedup_pairs", "source_overlap_matrix", "t_lang_token_outliers",
-    "e_hopping_counts",
+    "e_hopping_counts", "l_rollup_revenue", "t_topk_docs_per_lang",
+    "t_bloom_decontaminate", "emb_semantic_prune",
 ]
 
 
@@ -1592,3 +1593,105 @@ def test_cli_query_subcommand(capsys, tmp_path):
 
     assert main(["query", "--name", "no_such_op"]) == 2
     capsys.readouterr()
+
+
+def test_rollup_grains_are_consistent():
+    """The rollup's coarser grains must be exact integer re-aggregations
+    of the finest grain: per-flag subtotals equal the sums of their fine
+    rows, the grand total equals the sum of everything, and the row
+    count is fine + |flags| + 1."""
+    from image_deduper_ray.pipelines.relational import (pricing_summary,
+                                                        rollup_revenue)
+
+    fine = pricing_summary(SF).to_pandas()
+    out = rollup_revenue(SF).to_pandas()
+    measures = ["sum_qty", "sum_base_cents", "sum_disc_bp", "n_rows"]
+
+    is_fine = (out["l_returnflag"] != "ALL") & (out["l_linestatus"] != "ALL")
+    is_flag = (out["l_returnflag"] != "ALL") & (out["l_linestatus"] == "ALL")
+    is_grand = (out["l_returnflag"] == "ALL") & (out["l_linestatus"] == "ALL")
+    assert is_grand.sum() == 1
+    assert is_flag.sum() == fine["l_returnflag"].nunique()
+    assert is_fine.sum() == len(fine)
+    assert len(out) == len(fine) + fine["l_returnflag"].nunique() + 1
+
+    for m in measures:
+        assert out.loc[is_grand, m].iloc[0] == fine[m].sum()
+    for flag, grp in fine.groupby("l_returnflag"):
+        sub = out[is_flag & (out["l_returnflag"] == flag)]
+        assert len(sub) == 1
+        for m in measures:
+            assert sub[m].iloc[0] == grp[m].sum()
+
+
+def test_topk_docs_per_lang_rank_semantics():
+    """Grouped top-k invariants: at most k rows per lang with dense
+    ranks 1..n; within a lang n_tokens is non-increasing and ties break
+    to the lower doc_id; and with k >= corpus size the operator
+    degenerates to a full per-lang ranking (every doc appears)."""
+    from image_deduper_ray.pipelines.textops import topk_docs_per_lang
+
+    k = 3
+    df = topk_docs_per_lang(SF, k=k).to_pandas() \
+        .sort_values(["lang", "rank"]).reset_index(drop=True)
+    for _, grp in df.groupby("lang"):
+        assert len(grp) <= k
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        pairs = list(zip(-grp["n_tokens"], grp["doc_id"]))
+        assert pairs == sorted(pairs)
+
+    full = topk_docs_per_lang(SF, k=1 << 30).to_pandas()
+    import duckdb
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(full) == n_docs
+
+
+def test_bloom_never_misses_exact_hits():
+    """Bloom filters admit false positives but never false negatives:
+    every doc the exact decontaminate flags must be flagged by the
+    Bloom variant, with at least as many gram hits (same n, same
+    benchmark slice)."""
+    from image_deduper_ray.pipelines.textops import (bloom_decontaminate,
+                                                     decontaminate)
+
+    exact = decontaminate(SF).to_pandas().set_index("doc_id") \
+        .sort_index()
+    bloom = bloom_decontaminate(SF).to_pandas().set_index("doc_id") \
+        .sort_index()
+    assert list(exact.index) == list(bloom.index)
+    assert (bloom["n_bloom_hits"] >= exact["n_hit_grams"]).all()
+    assert bool(exact["contaminated"].any())  # the invariant is non-vacuous
+    assert (bloom.loc[exact["contaminated"], "bloom_contaminated"]).all()
+
+
+def test_semantic_prune_flag_is_exact():
+    """Recompute the prune flag with numpy from the operator's own
+    cluster assignment: a row is pruned iff some LOWER-vec_id
+    cluster-mate sits within cosine >= tau; the lowest vec_id of every
+    cluster is never pruned."""
+    import pyarrow.parquet as pq
+
+    from image_deduper_ray.pipelines.ann import semantic_prune
+
+    tau = 0.35
+    out = semantic_prune(SF, n_centroids=8, tau=tau).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    assert len(out) == len(emb)
+    M = np.stack(emb.sort_values("vec_id")["embedding"].to_numpy())
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    vid = out["vec_id"].to_numpy()
+    assert (vid == np.sort(emb["vec_id"].to_numpy())).all()
+
+    n_pruned = 0
+    for _, grp in out.groupby("cluster_id"):
+        idx = grp.index.to_numpy()  # rows sorted by vec_id already
+        sims = M[idx] @ M[idx].T
+        earlier_close = (np.tril(sims, -1) >= tau).any(axis=1)
+        assert (grp["pruned"].to_numpy() == earlier_close).all()
+        assert not grp["pruned"].iloc[0]  # cluster's first row survives
+        n_pruned += int(earlier_close.sum())
+    assert n_pruned > 0  # tau=0.35 at sf0.001 must prune something
