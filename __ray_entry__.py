@@ -663,6 +663,11 @@ def _q_emb_dedup_canonical(sf_dir: str):
     return dedup_canonical(sf_dir, tau=0.35)
 
 
+def _q_priority_semijoin(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import order_priority_semijoin
+    return order_priority_semijoin(sf_dir)
+
+
 def _q_rollup_revenue(sf_dir: str):
     from image_deduper_ray.pipelines.relational import rollup_revenue
     return rollup_revenue(sf_dir)
@@ -753,6 +758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_lang_token_outliers": _q_lang_outliers,
         "e_hopping_counts": _q_hopping_counts,
         "l_rollup_revenue": _q_rollup_revenue,
+        "q4_priority_semijoin": _q_priority_semijoin,
         "t_topk_docs_per_lang": _q_topk_docs_per_lang,
         "t_bloom_decontaminate": _q_bloom_decontaminate,
         "emb_semantic_prune": _q_semantic_prune,
@@ -1693,6 +1699,18 @@ def oracle_sql() -> dict[str, str]:
             "  AS BIGINT) AS sum_disc_bp, COUNT(*) AS n_rows "
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
             "GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+        # q4_priority_semijoin: big-big semi-join (EXISTS against the
+        # fact table) — each order counted once regardless of how many
+        # lineitems qualify
+        "q4_priority_semijoin":
+            "SELECT o_orderpriority, COUNT(*) AS order_count "
+            "FROM orders o "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-07-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem l "
+            "  WHERE l.l_orderkey = o.o_orderkey "
+            "  AND l.l_returnflag = 'R') "
+            "GROUP BY o_orderpriority",
         # t_topk_docs_per_lang: grouped top-3 by whitespace-token count,
         # ties to the lower doc_id
         "t_topk_docs_per_lang":

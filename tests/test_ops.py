@@ -58,7 +58,7 @@ SQL_CHECKED = [
     "e_user_running_totals", "emb_kmeans_iter", "q10_returned_items",
     "snm_dedup_pairs", "source_overlap_matrix", "t_lang_token_outliers",
     "e_hopping_counts", "l_rollup_revenue", "t_topk_docs_per_lang",
-    "t_bloom_decontaminate", "emb_semantic_prune",
+    "t_bloom_decontaminate", "emb_semantic_prune", "q4_priority_semijoin",
 ]
 
 
@@ -1695,3 +1695,35 @@ def test_semantic_prune_flag_is_exact():
         assert not grp["pruned"].iloc[0]  # cluster's first row survives
         n_pruned += int(earlier_close.sum())
     assert n_pruned > 0  # tau=0.35 at sf0.001 must prune something
+
+
+def test_semijoin_counts_each_order_once(tmp_path):
+    """Semi-join semantics pinned: an order with MANY qualifying
+    lineitems is counted once (no inner-join row expansion); an order
+    with none, or outside the date window, is not counted at all."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_deduper_ray.pipelines.relational import (
+        order_priority_semijoin)
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderdate": pa.array([pd.Timestamp("1996-02-01")] * 3
+                                + [pd.Timestamp("1995-02-01")],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "5-LOW",
+                                     "1-URGENT"])}),
+        f"{d}/orders.parquet")
+    pq.write_table(pa.table({
+        # order 1: three 'R' lineitems -> ONE count; order 2: only 'N'
+        # -> zero; order 3: one 'R'; order 4: 'R' but out of window
+        "l_orderkey": pa.array([1, 1, 1, 2, 3, 4], pa.int64()),
+        "l_returnflag": pa.array(["R", "R", "R", "N", "R", "R"])}),
+        f"{d}/lineitem.parquet")
+
+    got = order_priority_semijoin(d).to_pandas() \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    assert list(got["o_orderpriority"]) == ["1-URGENT", "5-LOW"]
+    assert list(got["order_count"]) == [1, 1]
