@@ -688,6 +688,22 @@ def _q_semantic_prune(sf_dir: str):
     return semantic_prune(sf_dir, n_centroids=8, tau=0.35)
 
 
+def _q_forecast_revenue(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import forecast_revenue
+    return forecast_revenue(sf_dir)
+
+
+def _q_priority_line_counts(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import priority_line_counts
+    return priority_line_counts(sf_dir)
+
+
+def _q_order_count_distribution(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import (
+        order_count_distribution)
+    return order_count_distribution(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -762,6 +778,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_topk_docs_per_lang": _q_topk_docs_per_lang,
         "t_bloom_decontaminate": _q_bloom_decontaminate,
         "emb_semantic_prune": _q_semantic_prune,
+        "q6_forecast_revenue": _q_forecast_revenue,
+        "q12_priority_line_counts": _q_priority_line_counts,
+        "q13_order_count_distribution": _q_order_count_distribution,
     }
 
 
@@ -1772,4 +1791,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id, a.cluster_id, "
             "a.vec_id IN (SELECT vec_id FROM pruned) AS pruned "
             "FROM assign a",
+        # q6_forecast_revenue: whole-pipeline scalar reduce — discount
+        # matched in exact basis points, per-row revenue floored to
+        # cents BEFORE the sum (order-independent distributed sum)
+        "q6_forecast_revenue":
+            "SELECT CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice * "
+            "l_discount * 100 + 0.5) AS BIGINT)), 0) AS BIGINT) AS "
+            "revenue_cents, COUNT(*) AS n_rows "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) "
+            "  BETWEEN 500 AND 700 "
+            "AND l_quantity < 24",
+        # q12_priority_line_counts: TPC-H Q12 shape — big-big payload
+        # join + CASE aggregation (l_returnflag stands in for the
+        # missing l_shipmode)
+        "q12_priority_line_counts":
+            "SELECT l_returnflag, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', "
+            "  '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS "
+            "high_line_count, "
+            "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', "
+            "  '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS "
+            "low_line_count "
+            "FROM orders, lineitem WHERE o_orderkey = l_orderkey "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY l_returnflag",
+        # q13_order_count_distribution: TPC-H Q13 shape — LEFT OUTER
+        # join (zero-order customers land in the c_count=0 bucket) +
+        # double aggregation; the o_comment NOT LIKE filter is adapted
+        # to an order-priority exclusion
+        "q13_order_count_distribution":
+            "SELECT c_count, COUNT(*) AS custdist FROM ("
+            "  SELECT c_custkey, CAST(COUNT(o_custkey) AS BIGINT) AS "
+            "  c_count FROM customer LEFT OUTER JOIN orders "
+            "  ON c_custkey = o_custkey "
+            "    AND o_orderpriority <> '4-NOT SPECIFIED' "
+            "  GROUP BY c_custkey) GROUP BY c_count",
     }

@@ -1102,3 +1102,272 @@ def order_priority_semijoin(sf_dir: str, date_lo: str = Q4_DATE_LO,
     # O(priorities x partitions) partial rows -> tiny final shuffle
     return partitioned_sum(partials, ["o_orderpriority"], "order_count",
                            2, out_schema, out_name="order_count")
+
+
+Q6_DATE_LO = "1996-01-01"
+Q6_DATE_HI = "1997-01-01"
+
+
+def forecast_revenue(sf_dir: str, date_lo: str = Q6_DATE_LO,
+                     date_hi: str = Q6_DATE_HI,
+                     disc_lo_bp: int = 500, disc_hi_bp: int = 700,
+                     max_qty: int = 24) -> ray.data.Dataset:
+    """(revenue_cents, n_rows) — TPC-H Q6 shape: the WHOLE-PIPELINE
+    SCALAR REDUCE. One predicate-pruned scan of the fact table, a
+    per-batch 2-value partial (sum + count), and a single tiny merge —
+    the only shuffled bytes are O(blocks) 16-byte partials, so the
+    plan is identical at sf0.001 and 100 TB.
+
+    Discount equality is tested in exact basis points (the repo-wide
+    ``floor(x*10000+0.5)`` rule) so the BETWEEN matches the oracle
+    bit-for-bit; per-row revenue ``extendedprice*discount`` is floored
+    to integer cents BEFORE summation so the distributed sum is
+    order-independent.
+
+    Reference analog: the single-counter rollup of process_batches
+    (/root/reference/crates/image-deduper-core/src/lib.rs:131-259)."""
+    import datetime
+
+    from ..functions.groups import partitioned_group_map_arrow
+
+    lo = datetime.datetime.fromisoformat(date_lo)
+    hi = datetime.datetime.fromisoformat(date_hi)
+    part_schema = pa.schema([("k", pa.int8()),
+                             ("revenue_cents", pa.int64()),
+                             ("n_rows", pa.int64())])
+    out_schema = pa.schema([("revenue_cents", pa.int64()),
+                            ("n_rows", pa.int64())])
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity",
+                 "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= pc.scalar(lo))
+                & (pc.field("l_shipdate") < pc.scalar(hi))))
+
+    def partial(t: pa.Table) -> pa.Table:
+        # residual re-filter (pushdown prunes row groups only)
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(m.combine_chunks())
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        bp = np.floor(disc * 10000 + 0.5).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = (bp >= disc_lo_bp) & (bp <= disc_hi_bp) & (qty < max_qty)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * disc[keep] * 100 + 0.5).astype(np.int64)
+        # ALWAYS one partial row (zeros included) so the merged result
+        # is exactly one row even over an empty window, like SQL SUM
+        return pa.table({"k": pa.array([np.int8(0)]),
+                         "revenue_cents": pa.array([int(cents.sum())]),
+                         "n_rows": pa.array([int(keep.sum())])},
+                        schema=part_schema)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        return pa.table({
+            "revenue_cents": pa.array([int(pc.sum(t["revenue_cents"])
+                                           .as_py() or 0)]),
+            "n_rows": pa.array([int(pc.sum(t["n_rows"]).as_py() or 0)])},
+            schema=out_schema)
+
+    return partitioned_group_map_arrow(partials, ["k"], merge, 2,
+                                       out_schema=out_schema)
+
+
+Q12_DATE_LO = "1996-01-01"
+Q12_DATE_HI = "1997-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def priority_line_counts(sf_dir: str, date_lo: str = Q12_DATE_LO,
+                         date_hi: str = Q12_DATE_HI) -> ray.data.Dataset:
+    """(l_returnflag, high_line_count, low_line_count) — TPC-H Q12
+    shape: a BIG-BIG PAYLOAD JOIN with conditional (CASE) aggregation.
+    Unlike q4's semi-join (membership only), every lineitem row needs
+    an attribute OF its order (the priority class), so the orders side
+    ships (orderkey, is_high) through the same one-shuffle union-tag
+    co-partition, and each partition resolves lineitems against its
+    order slice with one sorted searchsorted probe — no dict, no row
+    expansion. The synthetic schema has no l_shipmode, so the grouping
+    attribute is l_returnflag (same shape, same cardinality class).
+
+    Partials collapse to O(flags) rows per partition before the final
+    O(flags x partitions) merge."""
+    import datetime
+
+    from ..functions.groups import (default_partitions, group_starts,
+                                    partitioned_group_map_arrow)
+
+    lo = datetime.datetime.fromisoformat(date_lo)
+    hi = datetime.datetime.fromisoformat(date_hi)
+    sup_schema = pa.schema([("okey", pa.int64()), ("side", pa.int8()),
+                            ("is_high", pa.int8()),
+                            ("flag", pa.string())])
+    out_schema = pa.schema([("l_returnflag", pa.string()),
+                            ("high_line_count", pa.int64()),
+                            ("low_line_count", pa.int64())])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+
+    def conform_orders(t: pa.Table) -> pa.Table:
+        is_high = pc.is_in(t["o_orderpriority"],
+                           value_set=pa.array(Q12_HIGH)).cast(pa.int8())
+        return pa.table({"okey": t["o_orderkey"].cast(pa.int64()),
+                         "side": pa.array(np.zeros(t.num_rows, np.int8)),
+                         "is_high": is_high,
+                         "flag": pa.nulls(t.num_rows, pa.string())},
+                        schema=sup_schema)
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= pc.scalar(lo))
+                & (pc.field("l_shipdate") < pc.scalar(hi))))
+
+    def conform_line(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(m.combine_chunks())
+        return pa.table({"okey": t["l_orderkey"].cast(pa.int64()),
+                         "side": pa.array(np.ones(t.num_rows, np.int8)),
+                         "is_high": pa.nulls(t.num_rows, pa.int8()),
+                         "flag": t["l_returnflag"]}, schema=sup_schema)
+
+    both = (orders.map_batches(conform_orders, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .union(line.map_batches(conform_line, batch_format="pyarrow",
+                                    zero_copy_batch=True)))
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        omask = side == 0
+        o_order = np.argsort(okey[omask], kind="stable")
+        ok = okey[omask][o_order]
+        oh = (t["is_high"].to_numpy(zero_copy_only=False)[omask][o_order]
+              .astype(np.int64))
+        lmask = ~omask
+        lk = okey[lmask]
+        if len(lk) == 0 or len(ok) == 0:
+            return out_schema.empty_table()
+        pos = np.searchsorted(ok, lk)
+        pos_c = np.minimum(pos, len(ok) - 1)
+        matched = ok[pos_c] == lk           # inner join: drop orphans
+        hi_flag = oh[pos_c[matched]]
+        flags = (t["flag"].to_numpy(zero_copy_only=False)[lmask][matched])
+        if len(flags) == 0:
+            return out_schema.empty_table()
+        order = np.argsort(flags, kind="stable")
+        flags, hi_flag = flags[order], hi_flag[order]
+        starts = np.flatnonzero(group_starts(flags))
+        high = np.add.reduceat(hi_flag, starts)
+        total = np.diff(np.append(starts, len(flags)))
+        return pa.table({"l_returnflag": pa.array(flags[starts],
+                                                  pa.string()),
+                         "high_line_count": pa.array(high),
+                         "low_line_count": pa.array(total - high)},
+                        schema=out_schema)
+
+    partials = partitioned_group_map_arrow(both, ["okey"], block,
+                                           default_partitions(),
+                                           out_schema=out_schema)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        order = np.argsort(flags, kind="stable")
+        flags = flags[order]
+        starts = np.flatnonzero(group_starts(flags))
+        cols = {"l_returnflag": pa.array(flags[starts], pa.string())}
+        for c in ("high_line_count", "low_line_count"):
+            v = t[c].to_numpy(zero_copy_only=False)[order]
+            cols[c] = pa.array(np.add.reduceat(v, starts))
+        return pa.table(cols, schema=out_schema)
+
+    return partitioned_group_map_arrow(partials, ["l_returnflag"], merge,
+                                       2, out_schema=out_schema)
+
+
+Q13_EXCLUDE_PRIORITY = "4-NOT SPECIFIED"
+
+
+def order_count_distribution(sf_dir: str,
+                             exclude_priority: str = Q13_EXCLUDE_PRIORITY
+                             ) -> ray.data.Dataset:
+    """(c_count, custdist) — TPC-H Q13 shape: LEFT OUTER JOIN + DOUBLE
+    AGGREGATION. Customers with zero qualifying orders must appear in
+    the c_count=0 bucket, so an inner join can't express it: both
+    sides co-partition by custkey (one union-tag shuffle), each
+    partition counts orders per custkey INCLUDING the customer rows no
+    order matched, collapses immediately to a partial (c_count ->
+    customers) histogram, and the final merge sums O(distinct counts x
+    partitions) tiny rows. The reference-side filter (Q13's o_comment
+    NOT LIKE) is adapted to the synthetic schema as an order-priority
+    exclusion."""
+    from ..functions.groups import (default_partitions,
+                                    partitioned_group_map_arrow,
+                                    partitioned_sum)
+
+    sup_schema = pa.schema([("ckey", pa.int64()), ("side", pa.int8())])
+    out_schema = pa.schema([("c_count", pa.int64()),
+                            ("custdist", pa.int64())])
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def conform_cust(t: pa.Table) -> pa.Table:
+        return pa.table({"ckey": t["c_custkey"].cast(pa.int64()),
+                         "side": pa.array(np.zeros(t.num_rows, np.int8))},
+                        schema=sup_schema)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+        filter=(pc.field("o_orderpriority") != pc.scalar(exclude_priority)))
+
+    def conform_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["o_orderpriority"],
+                                        exclude_priority)).combine_chunks())
+        return pa.table({"ckey": t["o_custkey"].cast(pa.int64()),
+                         "side": pa.array(np.ones(t.num_rows, np.int8))},
+                        schema=sup_schema)
+
+    both = (cust.map_batches(conform_cust, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .union(orders.map_batches(conform_orders,
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)))
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ckey = t["ckey"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        ckeys = np.sort(ckey[side == 0])     # customer spine (unique PK)
+        if len(ckeys) == 0:
+            return out_schema.empty_table()
+        ok = ckey[side == 1]
+        pos = np.searchsorted(ckeys, ok)
+        pos_c = np.minimum(pos, len(ckeys) - 1)
+        pos_v = pos_c[ckeys[pos_c] == ok]    # orphan orders drop (FK holds)
+        per_cust = np.bincount(pos_v, minlength=len(ckeys))  # zeros kept
+        counts, custs = np.unique(per_cust, return_counts=True)
+        return pa.table({"c_count": pa.array(counts.astype(np.int64)),
+                         "custdist": pa.array(custs.astype(np.int64))},
+                        schema=out_schema)
+
+    partials = partitioned_group_map_arrow(both, ["ckey"], block,
+                                           default_partitions(),
+                                           out_schema=out_schema)
+    return partitioned_sum(partials, ["c_count"], "custdist", 2,
+                           out_schema, out_name="custdist")

@@ -59,6 +59,8 @@ SQL_CHECKED = [
     "snm_dedup_pairs", "source_overlap_matrix", "t_lang_token_outliers",
     "e_hopping_counts", "l_rollup_revenue", "t_topk_docs_per_lang",
     "t_bloom_decontaminate", "emb_semantic_prune", "q4_priority_semijoin",
+    "q6_forecast_revenue", "q12_priority_line_counts",
+    "q13_order_count_distribution",
 ]
 
 
