@@ -704,6 +704,23 @@ def _q_order_count_distribution(sf_dir: str):
     return order_count_distribution(sf_dir)
 
 
+def _q_top_supplier(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import top_supplier
+    return top_supplier(sf_dir)
+
+
+def _q_small_quantity_revenue(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import (
+        small_quantity_revenue)
+    return small_quantity_revenue(sf_dir)
+
+
+def _q_idle_customer_balance(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import (
+        idle_customer_balance)
+    return idle_customer_balance(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -781,6 +798,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": _q_forecast_revenue,
         "q12_priority_line_counts": _q_priority_line_counts,
         "q13_order_count_distribution": _q_order_count_distribution,
+        "q15_top_supplier": _q_top_supplier,
+        "q17_small_quantity_revenue": _q_small_quantity_revenue,
+        "q22_idle_customer_balance": _q_idle_customer_balance,
     }
 
 
@@ -1830,4 +1850,52 @@ def oracle_sql() -> dict[str, str]:
             "  ON c_custkey = o_custkey "
             "    AND o_orderpriority <> '4-NOT SPECIFIED' "
             "  GROUP BY c_custkey) GROUP BY c_count",
+        # q15_top_supplier: global-max rebroadcast — ties included, as
+        # in the spec's view formulation
+        "q15_top_supplier":
+            "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+            "  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) "
+            "  * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents "
+            "  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "  AND l_shipdate < TIMESTAMP '1996-04-01' "
+            "  GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_cents AS "
+            "total_revenue_cents FROM supplier, revenue "
+            "WHERE s_suppkey = supplier_no "
+            "AND total_cents = (SELECT MAX(total_cents) FROM revenue)",
+        # q17_small_quantity_revenue: per-part 20%-of-average quantity
+        # threshold in exact integers (5*qty*cnt < sum_qty), revenue of
+        # the below-threshold rows per brand
+        "q17_small_quantity_revenue":
+            "WITH pk AS (SELECT p_partkey, p_brand FROM part "
+            "  WHERE p_brand IN ('Brand#1', 'Brand#2')), "
+            "agg AS (SELECT l_partkey AS ak, "
+            "  SUM(CAST(l_quantity AS BIGINT)) AS sq, COUNT(*) AS cnt "
+            "  FROM lineitem JOIN pk ON l_partkey = p_partkey "
+            "  GROUP BY l_partkey) "
+            "SELECT p_brand, CAST(SUM(CAST(FLOOR(l_extendedprice * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS total_cents, "
+            "COUNT(*) AS n_rows "
+            "FROM lineitem JOIN pk ON l_partkey = p_partkey "
+            "JOIN agg ON ak = l_partkey "
+            "WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sq "
+            "GROUP BY p_brand",
+        # q22_idle_customer_balance: global scalar subquery (avg over
+        # positive balances as exact integers: bal*n > sum) + NOT
+        # EXISTS anti-join against the cutoff-windowed order stream
+        # (lapsed customers — the no-orders-at-all predicate is vacuous
+        # on this data); cntrycode = c_nationkey % 5 (no c_phone)
+        "q22_idle_customer_balance":
+            "WITH c AS (SELECT c_custkey, "
+            "  CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, "
+            "  CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal "
+            "  FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)), "
+            "t AS (SELECT COALESCE(SUM(CASE WHEN bal > 0 THEN bal END), "
+            "  0) AS s, COUNT(CASE WHEN bal > 0 THEN 1 END) AS n FROM c) "
+            "SELECT cntrycode, COUNT(*) AS numcust, "
+            "CAST(SUM(bal) AS BIGINT) AS totacctbal_cents "
+            "FROM c, t WHERE bal * n > s "
+            "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
+            "  WHERE o_orderdate >= TIMESTAMP '1999-01-01') "
+            "GROUP BY cntrycode",
     }

@@ -1371,3 +1371,385 @@ def order_count_distribution(sf_dir: str,
                                            out_schema=out_schema)
     return partitioned_sum(partials, ["c_count"], "custdist", 2,
                            out_schema, out_name="custdist")
+
+
+Q15_DATE_LO = "1996-01-01"
+Q15_DATE_HI = "1996-04-01"
+
+
+def top_supplier(sf_dir: str, date_lo: str = Q15_DATE_LO,
+                 date_hi: str = Q15_DATE_HI) -> ray.data.Dataset:
+    """(s_suppkey, s_name, total_revenue_cents) — TPC-H Q15 shape:
+    GLOBAL-MAX REBROADCAST. One predicate-pruned pass over the fact
+    table produces per-supplier revenue partials (O(suppliers) rows
+    per block after the in-batch combiner), one small hash shuffle
+    merges them, the global max is reduced from that tiny result, and
+    the winners (max ties included, as in the spec's view form)
+    enrich with the supplier name.
+
+    Scale note: the post-aggregate is O(suppliers) — orders of
+    magnitude under the fact table — so the max-reduce and the name
+    attach run on the tiny side by construction; nothing returns to
+    the fact stream."""
+    import datetime
+
+    from ..functions.groups import partitioned_sum
+    from ..functions.joins import broadcast_attach_str
+
+    lo = datetime.datetime.fromisoformat(date_lo)
+    hi = datetime.datetime.fromisoformat(date_hi)
+    agg_schema = pa.schema([("s_suppkey", pa.int64()),
+                            ("total_revenue_cents", pa.int64())])
+    out_schema = pa.schema([("s_suppkey", pa.int64()),
+                            ("s_name", pa.string()),
+                            ("total_revenue_cents", pa.int64())])
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= pc.scalar(lo))
+                & (pc.field("l_shipdate") < pc.scalar(hi))))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(m.combine_chunks())
+        if t.num_rows == 0:
+            return agg_schema.empty_table()
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1 - t["l_discount"].to_numpy(zero_copy_only=False))
+            * 100 + 0.5).astype(np.int64)
+        order = np.argsort(sk, kind="stable")
+        sk, cents = sk[order], cents[order]
+        starts = np.flatnonzero(group_starts(sk))
+        return pa.table({"s_suppkey": pa.array(sk[starts]),
+                         "total_revenue_cents": pa.array(
+                             np.add.reduceat(cents, starts))},
+                        schema=agg_schema)
+
+    # materialize the O(suppliers) aggregate ONCE (tiny by
+    # construction) so the max-reduce and the winners filter don't
+    # each re-run the fact scan
+    per_supp = partitioned_sum(
+        line.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["s_suppkey"], "total_revenue_cents", 4, agg_schema,
+        out_name="total_revenue_cents").materialize()
+
+    # global max over the tiny aggregate, then the (tie-inclusive)
+    # winners filter in one vectorized pass
+    mx = per_supp.max("total_revenue_cents")
+    winners = per_supp.filter(
+        expr=f"total_revenue_cents == {int(mx)}")
+
+    res = broadcast_attach_str(
+        winners, "s_suppkey",
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_name"]),
+        "s_suppkey", "s_name", "s_name")
+    return res.map_batches(lambda t: t.select(out_schema.names)
+                           .cast(out_schema), batch_format="pyarrow")
+
+
+Q17_BRANDS = ("Brand#1", "Brand#2")
+
+
+def small_quantity_revenue(sf_dir: str,
+                           brands: tuple[str, ...] = Q17_BRANDS
+                           ) -> ray.data.Dataset:
+    """(p_brand, total_cents, n_rows) — TPC-H Q17 shape: PER-KEY
+    SCALAR BROADCAST-BACK. Revenue of lineitems whose quantity is
+    below 20% of their part's average quantity, for parts of the given
+    brands. Two passes over the (part-pruned) fact stream: pass 1
+    reduces to an O(parts) aggregate (sum_qty, cnt per partkey),
+    which broadcasts back via ``ray.put``; pass 2 re-probes each row
+    against ITS OWN part's threshold.
+
+    The 20%-of-average test runs in exact integers — ``qty <
+    0.2*sum/cnt`` rewritten as ``5*qty*cnt < sum`` (quantities are
+    integral) — so engine and oracle agree bit-for-bit with no float
+    division anywhere. Per-part state never exceeds O(brand parts),
+    orders of magnitude under the fact table."""
+    from ..functions.groups import partitioned_group_map_arrow
+
+    agg_schema = pa.schema([("pkey", pa.int64()), ("sq", pa.int64()),
+                            ("cnt", pa.int64())])
+    out_schema = pa.schema([("p_brand", pa.string()),
+                            ("total_cents", pa.int64()),
+                            ("n_rows", pa.int64())])
+
+    part_tbl = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"],
+        filter=pc.field("p_brand").isin(list(brands)))
+    ptb = pa.concat_tables(
+        [b for b in part_tbl.iter_batches(batch_size=65536,
+                                          batch_format="pyarrow")
+         if b.num_rows > 0] or [pa.schema(
+             [("p_partkey", pa.int64()),
+              ("p_brand", pa.string())]).empty_table()]).combine_chunks()
+    pkeys = np.sort(ptb["p_partkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+    brand_by_key = dict(zip(
+        ptb["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+        ptb["p_brand"].to_pylist()))
+    pkeys_ref = ray.put(pkeys)
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        keys = ray.get(pkeys_ref)
+        lk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys) == 0:
+            return t.slice(0, 0)
+        pos = np.searchsorted(keys, lk)
+        keep = keys[np.minimum(pos, len(keys) - 1)] == lk
+        return t.filter(pa.array(keep))
+
+    pruned = line.map_batches(prune, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return agg_schema.empty_table()
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(pk, kind="stable")
+        pk, qty = pk[order], qty[order]
+        starts = np.flatnonzero(group_starts(pk))
+        return pa.table({
+            "pkey": pa.array(pk[starts]),
+            "sq": pa.array(np.add.reduceat(qty, starts)),
+            "cnt": pa.array(np.diff(np.append(starts, len(pk)))
+                            .astype(np.int64))}, schema=agg_schema)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return agg_schema.empty_table()
+        pk = t["pkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        pk = pk[order]
+        starts = np.flatnonzero(group_starts(pk))
+        return pa.table({
+            "pkey": pa.array(pk[starts]),
+            "sq": pa.array(np.add.reduceat(
+                t["sq"].to_numpy(zero_copy_only=False)[order], starts)),
+            "cnt": pa.array(np.add.reduceat(
+                t["cnt"].to_numpy(zero_copy_only=False)[order], starts))},
+            schema=agg_schema)
+
+    per_part = partitioned_group_map_arrow(
+        pruned.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["pkey"], merge, 4, out_schema=agg_schema)
+
+    # O(brand parts) aggregate -> broadcast as sorted parallel arrays
+    agg_parts = [b for b in per_part.iter_batches(batch_size=65536,
+                                                  batch_format="pyarrow")
+                 if b.num_rows > 0]
+    if agg_parts:
+        at = pa.concat_tables(agg_parts).combine_chunks()
+        apk = at["pkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(apk, kind="stable")
+        apk = apk[order]
+        asq = at["sq"].to_numpy(zero_copy_only=False)[order]
+        acnt = at["cnt"].to_numpy(zero_copy_only=False)[order]
+    else:
+        apk = asq = acnt = np.empty(0, np.int64)
+    thresh_ref = ray.put((apk, asq, acnt, brand_by_key))
+
+    def below_avg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        tpk, tsq, tcnt, bbk = ray.get(thresh_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(tpk, pk)      # every pruned row has stats
+        keep = 5 * qty * tcnt[pos] < tsq[pos]
+        if not keep.any():
+            return out_schema.empty_table()
+        cents = np.floor(t["l_extendedprice"]
+                         .to_numpy(zero_copy_only=False)[keep]
+                         * 100 + 0.5).astype(np.int64)
+        brands_arr = np.array([bbk[k] for k in pk[keep]], dtype=object)
+        order = np.argsort(brands_arr, kind="stable")
+        brands_arr, cents = brands_arr[order], cents[order]
+        starts = np.flatnonzero(group_starts(brands_arr))
+        return pa.table({
+            "p_brand": pa.array(brands_arr[starts], pa.string()),
+            "total_cents": pa.array(np.add.reduceat(cents, starts)),
+            "n_rows": pa.array(np.diff(np.append(starts, len(cents)))
+                               .astype(np.int64))}, schema=out_schema)
+
+    partials = pruned.map_batches(below_avg, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        br = t["p_brand"].to_numpy(zero_copy_only=False)
+        order = np.argsort(br, kind="stable")
+        br = br[order]
+        starts = np.flatnonzero(group_starts(br))
+        cols = {"p_brand": pa.array(br[starts], pa.string())}
+        for c in ("total_cents", "n_rows"):
+            cols[c] = pa.array(np.add.reduceat(
+                t[c].to_numpy(zero_copy_only=False)[order], starts))
+        return pa.table(cols, schema=out_schema)
+
+    from ..functions.groups import partitioned_group_map_arrow as pgma
+    return pgma(partials, ["p_brand"], final, 2, out_schema=out_schema)
+
+
+Q22_CODES = (0, 1, 2)
+Q22_CODE_MOD = 5
+Q22_LAPSE_CUTOFF = "1999-01-01"
+
+
+def idle_customer_balance(sf_dir: str,
+                          codes: tuple[int, ...] = Q22_CODES,
+                          code_mod: int = Q22_CODE_MOD,
+                          lapse_cutoff: str = Q22_LAPSE_CUTOFF
+                          ) -> ray.data.Dataset:
+    """(cntrycode, numcust, totacctbal_cents) — TPC-H Q22 shape:
+    GLOBAL SCALAR SUBQUERY + BIG-BIG ANTI-JOIN. Customers in the given
+    country codes with above-average account balance (average over
+    positive balances of the same code set, the Q22 correlated scalar)
+    who have placed NO orders since ``lapse_cutoff``, counted per
+    code. The synthetic schema has no c_phone, so the country code is
+    ``c_nationkey %% code_mod``; the spec's no-orders-at-all predicate
+    is vacuous on this data (every customer has orders), so the
+    anti-join side is the cutoff-windowed order stream — same shape,
+    non-empty answer.
+
+    Three bounded stages: (1) a per-batch (sum, count) partial over
+    customers reduces the scalar threshold driver-side (O(blocks)
+    rows); (2) customers and DISTINCT order-custkeys co-partition in
+    one union-tag shuffle for NOT-EXISTS semantics (neither side
+    broadcastable at scale); (3) each partition emits O(codes)
+    partials. ``bal > avg`` is tested as exact integers:
+    ``bal_cents * n > sum_cents``."""
+    from ..functions.groups import (default_partitions,
+                                    partitioned_group_map_arrow,
+                                    partitioned_sum)
+
+    sup_schema = pa.schema([("ckey", pa.int64()), ("side", pa.int8()),
+                            ("code", pa.int64()),
+                            ("bal_cents", pa.int64())])
+    out_schema = pa.schema([("cntrycode", pa.int64()),
+                            ("numcust", pa.int64()),
+                            ("totacctbal_cents", pa.int64())])
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    code_set = np.array(sorted(codes), np.int64)
+
+    def conform_cust(t: pa.Table) -> pa.Table:
+        code = (t["c_nationkey"].to_numpy(zero_copy_only=False)
+                .astype(np.int64) % code_mod)
+        keep = np.isin(code, code_set)
+        bal = np.floor(t["c_acctbal"].to_numpy(zero_copy_only=False)[keep]
+                       * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "ckey": pa.array(t["c_custkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[keep]),
+            "side": pa.array(np.zeros(int(keep.sum()), np.int8)),
+            "code": pa.array(code[keep]),
+            "bal_cents": pa.array(bal)}, schema=sup_schema)
+
+    cust_rows = cust.map_batches(conform_cust, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    # stage 1: the scalar threshold — avg over POSITIVE balances,
+    # reduced from O(blocks) 2-int partials
+    def bal_partial(t: pa.Table) -> pa.Table:
+        bal = t["bal_cents"].to_numpy(zero_copy_only=False)
+        pos = bal[bal > 0]
+        return pa.table({"s": pa.array([int(pos.sum())]),
+                         "n": pa.array([int(len(pos))])})
+
+    # iter_batches re-batches the partials, so each block holds MANY
+    # one-row partials — sum whole columns, never row [0]
+    sn = [(int(pc.sum(b["s"]).as_py() or 0),
+           int(pc.sum(b["n"]).as_py() or 0))
+          for b in cust_rows.map_batches(
+              bal_partial, batch_format="pyarrow")
+          .iter_batches(batch_size=65536, batch_format="pyarrow")
+          if b.num_rows > 0]
+    s_total = sum(x for x, _ in sn)
+    n_total = sum(y for _, y in sn)
+
+    import datetime
+    cut = datetime.datetime.fromisoformat(lapse_cutoff)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= pc.scalar(cut)))
+
+    def conform_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_orderdate"],
+                                      pa.scalar(cut)).combine_chunks())
+        # per-batch DISTINCT: keys-only anti-join probe side
+        k = np.unique(t["o_custkey"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({"ckey": pa.array(k),
+                         "side": pa.array(np.ones(len(k), np.int8)),
+                         "code": pa.nulls(len(k), pa.int64()),
+                         "bal_cents": pa.nulls(len(k), pa.int64())},
+                        schema=sup_schema)
+
+    both = cust_rows.union(
+        orders.map_batches(conform_orders, batch_format="pyarrow",
+                           zero_copy_batch=True))
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        ckey = t["ckey"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        have = np.unique(ckey[side == 1])
+        cmask = side == 0
+        ck, code = ckey[cmask], t["code"].to_numpy(
+            zero_copy_only=False)[cmask]
+        bal = t["bal_cents"].to_numpy(zero_copy_only=False)[cmask]
+        keep = (~np.isin(ck, have)) & (bal * n_total > s_total)
+        if not keep.any():
+            return out_schema.empty_table()
+        code, bal = code[keep].astype(np.int64), bal[keep]
+        order = np.argsort(code, kind="stable")
+        code, bal = code[order], bal[order]
+        starts = np.flatnonzero(group_starts(code))
+        return pa.table({
+            "cntrycode": pa.array(code[starts]),
+            "numcust": pa.array(np.diff(np.append(starts, len(code)))
+                                .astype(np.int64)),
+            "totacctbal_cents": pa.array(np.add.reduceat(bal, starts))},
+            schema=out_schema)
+
+    partials = partitioned_group_map_arrow(both, ["ckey"], block,
+                                           default_partitions(),
+                                           out_schema=out_schema)
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        code = t["cntrycode"].to_numpy(zero_copy_only=False)
+        order = np.argsort(code, kind="stable")
+        code = code[order]
+        starts = np.flatnonzero(group_starts(code))
+        cols = {"cntrycode": pa.array(code[starts])}
+        for c in ("numcust", "totacctbal_cents"):
+            cols[c] = pa.array(np.add.reduceat(
+                t[c].to_numpy(zero_copy_only=False)[order], starts))
+        return pa.table(cols, schema=out_schema)
+
+    return partitioned_group_map_arrow(partials, ["cntrycode"], final,
+                                       2, out_schema=out_schema)

@@ -60,7 +60,8 @@ SQL_CHECKED = [
     "e_hopping_counts", "l_rollup_revenue", "t_topk_docs_per_lang",
     "t_bloom_decontaminate", "emb_semantic_prune", "q4_priority_semijoin",
     "q6_forecast_revenue", "q12_priority_line_counts",
-    "q13_order_count_distribution",
+    "q13_order_count_distribution", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q22_idle_customer_balance",
 ]
 
 
