@@ -721,6 +721,22 @@ def _q_idle_customer_balance(sf_dir: str):
     return idle_customer_balance(sf_dir)
 
 
+def _q_disjunctive_revenue(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import disjunctive_revenue
+    return disjunctive_revenue(sf_dir)
+
+
+def _q_supplier_part_variety(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import (
+        supplier_part_variety)
+    return supplier_part_variety(sf_dir)
+
+
+def _q_nation_pair_volume(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import nation_pair_volume
+    return nation_pair_volume(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -801,6 +817,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": _q_top_supplier,
         "q17_small_quantity_revenue": _q_small_quantity_revenue,
         "q22_idle_customer_balance": _q_idle_customer_balance,
+        "q19_disjunctive_revenue": _q_disjunctive_revenue,
+        "q16_supplier_part_variety": _q_supplier_part_variety,
+        "q7_nation_pair_volume": _q_nation_pair_volume,
     }
 
 
@@ -1898,4 +1917,54 @@ def oracle_sql() -> dict[str, str]:
             "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
             "  WHERE o_orderdate >= TIMESTAMP '1999-01-01') "
             "GROUP BY cntrycode",
+        # q19_disjunctive_revenue: OR-of-ANDs predicate coupling part
+        # attributes (brand+size) with fact attributes (quantity)
+        "q19_disjunctive_revenue":
+            "SELECT p_brand, CAST(SUM(CAST(FLOOR(l_extendedprice * "
+            "(1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS "
+            "revenue_cents, COUNT(*) AS n_rows "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 "
+            "  AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 "
+            "  AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 "
+            "  AND l_quantity BETWEEN 20 AND 30) "
+            "GROUP BY p_brand",
+        # q16_supplier_part_variety: DISTINCT (part,supp) pairs from
+        # lineitem stand in for partsupp; complaint suppliers =
+        # s_suppkey % 4 = 0 (no s_comment in the schema)
+        "q16_supplier_part_variety":
+            "WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey "
+            "  FROM lineitem) "
+            "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM ps JOIN part ON p_partkey = l_partkey "
+            "WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' "
+            "AND p_size IN (1, 3, 5, 7, 9) "
+            "AND l_suppkey % 4 <> 0 "
+            "GROUP BY p_brand, p_type, p_size",
+        # q7_nation_pair_volume: revenue between the two lowest
+        # supplier nations in either direction, by ship year — the
+        # nation pair is derived from the data on BOTH sides so every
+        # scale picks the same pair
+        "q7_nation_pair_volume":
+            "WITH na AS (SELECT MIN(k) AS a, MAX(k) AS b FROM ("
+            "  SELECT DISTINCT s_nationkey AS k FROM supplier "
+            "  ORDER BY k LIMIT 2)) "
+            "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) "
+            "* 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem, orders, customer, supplier, "
+            "nation ns, nation nc, na "
+            "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey "
+            "AND l_suppkey = s_suppkey "
+            "AND ns.n_nationkey = s_nationkey "
+            "AND nc.n_nationkey = c_nationkey "
+            "AND ((s_nationkey = na.a AND c_nationkey = na.b) "
+            "  OR (s_nationkey = na.b AND c_nationkey = na.a)) "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 2, 3",
     }

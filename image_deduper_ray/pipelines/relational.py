@@ -1753,3 +1753,463 @@ def idle_customer_balance(sf_dir: str,
 
     return partitioned_group_map_arrow(partials, ["cntrycode"], final,
                                        2, out_schema=out_schema)
+
+
+# OR-of-ANDs clauses: (brand, size_lo, size_hi, qty_lo, qty_hi)
+Q19_CLAUSES = (("Brand#1", 1, 5, 1, 11),
+               ("Brand#2", 1, 10, 10, 20),
+               ("Brand#3", 1, 15, 20, 30))
+
+
+def disjunctive_revenue(sf_dir: str,
+                        clauses: tuple = Q19_CLAUSES) -> ray.data.Dataset:
+    """(p_brand, revenue_cents, n_rows) — TPC-H Q19 shape:
+    DISJUNCTIVE (OR-of-ANDs) PREDICATE JOIN. Each clause couples a
+    part attribute (brand + size range) with a FACT attribute
+    (quantity range), so neither side can be pre-filtered alone: the
+    part dimension broadcasts once as sorted parallel arrays
+    (key → brand code, size), and each fact batch evaluates every
+    clause as one vectorized mask — the OR never materializes an
+    intermediate join.
+
+    Only parts matching SOME clause's brand+size enter the broadcast
+    (the dimension prune), so broadcast bytes stay O(qualifying
+    parts) no matter how wide `part` is."""
+    out_schema = pa.schema([("p_brand", pa.string()),
+                            ("revenue_cents", pa.int64()),
+                            ("n_rows", pa.int64())])
+
+    brands = [c[0] for c in clauses]
+    part_tbl = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+        filter=pc.field("p_brand").isin(brands))
+    parts = [b for b in part_tbl.iter_batches(batch_size=65536,
+                                              batch_format="pyarrow")
+             if b.num_rows > 0]
+    if parts:
+        pt = pa.concat_tables(parts).combine_chunks()
+        pk = pt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pb = pt["p_brand"].to_pylist()
+        psz = pt["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # brand as a small int code: strings never ride the fact probe
+        bcode = np.array([brands.index(b) for b in pb], np.int8)
+        # dimension prune: keep parts whose brand+size satisfies SOME
+        # clause (the fact-side qty test still runs per row)
+        dim_ok = np.zeros(len(pk), bool)
+        for ci, (_, slo, shi, _, _) in enumerate(clauses):
+            dim_ok |= (bcode == ci) & (psz >= slo) & (psz <= shi)
+        pk, bcode, psz = pk[dim_ok], bcode[dim_ok], psz[dim_ok]
+        order = np.argsort(pk, kind="stable")
+        pk, bcode, psz = pk[order], bcode[order], psz[order]
+    else:
+        pk = np.empty(0, np.int64)
+        bcode = np.empty(0, np.int8)
+        psz = np.empty(0, np.int64)
+    dim_ref = ray.put((pk, bcode, psz))
+    qty_rng = np.array([(c[3], c[4]) for c in clauses], np.int64)
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        keys, codes, _ = ray.get(dim_ref)
+        if t.num_rows == 0 or len(keys) == 0:
+            return out_schema.empty_table()
+        lk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, lk)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        matched = keys[pos_c] == lk
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        code = codes[pos_c]
+        # OR-of-ANDs in one pass: the row's clause is determined by its
+        # part's brand code; only the qty bound remains to test
+        keep = (matched & (qty >= qty_rng[code, 0])
+                & (qty <= qty_rng[code, 1]))
+        if not keep.any():
+            return out_schema.empty_table()
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            * (1 - t["l_discount"].to_numpy(zero_copy_only=False)[keep])
+            * 100 + 0.5).astype(np.int64)
+        kc = code[keep]
+        order = np.argsort(kc, kind="stable")
+        kc, cents = kc[order], cents[order]
+        starts = np.flatnonzero(group_starts(kc))
+        return pa.table({
+            "p_brand": pa.array([brands[c] for c in kc[starts]],
+                                pa.string()),
+            "revenue_cents": pa.array(np.add.reduceat(cents, starts)),
+            "n_rows": pa.array(np.diff(np.append(starts, len(kc)))
+                               .astype(np.int64))}, schema=out_schema)
+
+    from ..functions.groups import partitioned_group_map_arrow
+
+    partials = line.map_batches(probe, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        br = t["p_brand"].to_numpy(zero_copy_only=False)
+        order = np.argsort(br, kind="stable")
+        br = br[order]
+        starts = np.flatnonzero(group_starts(br))
+        cols = {"p_brand": pa.array(br[starts], pa.string())}
+        for c in ("revenue_cents", "n_rows"):
+            cols[c] = pa.array(np.add.reduceat(
+                t[c].to_numpy(zero_copy_only=False)[order], starts))
+        return pa.table(cols, schema=out_schema)
+
+    return partitioned_group_map_arrow(partials, ["p_brand"], final, 2,
+                                       out_schema=out_schema)
+
+
+Q16_EXCLUDE_BRAND = "Brand#5"
+Q16_EXCLUDE_TYPE = "PROMO"
+Q16_SIZES = (1, 3, 5, 7, 9)
+
+
+def supplier_part_variety(sf_dir: str,
+                          exclude_brand: str = Q16_EXCLUDE_BRAND,
+                          exclude_type: str = Q16_EXCLUDE_TYPE,
+                          sizes: tuple[int, ...] = Q16_SIZES
+                          ) -> ray.data.Dataset:
+    """(p_brand, p_type, p_size, supplier_cnt) — TPC-H Q16 shape:
+    DISTINCT-PAIR REDUCTION + GROUPED COUNT-DISTINCT. The synthetic
+    schema has no partsupp, so the supplier-part relation is the
+    DISTINCT (l_partkey, l_suppkey) pairs observed in lineitem.
+
+    One shuffle, partitioned BY SUPPKEY: all pairs of a supplier
+    co-locate, so after the per-partition pair-dedup each
+    (brand, type, size, suppkey) combination exists in exactly one
+    partition — per-partition distinct group-supplier counts are
+    globally correct partials, merged in a final O(groups x
+    partitions) pass. Part attributes ride a pruned broadcast; the
+    'complaint suppliers' NOT-IN side (s_suppkey %% 4 == 0 here —
+    no s_comment in the schema) is an in-probe anti-mask, never a
+    join. Per-batch pair-dedup bounds what the shuffle moves."""
+    from ..functions.groups import partitioned_group_map_arrow
+
+    pair_schema = pa.schema([("pkey", pa.int64()), ("skey", pa.int64())])
+    out_schema = pa.schema([("p_brand", pa.string()),
+                            ("p_type", pa.string()),
+                            ("p_size", pa.int64()),
+                            ("supplier_cnt", pa.int64())])
+
+    # pruned part dimension broadcast: key -> (brand, type, size)
+    part_tbl = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filter=((pc.field("p_brand") != pc.scalar(exclude_brand))
+                & (pc.field("p_type") != pc.scalar(exclude_type))
+                & pc.field("p_size").isin(list(sizes))))
+    parts = [b for b in part_tbl.iter_batches(batch_size=65536,
+                                              batch_format="pyarrow")
+             if b.num_rows > 0]
+    if parts:
+        pt = pa.concat_tables(parts).combine_chunks()
+        mask = (pc.and_(
+            pc.and_(pc.invert(pc.equal(pt["p_brand"], exclude_brand)),
+                    pc.invert(pc.equal(pt["p_type"], exclude_type))),
+            pc.is_in(pt["p_size"].cast(pa.int64()),
+                     value_set=pa.array(list(sizes), pa.int64()))))
+        pt = pt.filter(mask.combine_chunks())
+        pk = pt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(pk, kind="stable")
+        pk = pk[order]
+        pbrand = np.array(pt["p_brand"].to_pylist(), object)[order]
+        ptype = np.array(pt["p_type"].to_pylist(), object)[order]
+        psize = pt["p_size"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[order]
+        # triple id: several parts can share (brand,type,size) — a
+        # supplier covering two of them must still count ONCE, so the
+        # distinct runs on the triple, not the part
+        trip = np.array([f"{b}|{t}|{s}" for b, t, s
+                         in zip(pbrand, ptype, psize)], object)
+        _, first, tid = np.unique(trip, return_index=True,
+                                  return_inverse=True)
+        tb, tt, ts = pbrand[first], ptype[first], psize[first]
+    else:
+        pk = psize = np.empty(0, np.int64)
+        pbrand = ptype = np.empty(0, object)
+        tid = ts = np.empty(0, np.int64)
+        tb = tt = np.empty(0, object)
+    dim_ref = ray.put((pk, tid, tb, tt, ts))
+
+    line = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                 columns=["l_partkey", "l_suppkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keys = ray.get(dim_ref)[0]
+        lk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys):
+            pos = np.searchsorted(keys, lk)
+            keep = keys[np.minimum(pos, len(keys) - 1)] == lk
+        else:
+            keep = np.zeros(len(lk), bool)
+        keep &= (sk % 4) != 0               # complaint-supplier anti-mask
+        lk, sk = lk[keep], sk[keep]
+        # per-batch pair dedup bounds shuffle bytes
+        u = np.unique(np.stack([lk, sk], axis=1), axis=0) \
+            if len(lk) else np.empty((0, 2), np.int64)
+        return pa.table({"pkey": pa.array(u[:, 0]),
+                         "skey": pa.array(u[:, 1])}, schema=pair_schema)
+
+    pair_stream = line.map_batches(pairs, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        keys, ktid, kb, kt, ks = ray.get(dim_ref)
+        pkv = t["pkey"].to_numpy(zero_copy_only=False)
+        skv = t["skey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, pkv)       # every pair was pruned
+        # distinct (triple, supplier): suppkey-partitioning makes this
+        # globally unique here, so per-partition counts sum exactly
+        gu = np.unique(np.stack([ktid[pos], skv], axis=1), axis=0)
+        cnt_tid, cnt = np.unique(gu[:, 0], return_counts=True)
+        return pa.table({
+            "p_brand": pa.array(kb[cnt_tid], pa.string()),
+            "p_type": pa.array(kt[cnt_tid], pa.string()),
+            "p_size": pa.array(ks[cnt_tid]),
+            "supplier_cnt": pa.array(cnt.astype(np.int64))},
+            schema=out_schema)
+
+    partials = partitioned_group_map_arrow(pair_stream, ["skey"], block,
+                                           None, out_schema=out_schema)
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        g = df.groupby(["p_brand", "p_type", "p_size"], sort=False,
+                       as_index=False)["supplier_cnt"].sum()
+        return pa.Table.from_pandas(g, schema=out_schema,
+                                    preserve_index=False)
+
+    return partitioned_group_map_arrow(
+        partials, ["p_brand", "p_type", "p_size"], final, 2,
+        out_schema=out_schema)
+
+
+Q7_NATION_A = "NATION#01"
+Q7_NATION_B = "NATION#02"
+Q7_YEAR_LO = "1996-01-01"
+Q7_YEAR_HI = "1998-01-01"
+
+
+def nation_pair_volume(sf_dir: str, nation_a: str | None = None,
+                       nation_b: str | None = None,
+                       date_lo: str = Q7_YEAR_LO,
+                       date_hi: str = Q7_YEAR_HI) -> ray.data.Dataset:
+    """(supp_nation, cust_nation, l_year, revenue_cents) — TPC-H Q7
+    shape: TWO-FACT JOIN WITH A CROSS-SIDE PAIR PREDICATE. Revenue
+    shipped between two nations in either direction, by year: the
+    qualifying row needs its SUPPLIER's nation (via the tiny supplier
+    dim) and its CUSTOMER's nation (via orders — a second fact), and
+    the (supp, cust) pair must be (A,B) or (B,A).
+
+    Plan: supplier (tiny) broadcasts as skey→nation; customer's
+    nationkey broadcasts under the byte cap onto orders inside the
+    conform step, so the union-tag co-partition on orderkey ships
+    orders rows as (okey, cust_nation int8) and lineitems as
+    (okey, supp_nation int8, year, cents) — the pair test and the
+    final (2 x 2 x years)-row aggregate happen per partition. Nation
+    NAMES attach only to the tiny result. When ``nation_a``/``b``
+    are None, the two lowest nationkeys present in supplier are used
+    (the synthetic supplier table covers few nations)."""
+    import datetime
+
+    from ..functions.groups import (default_partitions, group_starts,
+                                    partitioned_group_map_arrow)
+    from ..functions.joins import collect_i64_under_cap
+
+    lo = datetime.datetime.fromisoformat(date_lo)
+    hi = datetime.datetime.fromisoformat(date_hi)
+
+    # tiny dims, driver-side: supplier skey->nationkey and the nation
+    # names (25 rows)
+    sup = collect_i64_under_cap(
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"]),
+        ["s_suppkey", "s_nationkey"], 64 << 20)
+    skey, snat = sup
+    s_order = np.argsort(skey, kind="stable")
+    skey, snat = skey[s_order], snat[s_order]
+
+    ntbl = pa.concat_tables(
+        [b for b in ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet",
+            columns=["n_nationkey", "n_name"])
+         .iter_batches(batch_size=65536, batch_format="pyarrow")
+         if b.num_rows > 0]).combine_chunks()
+    nkeys = ntbl["n_nationkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nnames = dict(zip(nkeys, ntbl["n_name"].to_pylist()))
+
+    if nation_a is None or nation_b is None:
+        present = np.unique(snat)
+        na_key, nb_key = int(present[0]), int(present[1])
+    else:
+        by_name = {v: k for k, v in nnames.items()}
+        na_key, nb_key = int(by_name[nation_a]), int(by_name[nation_b])
+
+    # customer nationkey map — O(customers) ints under the byte cap
+    # (falls back to a partitioned attach only past it; the synthetic
+    # and 100-TB-design case both keep customer keys far under 64 MB)
+    cust = collect_i64_under_cap(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"]),
+        ["c_custkey", "c_nationkey"], 256 << 20)
+    if cust is None:
+        raise NotImplementedError(
+            "customer-side broadcast exceeded the byte cap; use the "
+            "partitioned hash_join route (functions/joins.py)")
+    ckey, cnat = cust
+    c_order = np.argsort(ckey, kind="stable")
+    ckey, cnat = ckey[c_order], cnat[c_order]
+    cust_ref = ray.put((ckey, cnat))
+    sup_ref = ray.put((skey, snat))
+
+    sup_schema = pa.schema([("okey", pa.int64()), ("side", pa.int8()),
+                            ("nat", pa.int64()), ("year", pa.int64()),
+                            ("cents", pa.int64())])
+    agg_schema = pa.schema([("supp_nat", pa.int64()),
+                            ("cust_nat", pa.int64()),
+                            ("l_year", pa.int64()),
+                            ("revenue_cents", pa.int64())])
+    out_schema = pa.schema([("supp_nation", pa.string()),
+                            ("cust_nation", pa.string()),
+                            ("l_year", pa.int64()),
+                            ("revenue_cents", pa.int64())])
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def conform_orders(t: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cust_ref)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ck, oc)
+        nat = cn[np.minimum(pos, len(ck) - 1)] if len(ck) else \
+            np.zeros(len(oc), np.int64)
+        # only orders of customers in {A,B} can qualify: prune before
+        # the shuffle
+        keep = (nat == na_key) | (nat == nb_key)
+        n = int(keep.sum())
+        return pa.table({"okey": pa.array(ok[keep]),
+                         "side": pa.array(np.zeros(n, np.int8)),
+                         "nat": pa.array(nat[keep]),
+                         "year": pa.nulls(n, pa.int64()),
+                         "cents": pa.nulls(n, pa.int64())},
+                        schema=sup_schema)
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= pc.scalar(lo))
+                & (pc.field("l_shipdate") < pc.scalar(hi))))
+
+    def conform_line(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(m.combine_chunks())
+        sk, sn = ray.get(sup_ref)
+        lk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(sk, lk)
+        nat = sn[np.minimum(pos, len(sk) - 1)] if len(sk) else \
+            np.zeros(len(lk), np.int64)
+        keep = (nat == na_key) | (nat == nb_key)
+        years = t["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[Y]").astype(np.int64)[keep] + 1970
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            * (1 - t["l_discount"].to_numpy(zero_copy_only=False)[keep])
+            * 100 + 0.5).astype(np.int64)
+        n = int(keep.sum())
+        return pa.table({
+            "okey": pa.array(t["l_orderkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[keep]),
+            "side": pa.array(np.ones(n, np.int8)),
+            "nat": pa.array(nat[keep]), "year": pa.array(years),
+            "cents": pa.array(cents)}, schema=sup_schema)
+
+    both = (orders.map_batches(conform_orders, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .union(line.map_batches(conform_line, batch_format="pyarrow",
+                                    zero_copy_batch=True)))
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return agg_schema.empty_table()
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        nat = t["nat"].to_numpy(zero_copy_only=False)
+        omask = side == 0
+        o_order = np.argsort(okey[omask], kind="stable")
+        ok, onat = okey[omask][o_order], nat[omask][o_order]
+        lmask = ~omask
+        lk = okey[lmask]
+        if len(lk) == 0 or len(ok) == 0:
+            return agg_schema.empty_table()
+        pos = np.searchsorted(ok, lk)
+        pos_c = np.minimum(pos, len(ok) - 1)
+        matched = ok[pos_c] == lk
+        cn = onat[pos_c[matched]]
+        sn_ = nat[lmask][matched]
+        # either direction, never same-nation
+        keep = sn_ != cn
+        if not keep.any():
+            return agg_schema.empty_table()
+        sn_, cn = sn_[keep], cn[keep]
+        yr = t["year"].to_numpy(zero_copy_only=False)[lmask][matched][keep]
+        cents = t["cents"].to_numpy(
+            zero_copy_only=False)[lmask][matched][keep]
+        comp = (sn_ * 100 + cn) * 10000 + yr
+        order = np.argsort(comp, kind="stable")
+        comp, cents = comp[order], cents[order]
+        starts = np.flatnonzero(group_starts(comp))
+        c0 = comp[starts]
+        return pa.table({
+            "supp_nat": pa.array(c0 // 1000000),
+            "cust_nat": pa.array((c0 // 10000) % 100),
+            "l_year": pa.array(c0 % 10000),
+            "revenue_cents": pa.array(np.add.reduceat(cents, starts))},
+            schema=agg_schema)
+
+    partials = partitioned_group_map_arrow(both, ["okey"], block,
+                                           default_partitions(),
+                                           out_schema=agg_schema)
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        sn_ = t["supp_nat"].to_numpy(zero_copy_only=False)
+        cn = t["cust_nat"].to_numpy(zero_copy_only=False)
+        yr = t["l_year"].to_numpy(zero_copy_only=False)
+        cents = t["revenue_cents"].to_numpy(zero_copy_only=False)
+        comp = (sn_ * 100 + cn) * 10000 + yr
+        order = np.argsort(comp, kind="stable")
+        comp, cents = comp[order], cents[order]
+        starts = np.flatnonzero(group_starts(comp))
+        c0 = comp[starts]
+        return pa.table({
+            "supp_nation": pa.array([nnames[int(k)] for k
+                                     in c0 // 1000000], pa.string()),
+            "cust_nation": pa.array([nnames[int(k)] for k
+                                     in (c0 // 10000) % 100],
+                                    pa.string()),
+            "l_year": pa.array(c0 % 10000),
+            "revenue_cents": pa.array(np.add.reduceat(cents, starts))},
+            schema=out_schema)
+
+    return partitioned_group_map_arrow(partials,
+                                       ["supp_nat", "cust_nat", "l_year"],
+                                       final, 2, out_schema=out_schema)

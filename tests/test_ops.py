@@ -62,6 +62,8 @@ SQL_CHECKED = [
     "q6_forecast_revenue", "q12_priority_line_counts",
     "q13_order_count_distribution", "q15_top_supplier",
     "q17_small_quantity_revenue", "q22_idle_customer_balance",
+    "q19_disjunctive_revenue", "q16_supplier_part_variety",
+    "q7_nation_pair_volume",
 ]
 
 
