@@ -737,6 +737,23 @@ def _q_nation_pair_volume(sf_dir: str):
     return nation_pair_volume(sf_dir)
 
 
+def _q_min_unit_cost_supplier(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import (
+        min_unit_cost_supplier)
+    return min_unit_cost_supplier(sf_dir)
+
+
+def _q_national_market_share(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import (
+        national_market_share)
+    return national_market_share(sf_dir)
+
+
+def _q_waiting_suppliers(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import waiting_suppliers
+    return waiting_suppliers(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -820,6 +837,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": _q_disjunctive_revenue,
         "q16_supplier_part_variety": _q_supplier_part_variety,
         "q7_nation_pair_volume": _q_nation_pair_volume,
+        "q2_min_unit_cost_supplier": _q_min_unit_cost_supplier,
+        "q8_national_market_share": _q_national_market_share,
+        "q21_waiting_suppliers": _q_waiting_suppliers,
     }
 
 
@@ -1967,4 +1987,60 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate >= TIMESTAMP '1996-01-01' "
             "AND l_shipdate < TIMESTAMP '1998-01-01' "
             "GROUP BY 1, 2, 3",
+        # q2_min_unit_cost_supplier: groupwise argmin with an exact
+        # integer unit price (milli-cents, floor division) and ties to
+        # the lowest suppkey
+        "q2_min_unit_cost_supplier":
+            "WITH offers AS (SELECT l_partkey, l_suppkey, "
+            "  CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) "
+            "  * 1000 // CAST(l_quantity AS BIGINT) AS unit "
+            "  FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "  WHERE p_type = 'STANDARD') "
+            "SELECT l_partkey AS p_partkey, unit AS min_unit_milli, "
+            "l_suppkey AS s_suppkey, s_name FROM ("
+            "  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey "
+            "    ORDER BY unit, l_suppkey) AS rn FROM offers) "
+            "JOIN supplier ON s_suppkey = l_suppkey WHERE rn = 1",
+        # q8_national_market_share: ratio of conditional sums as
+        # integer basis points (floor division); the share nation is
+        # the lowest supplier nationkey inside the region
+        "q8_national_market_share":
+            "WITH rn AS (SELECT n_nationkey FROM nation JOIN region "
+            "  ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'), "
+            "sn AS (SELECT MIN(s_nationkey) AS k FROM supplier "
+            "  WHERE s_nationkey IN (SELECT n_nationkey FROM rn)), "
+            "rows_ AS (SELECT CAST(year(l_shipdate) AS BIGINT) AS "
+            "  l_year, CAST(FLOOR(l_extendedprice * (1 - l_discount) "
+            "  * 100 + 0.5) AS BIGINT) AS cents, "
+            "  CASE WHEN s_nationkey = (SELECT k FROM sn) THEN 1 "
+            "  ELSE 0 END AS isn "
+            "  FROM lineitem, orders, customer, supplier "
+            "  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey "
+            "  AND l_suppkey = s_suppkey "
+            "  AND c_nationkey IN (SELECT n_nationkey FROM rn) "
+            "  AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "  AND l_shipdate < TIMESTAMP '1998-01-01') "
+            "SELECT l_year, CAST(SUM(cents * isn) * 10000 "
+            "// SUM(cents) AS BIGINT) AS share_bp, "
+            "CAST(SUM(cents * isn) AS BIGINT) AS nation_cents, "
+            "CAST(SUM(cents) AS BIGINT) AS total_cents "
+            "FROM rows_ GROUP BY l_year",
+        # q21_waiting_suppliers: grouped EXISTS/NOT-EXISTS — finished
+        # orders where the supplier was the ONLY one with a returned
+        # line while the order had other suppliers
+        "q21_waiting_suppliers":
+            "WITH f AS (SELECT o_orderkey FROM orders "
+            "  WHERE o_orderstatus = 'F'), "
+            "w AS (SELECT DISTINCT l1.l_orderkey, l1.l_suppkey "
+            "  FROM lineitem l1 JOIN f ON f.o_orderkey = l1.l_orderkey "
+            "  WHERE l1.l_returnflag = 'R' "
+            "  AND EXISTS (SELECT 1 FROM lineitem l2 "
+            "    WHERE l2.l_orderkey = l1.l_orderkey "
+            "    AND l2.l_suppkey <> l1.l_suppkey) "
+            "  AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+            "    WHERE l3.l_orderkey = l1.l_orderkey "
+            "    AND l3.l_suppkey <> l1.l_suppkey "
+            "    AND l3.l_returnflag = 'R')) "
+            "SELECT s_name, COUNT(*) AS numwait FROM w "
+            "JOIN supplier ON s_suppkey = l_suppkey GROUP BY s_name",
     }

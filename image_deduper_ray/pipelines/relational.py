@@ -2213,3 +2213,424 @@ def nation_pair_volume(sf_dir: str, nation_a: str | None = None,
     return partitioned_group_map_arrow(partials,
                                        ["supp_nat", "cust_nat", "l_year"],
                                        final, 2, out_schema=out_schema)
+
+
+Q2_TYPE = "STANDARD"
+
+
+def min_unit_cost_supplier(sf_dir: str,
+                           p_type: str = Q2_TYPE) -> ray.data.Dataset:
+    """(p_partkey, min_unit_milli, s_suppkey, s_name) — TPC-H Q2
+    shape: GROUPWISE ARGMIN + JOIN-BACK. For each part of one type,
+    the supplier offering the lowest observed unit price (the
+    synthetic schema has no partsupp, so the offer relation is
+    lineitem's (partkey, suppkey, extendedprice, quantity) facts).
+
+    The unit price is an exact integer — ``floor(cents * 1000 /
+    qty)`` in integer arithmetic (milli-cents per unit) — so argmin
+    and its tie rule (lowest suppkey) are bit-stable. One hash
+    shuffle on partkey; each partition lexsorts (pkey, unit, skey)
+    and takes segment heads — O(parts) rows out, supplier names
+    attach to the tiny result only."""
+    from ..functions.groups import (partitioned_group_map_arrow,
+                                    segmented_rank)
+    from ..functions.joins import broadcast_attach_str
+
+    sup_schema = pa.schema([("pkey", pa.int64()), ("unit", pa.int64()),
+                            ("skey", pa.int64())])
+    agg_schema = pa.schema([("p_partkey", pa.int64()),
+                            ("min_unit_milli", pa.int64()),
+                            ("s_suppkey", pa.int64())])
+    out_schema = pa.schema([("p_partkey", pa.int64()),
+                            ("min_unit_milli", pa.int64()),
+                            ("s_suppkey", pa.int64()),
+                            ("s_name", pa.string())])
+
+    # pruned part-key broadcast (one type only)
+    part_tbl = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"],
+        filter=(pc.field("p_type") == pc.scalar(p_type)))
+    parts = [b for b in part_tbl.iter_batches(batch_size=65536,
+                                              batch_format="pyarrow")
+             if b.num_rows > 0]
+    pk = np.sort(pa.concat_tables(parts)["p_partkey"]
+                 .to_numpy(zero_copy_only=False).astype(np.int64)) \
+        if parts else np.empty(0, np.int64)
+    pk_ref = ray.put(pk)
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_quantity"])
+
+    def offers(t: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        lk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys) == 0:
+            return sup_schema.empty_table()
+        pos = np.searchsorted(keys, lk)
+        keep = keys[np.minimum(pos, len(keys) - 1)] == lk
+        cents = np.floor(t["l_extendedprice"]
+                         .to_numpy(zero_copy_only=False)[keep]
+                         * 100 + 0.5).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)[keep] \
+            .astype(np.int64)
+        unit = cents * 1000 // qty          # exact integer milli-cents
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)[keep] \
+            .astype(np.int64)
+        # in-batch combiner: keep only each (pkey,skey)'s best offer? —
+        # argmin is decomposable per (pkey): keep the per-batch argmin
+        # per pkey to bound shuffle bytes
+        lkk = lk[keep]
+        order = np.lexsort((sk, unit, lkk))
+        lkk, unit, sk = lkk[order], unit[order], sk[order]
+        starts = np.flatnonzero(group_starts(lkk))
+        return pa.table({"pkey": pa.array(lkk[starts]),
+                         "unit": pa.array(unit[starts]),
+                         "skey": pa.array(sk[starts])},
+                        schema=sup_schema)
+
+    partials = line.map_batches(offers, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return agg_schema.empty_table()
+        pkv = t["pkey"].to_numpy(zero_copy_only=False)
+        unit = t["unit"].to_numpy(zero_copy_only=False)
+        sk = t["skey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, unit, pkv))
+        pkv, unit, sk = pkv[order], unit[order], sk[order]
+        starts = np.flatnonzero(group_starts(pkv))
+        return pa.table({"p_partkey": pa.array(pkv[starts]),
+                         "min_unit_milli": pa.array(unit[starts]),
+                         "s_suppkey": pa.array(sk[starts])},
+                        schema=agg_schema)
+
+    mins = partitioned_group_map_arrow(partials, ["pkey"], block, None,
+                                       out_schema=agg_schema)
+
+    res = broadcast_attach_str(
+        mins, "s_suppkey",
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_name"]),
+        "s_suppkey", "s_name", "s_name")
+    return res.map_batches(lambda t: t.select(out_schema.names)
+                           .cast(out_schema), batch_format="pyarrow")
+
+
+Q8_YEARS = (1996, 1997)
+Q8_REGION = "ASIA"
+
+
+def national_market_share(sf_dir: str, region: str = Q8_REGION,
+                          years: tuple[int, int] = Q8_YEARS
+                          ) -> ray.data.Dataset:
+    """(l_year, share_bp, nation_cents, total_cents) — TPC-H Q8
+    shape: RATIO OF CONDITIONAL SUMS. Among revenue sold to customers
+    of one region, the share (basis points, integer floor division —
+    bit-stable) contributed by suppliers of ONE nation, per ship
+    year. The share nation is the lowest supplier nationkey inside
+    the region, derived from data so every scale picks the same one.
+
+    Joins follow the q7 tiering: supplier nation and the region's
+    nation set broadcast tiny; the customer → nation map broadcasts
+    under the byte cap onto orders pre-shuffle; one orderkey
+    co-partition carries (cust-in-region) x (supp nation, year,
+    cents); partials are (year, nation_cents, total_cents) — O(years)
+    rows per partition."""
+    import datetime
+
+    from ..functions.groups import (default_partitions, group_starts,
+                                    partitioned_group_map_arrow)
+    from ..functions.joins import collect_i64_under_cap
+
+    lo = datetime.datetime.fromisoformat(f"{years[0]}-01-01")
+    hi = datetime.datetime.fromisoformat(f"{years[1] + 1}-01-01")
+
+    # region nation set + the share nation (lowest supplier nation in
+    # region) — all tiny driver-side reads
+    ntbl = pa.concat_tables(
+        [b for b in ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet").iter_batches(
+                batch_size=65536, batch_format="pyarrow")
+         if b.num_rows > 0]).combine_chunks()
+    rtbl = pa.concat_tables(
+        [b for b in ray.data.read_parquet(
+            f"{sf_dir}/region.parquet").iter_batches(
+                batch_size=65536, batch_format="pyarrow")
+         if b.num_rows > 0]).combine_chunks()
+    rkey = rtbl.filter(pc.equal(rtbl["r_name"], region))["r_regionkey"][0].as_py()
+    region_nations = np.sort(
+        ntbl.filter(pc.equal(ntbl["n_regionkey"], rkey))["n_nationkey"]
+        .to_numpy(zero_copy_only=False).astype(np.int64))
+
+    sup = collect_i64_under_cap(
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"]),
+        ["s_suppkey", "s_nationkey"], 64 << 20)
+    skey, snat = sup
+    s_order = np.argsort(skey, kind="stable")
+    skey, snat = skey[s_order], snat[s_order]
+    in_region = snat[np.isin(snat, region_nations)]
+    share_nation = int(np.min(in_region)) if len(in_region) else -1
+    sup_ref = ray.put((skey, snat))
+
+    cust = collect_i64_under_cap(
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"]),
+        ["c_custkey", "c_nationkey"], 256 << 20)
+    if cust is None:
+        raise NotImplementedError(
+            "customer-side broadcast exceeded the byte cap; use the "
+            "partitioned hash_join route (functions/joins.py)")
+    ckey, cnat = cust
+    c_order = np.argsort(ckey, kind="stable")
+    ckey, cnat = ckey[c_order], cnat[c_order]
+    cust_ref = ray.put((ckey, cnat))
+    rn_ref = ray.put(region_nations)
+
+    sup_schema = pa.schema([("okey", pa.int64()), ("side", pa.int8()),
+                            ("year", pa.int64()), ("cents", pa.int64()),
+                            ("is_nation", pa.int8())])
+    agg_schema = pa.schema([("l_year", pa.int64()),
+                            ("nation_cents", pa.int64()),
+                            ("total_cents", pa.int64())])
+    out_schema = pa.schema([("l_year", pa.int64()),
+                            ("share_bp", pa.int64()),
+                            ("nation_cents", pa.int64()),
+                            ("total_cents", pa.int64())])
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def conform_orders(t: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cust_ref)
+        rn = ray.get(rn_ref)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ck, oc)
+        nat = cn[np.minimum(pos, len(ck) - 1)] if len(ck) else \
+            np.zeros(len(oc), np.int64)
+        keep = np.isin(nat, rn)             # region prune pre-shuffle
+        n = int(keep.sum())
+        return pa.table({"okey": pa.array(ok[keep]),
+                         "side": pa.array(np.zeros(n, np.int8)),
+                         "year": pa.nulls(n, pa.int64()),
+                         "cents": pa.nulls(n, pa.int64()),
+                         "is_nation": pa.nulls(n, pa.int8())},
+                        schema=sup_schema)
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= pc.scalar(lo))
+                & (pc.field("l_shipdate") < pc.scalar(hi))))
+
+    def conform_line(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(m.combine_chunks())
+        sk, sn = ray.get(sup_ref)
+        lk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(sk, lk)
+        nat = sn[np.minimum(pos, len(sk) - 1)] if len(sk) else \
+            np.zeros(len(lk), np.int64)
+        years = t["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1 - t["l_discount"].to_numpy(zero_copy_only=False))
+            * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "okey": pa.array(t["l_orderkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "side": pa.array(np.ones(t.num_rows, np.int8)),
+            "year": pa.array(years), "cents": pa.array(cents),
+            "is_nation": pa.array((nat == share_nation)
+                                  .astype(np.int8))}, schema=sup_schema)
+
+    both = (orders.map_batches(conform_orders, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .union(line.map_batches(conform_line, batch_format="pyarrow",
+                                    zero_copy_batch=True)))
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return agg_schema.empty_table()
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        ok = np.sort(okey[side == 0])       # region-customer orders
+        lmask = side == 1
+        lk = okey[lmask]
+        if len(lk) == 0 or len(ok) == 0:
+            return agg_schema.empty_table()
+        pos = np.searchsorted(ok, lk)
+        matched = ok[np.minimum(pos, len(ok) - 1)] == lk
+        yr = t["year"].to_numpy(zero_copy_only=False)[lmask][matched]
+        cents = t["cents"].to_numpy(zero_copy_only=False)[lmask][matched]
+        isn = t["is_nation"].to_numpy(
+            zero_copy_only=False)[lmask][matched].astype(np.int64)
+        order = np.argsort(yr, kind="stable")
+        yr, cents, isn = yr[order], cents[order], isn[order]
+        starts = np.flatnonzero(group_starts(yr))
+        return pa.table({
+            "l_year": pa.array(yr[starts]),
+            "nation_cents": pa.array(np.add.reduceat(cents * isn, starts)),
+            "total_cents": pa.array(np.add.reduceat(cents, starts))},
+            schema=agg_schema)
+
+    partials = partitioned_group_map_arrow(both, ["okey"], block,
+                                           default_partitions(),
+                                           out_schema=agg_schema)
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        yr = t["l_year"].to_numpy(zero_copy_only=False)
+        order = np.argsort(yr, kind="stable")
+        yr = yr[order]
+        starts = np.flatnonzero(group_starts(yr))
+        nc = np.add.reduceat(
+            t["nation_cents"].to_numpy(zero_copy_only=False)[order],
+            starts)
+        tc = np.add.reduceat(
+            t["total_cents"].to_numpy(zero_copy_only=False)[order],
+            starts)
+        share = np.where(tc > 0, nc * 10000 // np.maximum(tc, 1), 0)
+        return pa.table({"l_year": pa.array(yr[starts]),
+                         "share_bp": pa.array(share),
+                         "nation_cents": pa.array(nc),
+                         "total_cents": pa.array(tc)},
+                        schema=out_schema)
+
+    return partitioned_group_map_arrow(partials, ["l_year"], final, 2,
+                                       out_schema=out_schema)
+
+
+def waiting_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """(s_name, numwait) — TPC-H Q21 shape: GROUPED EXISTS / NOT
+    EXISTS over the SAME fact. For finished orders ('F'), count per
+    supplier the orders where that supplier was the ONLY one with a
+    returned line ('R') while the order had other suppliers — the
+    reference's commit/receipt-date lateness predicate adapted to the
+    synthetic schema's returnflag.
+
+    Both EXISTS subqueries collapse into one orderkey co-partition:
+    each partition holds every line of its orders, so "has another
+    supplier" and "no OTHER supplier returned" are two vectorized
+    distinct-pair counts per order — no self-join row expansion,
+    O(suppliers) partials out."""
+    from ..functions.groups import (default_partitions, group_starts,
+                                    partitioned_group_map_arrow)
+    from ..functions.joins import broadcast_attach_str
+
+    sup_schema = pa.schema([("okey", pa.int64()), ("side", pa.int8()),
+                            ("skey", pa.int64()), ("is_r", pa.int8())])
+    agg_schema = pa.schema([("s_suppkey", pa.int64()),
+                            ("numwait", pa.int64())])
+    out_schema = pa.schema([("s_name", pa.string()),
+                            ("numwait", pa.int64())])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus"],
+        filter=(pc.field("o_orderstatus") == pc.scalar("F")))
+
+    def conform_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F").combine_chunks())
+        return pa.table({"okey": t["o_orderkey"].cast(pa.int64()),
+                         "side": pa.array(np.zeros(t.num_rows, np.int8)),
+                         "skey": pa.nulls(t.num_rows, pa.int64()),
+                         "is_r": pa.nulls(t.num_rows, pa.int8())},
+                        schema=sup_schema)
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def conform_line(t: pa.Table) -> pa.Table:
+        # per-batch distinct (okey, skey, is_r) triples bound the
+        # shuffle (line counts collapse; EXISTS needs membership only)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        isr = pc.equal(t["l_returnflag"], "R").to_numpy(
+            zero_copy_only=False).astype(np.int8)
+        u = np.unique(np.stack([ok, sk, isr.astype(np.int64)], axis=1),
+                      axis=0)
+        return pa.table({"okey": pa.array(u[:, 0]),
+                         "side": pa.array(np.ones(len(u), np.int8)),
+                         "skey": pa.array(u[:, 1]),
+                         "is_r": pa.array(u[:, 2].astype(np.int8))},
+                        schema=sup_schema)
+
+    both = (orders.map_batches(conform_orders, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .union(line.map_batches(conform_line, batch_format="pyarrow",
+                                    zero_copy_batch=True)))
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return agg_schema.empty_table()
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        fkeys = np.unique(okey[side == 0])
+        lmask = side == 1
+        ok = okey[lmask]
+        keep = np.isin(ok, fkeys)           # finished orders only
+        if not keep.any():
+            return agg_schema.empty_table()
+        ok = ok[keep]
+        sk = t["skey"].to_numpy(zero_copy_only=False)[lmask][keep]
+        isr = t["is_r"].to_numpy(zero_copy_only=False)[lmask][keep]
+        # distinct suppliers per order (any flag)
+        pairs = np.unique(np.stack([ok, sk], axis=1), axis=0)
+        o_all, n_all = np.unique(pairs[:, 0], return_counts=True)
+        # distinct R-suppliers per order
+        rp = np.unique(np.stack([ok[isr == 1], sk[isr == 1]], axis=1),
+                       axis=0)
+        if len(rp) == 0:
+            return agg_schema.empty_table()
+        o_r, n_r = np.unique(rp[:, 0], return_counts=True)
+        # qualifying orders: >=2 suppliers total, EXACTLY one R supplier
+        pos = np.searchsorted(o_all, o_r)
+        good = (n_r == 1) & (n_all[pos] >= 2)
+        good_orders = o_r[good]
+        # the single R supplier of each qualifying order
+        take = np.isin(rp[:, 0], good_orders)
+        winners = rp[take, 1]
+        if len(winners) == 0:
+            return agg_schema.empty_table()
+        u, c = np.unique(winners, return_counts=True)
+        return pa.table({"s_suppkey": pa.array(u),
+                         "numwait": pa.array(c.astype(np.int64))},
+                        schema=agg_schema)
+
+    partials = partitioned_group_map_arrow(both, ["okey"], block,
+                                           default_partitions(),
+                                           out_schema=agg_schema)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return agg_schema.empty_table()
+        sk = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sk, kind="stable")
+        sk = sk[order]
+        starts = np.flatnonzero(group_starts(sk))
+        return pa.table({
+            "s_suppkey": pa.array(sk[starts]),
+            "numwait": pa.array(np.add.reduceat(
+                t["numwait"].to_numpy(zero_copy_only=False)[order],
+                starts))}, schema=agg_schema)
+
+    per_supp = partitioned_group_map_arrow(partials, ["s_suppkey"],
+                                           merge, 2,
+                                           out_schema=agg_schema)
+    named = broadcast_attach_str(
+        per_supp, "s_suppkey",
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_name"]),
+        "s_suppkey", "s_name", "s_name")
+    return named.map_batches(lambda t: t.select(out_schema.names)
+                             .cast(out_schema), batch_format="pyarrow")

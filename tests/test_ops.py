@@ -63,7 +63,8 @@ SQL_CHECKED = [
     "q13_order_count_distribution", "q15_top_supplier",
     "q17_small_quantity_revenue", "q22_idle_customer_balance",
     "q19_disjunctive_revenue", "q16_supplier_part_variety",
-    "q7_nation_pair_volume",
+    "q7_nation_pair_volume", "q2_min_unit_cost_supplier",
+    "q8_national_market_share", "q21_waiting_suppliers",
 ]
 
 
