@@ -754,6 +754,17 @@ def _q_waiting_suppliers(sf_dir: str):
     return waiting_suppliers(sf_dir)
 
 
+def _q_important_parts(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import important_parts
+    return important_parts(sf_dir)
+
+
+def _q_concentrated_suppliers(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import (
+        concentrated_suppliers)
+    return concentrated_suppliers(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -840,6 +851,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q2_min_unit_cost_supplier": _q_min_unit_cost_supplier,
         "q8_national_market_share": _q_national_market_share,
         "q21_waiting_suppliers": _q_waiting_suppliers,
+        "q11_important_parts": _q_important_parts,
+        "q20_concentrated_suppliers": _q_concentrated_suppliers,
     }
 
 
@@ -2043,4 +2056,29 @@ def oracle_sql() -> dict[str, str]:
             "    AND l3.l_returnflag = 'R')) "
             "SELECT s_name, COUNT(*) AS numwait FROM w "
             "JOIN supplier ON s_suppkey = l_suppkey GROUP BY s_name",
+        # q11_important_parts: HAVING against a global scalar of the
+        # SAME aggregate — parts with value > 1.2x the per-part mean,
+        # compared by integer cross-multiplication
+        "q11_important_parts":
+            "WITH v AS (SELECT l_partkey AS p_partkey, "
+            "  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) "
+            "  AS BIGINT)) AS BIGINT) AS value_cents "
+            "  FROM lineitem GROUP BY l_partkey) "
+            "SELECT p_partkey, value_cents FROM v "
+            "WHERE value_cents * (SELECT COUNT(*) FROM v) * 10 "
+            "> (SELECT SUM(value_cents) FROM v) * 12",
+        # q20_concentrated_suppliers: per-(supplier, part) two-window
+        # quantity comparison (more than half of everything the
+        # supplier ever shipped of the part went out inside the year),
+        # collapsed to DISTINCT suppliers
+        "q20_concentrated_suppliers":
+            "WITH q AS (SELECT l_suppkey, l_partkey, "
+            "  SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01' "
+            "    AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q96, "
+            "  SUM(CAST(l_quantity AS BIGINT)) AS qall "
+            "  FROM lineitem GROUP BY l_suppkey, l_partkey) "
+            "SELECT DISTINCT s_suppkey, s_name FROM q "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE 2 * q96 > qall",
     }

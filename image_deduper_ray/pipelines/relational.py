@@ -2634,3 +2634,167 @@ def waiting_suppliers(sf_dir: str) -> ray.data.Dataset:
         "s_suppkey", "s_name", "s_name")
     return named.map_batches(lambda t: t.select(out_schema.names)
                              .cast(out_schema), batch_format="pyarrow")
+
+
+def important_parts(sf_dir: str, num: int = 12, den: int = 10
+                    ) -> ray.data.Dataset:
+    """(p_partkey, value_cents) — TPC-H Q11 shape: AGGREGATE +
+    HAVING AGAINST A GLOBAL SCALAR OF THE SAME AGGREGATE. Parts whose
+    total lineitem value exceeds ``num/den`` x the mean per-part value
+    (no partsupp in the synthetic schema, so value = summed
+    extendedprice cents per part; a mean-relative threshold stays
+    meaningful at every scale, unlike Q11's fixed fraction).
+
+    One partkey shuffle builds the O(parts) aggregate; the global
+    (total, count) reduces from the partials driver-side (tiny); the
+    filter re-streams the AGGREGATE, never the fact table. The
+    comparison is integer cross-multiplication: value * n * den >
+    total * num."""
+    from ..functions.groups import partitioned_sum
+
+    agg_schema = pa.schema([("p_partkey", pa.int64()),
+                            ("value_cents", pa.int64())])
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return agg_schema.empty_table()
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(t["l_extendedprice"]
+                         .to_numpy(zero_copy_only=False) * 100
+                         + 0.5).astype(np.int64)
+        order = np.argsort(pk, kind="stable")
+        pk, cents = pk[order], cents[order]
+        starts = np.flatnonzero(group_starts(pk))
+        return pa.table({"p_partkey": pa.array(pk[starts]),
+                         "value_cents": pa.array(
+                             np.add.reduceat(cents, starts))},
+                        schema=agg_schema)
+
+    per_part = partitioned_sum(
+        line.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["p_partkey"], "value_cents", None, agg_schema,
+        out_name="value_cents").materialize()
+
+    total = 0
+    n_parts = 0
+    for b in per_part.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        total += int(pc.sum(b["value_cents"]).as_py() or 0)
+        n_parts += b.num_rows
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t["value_cents"].to_numpy(zero_copy_only=False)
+        # Python ints avoid int64 overflow on value * n * den
+        mask = np.array([int(x) * n_parts * den > total * num
+                         for x in v], bool) if t.num_rows else \
+            np.empty(0, bool)
+        return t.filter(pa.array(mask))
+
+    return per_part.map_batches(keep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+Q20_DATE_LO = "1996-01-01"
+Q20_DATE_HI = "1997-01-01"
+
+
+def concentrated_suppliers(sf_dir: str, date_lo: str = Q20_DATE_LO,
+                           date_hi: str = Q20_DATE_HI
+                           ) -> ray.data.Dataset:
+    """(s_suppkey, s_name) — TPC-H Q20 shape: COMPOSITE-KEY
+    TWO-WINDOW COMPARISON + SEMI-COLLAPSE. Suppliers having some part
+    for which MORE than half of all quantity they ever shipped of it
+    went out inside one year (Q20's availqty > ½·shipped predicate
+    re-expressed on the observable two-window split — the synthetic
+    schema has no partsupp).
+
+    One shuffle on the composite (suppkey, partkey): per-batch
+    combiner emits (key, qty_window, qty_total) partials, each
+    partition merges and tests ``2*q_win > q_total``, collapses to
+    DISTINCT suppkeys (the EXISTS), and only the tiny supplier set
+    leaves the shuffle. Names attach by broadcast."""
+    import datetime
+
+    from ..functions.groups import partitioned_group_map_arrow
+    from ..functions.joins import broadcast_attach_str
+
+    lo = datetime.datetime.fromisoformat(date_lo)
+    hi = datetime.datetime.fromisoformat(date_hi)
+    part_schema = pa.schema([("skey", pa.int64()), ("pkey", pa.int64()),
+                             ("q_win", pa.int64()),
+                             ("q_all", pa.int64())])
+    agg_schema = pa.schema([("s_suppkey", pa.int64())])
+    out_schema = pa.schema([("s_suppkey", pa.int64()),
+                            ("s_name", pa.string())])
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_partkey", "l_quantity", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        inwin = ((sd >= np.datetime64(lo)) & (sd < np.datetime64(hi))) \
+            .astype(np.int64)
+        order = np.lexsort((pk, sk))
+        sk, pk, qty, inwin = sk[order], pk[order], qty[order], inwin[order]
+        starts = np.flatnonzero(group_starts(sk, pk))
+        return pa.table({
+            "skey": pa.array(sk[starts]), "pkey": pa.array(pk[starts]),
+            "q_win": pa.array(np.add.reduceat(qty * inwin, starts)),
+            "q_all": pa.array(np.add.reduceat(qty, starts))},
+            schema=part_schema)
+
+    partials = line.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return agg_schema.empty_table()
+        sk = t["skey"].to_numpy(zero_copy_only=False)
+        pk = t["pkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, sk))
+        sk, pk = sk[order], pk[order]
+        qw = t["q_win"].to_numpy(zero_copy_only=False)[order]
+        qa = t["q_all"].to_numpy(zero_copy_only=False)[order]
+        starts = np.flatnonzero(group_starts(sk, pk))
+        q_win = np.add.reduceat(qw, starts)
+        q_all = np.add.reduceat(qa, starts)
+        hit = 2 * q_win > q_all
+        return pa.table({"s_suppkey": pa.array(
+            np.unique(sk[starts][hit]))}, schema=agg_schema)
+
+    hits = partitioned_group_map_arrow(partials, ["skey", "pkey"],
+                                       block, None,
+                                       out_schema=agg_schema)
+
+    def dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return agg_schema.empty_table()
+        return pa.table({"s_suppkey": pa.array(np.unique(
+            t["s_suppkey"].to_numpy(zero_copy_only=False)))},
+            schema=agg_schema)
+
+    # a supplier can hit in several partitions (different parts):
+    # one more tiny distinct pass
+    uniq = partitioned_group_map_arrow(hits, ["s_suppkey"], dedup, 2,
+                                       out_schema=agg_schema)
+    named = broadcast_attach_str(
+        uniq, "s_suppkey",
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_name"]),
+        "s_suppkey", "s_name", "s_name")
+    return named.map_batches(lambda t: t.select(out_schema.names)
+                             .cast(out_schema), batch_format="pyarrow")
