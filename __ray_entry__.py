@@ -765,6 +765,11 @@ def _q_concentrated_suppliers(sf_dir: str):
     return concentrated_suppliers(sf_dir)
 
 
+def _q_funnel_counts(sf_dir: str):
+    from image_deduper_ray.pipelines.events import funnel_counts
+    return funnel_counts(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -853,6 +858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers": _q_waiting_suppliers,
         "q11_important_parts": _q_important_parts,
         "q20_concentrated_suppliers": _q_concentrated_suppliers,
+        "e_funnel_counts": _q_funnel_counts,
     }
 
 
@@ -2081,4 +2087,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT s_suppkey, s_name FROM q "
             "JOIN supplier ON s_suppkey = l_suppkey "
             "WHERE 2 * q96 > qall",
+        # e_funnel_counts: ordered-sequence (funnel) matching — users
+        # reaching each stage in order, min-after-within-deadline
+        # semantics (stage k counts a stage-k event at-or-after the
+        # earliest stage-(k-1) completion and within 2 days of it)
+        "e_funnel_counts":
+            "WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+            "  WHERE event_type = 'signup' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e "
+            "  JOIN s1 ON e.user_id = s1.user_id "
+            "  WHERE event_type = 'click' AND ts >= t1 "
+            "  AND epoch_us(ts) - epoch_us(t1) <= 172800000000 "
+            "  GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e "
+            "  JOIN s2 ON e.user_id = s2.user_id "
+            "  WHERE event_type = 'purchase' AND ts >= t2 "
+            "  AND epoch_us(ts) - epoch_us(t2) <= 172800000000 "
+            "  GROUP BY e.user_id) "
+            "SELECT stage, n_users FROM ("
+            "  SELECT 1 AS stage, COUNT(*) AS n_users FROM s1 "
+            "  UNION ALL SELECT 2, COUNT(*) FROM s2 "
+            "  UNION ALL SELECT 3, COUNT(*) FROM s3)",
     }

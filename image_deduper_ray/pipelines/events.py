@@ -686,3 +686,111 @@ def hopping_event_counts(sf_dir: str, window_min: int = 60,
                               zero_copy_batch=True)
     return partitioned_group_map(partials, ["ws", "event_type"],
                                  block, 16, out_schema=out_schema)
+
+
+FUNNEL_STAGES = ("signup", "click", "purchase")
+FUNNEL_STEP_WINDOW_S = 2 * 86400
+
+
+def funnel_counts(sf_dir: str,
+                  stages: tuple[str, ...] = FUNNEL_STAGES,
+                  step_window_s: int = FUNNEL_STEP_WINDOW_S
+                  ) -> ray.data.Dataset:
+    """(stage, n_users) — ORDERED-SEQUENCE (funnel) MATCHING per user:
+    how many users reached each stage of ``stages`` in order, where
+    stage k counts users with some stage-k event at-or-after their
+    earliest stage-(k-1) completion time AND within ``step_window_s``
+    seconds of it (min-after-within-deadline semantics, ties allowed —
+    deterministic because each step takes a MIN).
+
+    The streaming-analytics shape none of the window/sessionize/asof
+    operators cover: per-key ORDER matters, not just membership or
+    adjacency. One user_id hash shuffle of the type-pruned narrow
+    stream (user, ts, stage int8); each partition lexsorts (user, ts)
+    once and advances all funnel stages with vectorized
+    ``minimum.reduceat`` sweeps over the user segments — no per-user
+    Python loop; partials are O(stages) rows."""
+    from ..functions.groups import partitioned_group_map_arrow
+
+    n_stage = len(stages)
+    stage_code = {s: i for i, s in enumerate(stages)}
+    sup_schema = pa.schema([("user_id", pa.int64()),
+                            ("ts_us", pa.int64()),
+                            ("code", pa.int8())])
+    out_schema = pa.schema([("stage", pa.int64()),
+                            ("n_users", pa.int64())])
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+        filter=pc.field("event_type").isin(list(stages)))
+
+    def conform(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"], value_set=pa.array(list(stages)))
+        t = t.filter(m.combine_chunks())
+        code = np.array([stage_code[s] for s
+                         in t["event_type"].to_pylist()], np.int8)
+        return pa.table({
+            "user_id": t["user_id"].cast(pa.int64()),
+            "ts_us": pa.array(t["ts"].to_numpy(zero_copy_only=False)
+                              .astype("datetime64[us]").astype(np.int64)),
+            "code": pa.array(code)}, schema=sup_schema)
+
+    stream = ev.map_batches(conform, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    INF = np.iinfo(np.int64).max
+    win_us = int(step_window_s) * 1_000_000
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        code = t["code"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts, code = u[order], ts[order], code[order]
+        starts = np.flatnonzero(group_starts(u))
+        # seg[i] = index of the user segment row i belongs to
+        seg = np.cumsum(group_starts(u)) - 1
+        reached = np.zeros(len(starts), np.int64)  # deepest stage + 1
+        prev_t = np.full(len(starts), np.iinfo(np.int64).min)
+        counts = []
+        for k in range(n_stage):
+            # candidate rows: stage-k events at/after the user's
+            # stage-(k-1) completion time and inside the step deadline
+            # (stage 0 has no deadline: prev_t is -inf, the addition
+            # below would overflow — give stage 0 an explicit pass)
+            ok = (code == k) & (reached[seg] == k) & (ts >= prev_t[seg])
+            if k > 0:
+                ok &= ts <= prev_t[seg] + win_us
+            tk = np.where(ok, ts, INF)
+            # min per segment; reduceat needs every segment present
+            mins = np.minimum.reduceat(tk, starts)
+            hit = mins != INF
+            reached[hit & (reached == k)] += 1
+            prev_t = np.where(hit & (reached == k + 1), mins, prev_t)
+            counts.append(int(hit.sum()))
+        return pa.table({
+            "stage": pa.array(np.arange(1, n_stage + 1, dtype=np.int64)),
+            "n_users": pa.array(np.array(counts, np.int64))},
+            schema=out_schema)
+
+    partials = partitioned_group_map_arrow(stream, ["user_id"], block,
+                                           None, out_schema=out_schema)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        st = t["stage"].to_numpy(zero_copy_only=False)
+        order = np.argsort(st, kind="stable")
+        st = st[order]
+        starts = np.flatnonzero(group_starts(st))
+        return pa.table({
+            "stage": pa.array(st[starts]),
+            "n_users": pa.array(np.add.reduceat(
+                t["n_users"].to_numpy(zero_copy_only=False)[order],
+                starts))}, schema=out_schema)
+
+    return partitioned_group_map_arrow(partials, ["stage"], merge, 2,
+                                       out_schema=out_schema)
