@@ -770,6 +770,11 @@ def _q_funnel_counts(sf_dir: str):
     return funnel_counts(sf_dir)
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import tfidf_top_terms
+    return tfidf_top_terms(sf_dir, k=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -859,6 +864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_important_parts": _q_important_parts,
         "q20_concentrated_suppliers": _q_concentrated_suppliers,
         "e_funnel_counts": _q_funnel_counts,
+        "t_tfidf_top_terms": _q_tfidf_top_terms,
     }
 
 
@@ -2108,4 +2114,22 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT 1 AS stage, COUNT(*) AS n_users FROM s1 "
             "  UNION ALL SELECT 2, COUNT(*) FROM s2 "
             "  UNION ALL SELECT 3, COUNT(*) FROM s3)",
+        # t_tfidf_top_terms: integer-exact tf-idf surrogate
+        # (tf * N // df — no float log) with ties to token ascending
+        "t_tfidf_top_terms":
+            "WITH toks AS (SELECT doc_id, unnest("
+            "  regexp_extract_all(text, '\\S+')) AS token "
+            "  FROM documents), "
+            "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks "
+            "  GROUP BY doc_id, token), "
+            "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df "
+            "  FROM toks GROUP BY token), "
+            "n AS (SELECT COUNT(*) AS n FROM documents), "
+            "sc AS (SELECT doc_id, token, "
+            "  CAST(tf * (SELECT n FROM n) // df AS BIGINT) AS score "
+            "  FROM tf JOIN df USING (token)) "
+            "SELECT doc_id, token, score, CAST(rn AS BIGINT) AS rank "
+            "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "  ORDER BY score DESC, token) AS rn FROM sc) "
+            "WHERE rn <= 2",
     }

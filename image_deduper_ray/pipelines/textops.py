@@ -989,3 +989,117 @@ def bloom_decontaminate(sf_dir: str, n: int = 5, bench_mod: int = 29,
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 2) -> ray.data.Dataset:
+    """(doc_id, token, score, rank) — the ``k`` most
+    corpus-distinctive tokens per document by an integer-exact tf-idf
+    surrogate ``score = tf * N // df`` (N docs, df = documents
+    containing the token; plain floor division so engine and oracle
+    agree bit-for-bit — the float ``log`` idf would differ at ULP
+    level between libms). Ties rank by token ascending.
+
+    The GLOBAL-STATISTIC BROADCAST-BACK shape: one token-partitioned
+    shuffle of per-batch-distinct (token, doc-count) partials builds
+    the O(vocab) df table, which collects under a byte cap and
+    broadcasts once via ``ray.put`` as a sorted array pair; the
+    scoring pass then needs NO shuffle at all — a document's tf is
+    computed entirely inside its own row, so each batch scores and
+    ranks its documents independently against the broadcast df."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..functions.groups import partitioned_sum, segmented_rank
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet") \
+        .metadata.num_rows
+
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+
+    df_part_schema = pa.schema([("token", pa.string()),
+                                ("df", pa.int64())])
+
+    def _explode(t: pa.Table):
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(col, pattern=_NORM_WS_RE)
+        flat = toks.flatten()
+        row_idx = np.repeat(np.arange(t.num_rows),
+                            np.diff(toks.offsets.to_numpy()))
+        keep = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        return (flat.filter(pa.array(keep)).to_numpy(
+            zero_copy_only=False), row_idx[keep])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return df_part_schema.empty_table()
+        flat, row_idx = _explode(t)
+        if len(flat) == 0:
+            return df_part_schema.empty_table()
+        # distinct (token, doc) inside the batch, then doc counts per
+        # token — only vocab-sized partials cross the shuffle
+        dfr = pd.DataFrame({"token": flat, "row": row_idx})
+        cnt = (dfr.drop_duplicates().groupby("token", sort=False)
+               .size().reset_index(name="df"))
+        return pa.table({"token": pa.array(cnt["token"], pa.string()),
+                         "df": pa.array(cnt["df"].to_numpy(np.int64))},
+                        schema=df_part_schema)
+
+    df_tbl = partitioned_sum(
+        ds.map_batches(df_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["token"], "df", None, df_part_schema, out_name="df")
+
+    # O(vocab) broadcast: sorted token strings + parallel df counts
+    parts = [b for b in df_tbl.iter_batches(batch_size=65536,
+                                            batch_format="pyarrow")
+             if b.num_rows > 0]
+    if parts:
+        vt = pa.concat_tables(parts).combine_chunks()
+        vtok = vt["token"].to_numpy(zero_copy_only=False)
+        vdf = vt["df"].to_numpy(zero_copy_only=False)
+        order = np.argsort(vtok, kind="stable")
+        vtok, vdf = vtok[order], vdf[order]
+    else:
+        vtok, vdf = np.empty(0, object), np.empty(0, np.int64)
+    df_ref = ray.put((vtok, vdf))
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("token", pa.string()),
+                            ("score", pa.int64()),
+                            ("rank", pa.int64())])
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        tok_arr, df_arr = ray.get(df_ref)
+        flat, row_idx = _explode(t)
+        if len(flat) == 0 or len(tok_arr) == 0:
+            return out_schema.empty_table()
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[row_idx]
+        dfr = pd.DataFrame({"doc": doc_ids, "token": flat})
+        tf = (dfr.groupby(["doc", "token"], sort=False).size()
+              .reset_index(name="tf"))
+        pos = np.searchsorted(tok_arr, tf["token"].to_numpy())
+        dfv = df_arr[pos]                  # every token is in the vocab
+        sc = tf["tf"].to_numpy(np.int64) * n_docs // dfv
+        out = pd.DataFrame({"doc_id": tf["doc"].to_numpy(np.int64),
+                            "token": tf["token"].to_numpy(),
+                            "score": sc})
+        out = out.sort_values(["doc_id", "score", "token"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        rank = segmented_rank(out["doc_id"].to_numpy())
+        keep = rank <= k
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)[keep]),
+            "token": pa.array(out["token"].to_numpy()[keep], pa.string()),
+            "score": pa.array(out["score"].to_numpy(np.int64)[keep]),
+            "rank": pa.array(rank[keep].astype(np.int64))},
+            schema=out_schema)
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
