@@ -775,6 +775,11 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(sf_dir, k=2)
 
 
+def _q_pack_sequences(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import pack_sequences
+    return pack_sequences(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -865,6 +870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q20_concentrated_suppliers": _q_concentrated_suppliers,
         "e_funnel_counts": _q_funnel_counts,
         "t_tfidf_top_terms": _q_tfidf_top_terms,
+        "t_pack_sequences": _q_pack_sequences,
     }
 
 
@@ -2132,4 +2138,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
             "  ORDER BY score DESC, token) AS rn FROM sc) "
             "WHERE rn <= 2",
+        # t_pack_sequences: streaming concat packing — global exclusive
+        # prefix sum over doc_id order, bins of 2048 tokens
+        "t_pack_sequences":
+            "WITH s AS (SELECT doc_id, "
+            "  len(regexp_extract_all(text, '\\S+')) AS n "
+            "  FROM documents), "
+            "c AS (SELECT doc_id, n, COALESCE(SUM(n) OVER ("
+            "  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "  AND 1 PRECEDING), 0) AS cb FROM s) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, "
+            "CAST(cb // 2048 AS BIGINT) AS bin_id, "
+            "CAST(cb % 2048 AS BIGINT) AS offset_tokens FROM c",
     }

@@ -1103,3 +1103,105 @@ def tfidf_top_terms(sf_dir: str, k: int = 2) -> ray.data.Dataset:
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+PACK_BUDGET = 2048
+
+
+def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
+                   num_ranges: int | None = None) -> ray.data.Dataset:
+    """(doc_id, n_tokens, bin_id, offset_tokens) — SEQUENCE PACKING
+    for training-batch assembly: documents concatenate in doc_id
+    order into fixed ``budget``-token bins (streaming concat — a doc
+    may straddle a bin boundary; ``bin_id``/``offset_tokens`` locate
+    its first token). The primitive underneath is a DISTRIBUTED
+    GLOBAL PREFIX SUM over one total order — none of the existing
+    operators need cross-partition carry; this one does.
+
+    Two passes, O(ranges) driver state: doc_id is dense 0..N-1, so
+    range r = ``doc_id * R // N`` is a balanced pre-sorted range
+    partition with NO sampling sort. Pass 1 reduces per-range token
+    sums (O(R) rows) to the driver, which computes exclusive range
+    offsets; pass 2 shuffles the narrow (range, doc_id, n_tokens)
+    stream once, and each partition cumsums its ranges locally and
+    adds the carried offset. Token counts are the repo's ``\\S+``
+    rule on both sides."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..functions.groups import group_starts, partitioned_group_map_arrow
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet") \
+        .metadata.num_rows
+    R = num_ranges or 32
+
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+    nar_schema = pa.schema([("rng", pa.int64()), ("doc_id", pa.int64()),
+                            ("n_tokens", pa.int64())])
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_tokens", pa.int64()),
+                            ("bin_id", pa.int64()),
+                            ("offset_tokens", pa.int64())])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return nar_schema.empty_table()
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(col, pattern=_NORM_WS_RE)
+        flat = toks.flatten()
+        nonempty = pc.not_equal(pc.utf8_length(flat), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # tokens per row = non-empty splits per row (boundary empties
+        # dropped, matching regexp_extract_all('\S+'))
+        bounds = np.concatenate([[0], np.cumsum(
+            np.diff(toks.offsets.to_numpy()))])
+        csum = np.concatenate([[0], np.cumsum(nonempty)])
+        n_tok = csum[bounds[1:]] - csum[bounds[:-1]]
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"rng": pa.array(did * R // n_docs),
+                         "doc_id": pa.array(did),
+                         "n_tokens": pa.array(n_tok)},
+                        schema=nar_schema)
+
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+
+    # pass 1: per-range token sums -> exclusive offsets (O(R) driver
+    # state; the narrow stream is materialized once, reused by pass 2)
+    range_sums = np.zeros(R, np.int64)
+    for b in narrow_ds.iter_batches(batch_size=65536,
+                                    batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        rng = b["rng"].to_numpy(zero_copy_only=False)
+        nt = b["n_tokens"].to_numpy(zero_copy_only=False)
+        np.add.at(range_sums, rng, nt)
+    offsets = np.concatenate([[0], np.cumsum(range_sums)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        offs = ray.get(off_ref)
+        rng = t["rng"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, rng))
+        rng, did, nt = rng[order], did[order], nt[order]
+        cum = np.cumsum(nt)
+        excl = cum - nt                     # exclusive cumsum, flat
+        starts = np.flatnonzero(group_starts(rng))
+        sizes = np.diff(np.append(starts, len(rng)))
+        # subtract each range segment's own base, add its global offset
+        seg_base = np.repeat(excl[starts], sizes)
+        cb = excl - seg_base + np.repeat(offs[rng[starts]], sizes)
+        return pa.table({"doc_id": pa.array(did),
+                         "n_tokens": pa.array(nt),
+                         "bin_id": pa.array(cb // budget),
+                         "offset_tokens": pa.array(cb % budget)},
+                        schema=out_schema)
+
+    return partitioned_group_map_arrow(narrow_ds, ["rng"], block, None,
+                                       out_schema=out_schema)

@@ -66,7 +66,7 @@ SQL_CHECKED = [
     "q7_nation_pair_volume", "q2_min_unit_cost_supplier",
     "q8_national_market_share", "q21_waiting_suppliers",
     "q11_important_parts", "q20_concentrated_suppliers",
-    "e_funnel_counts", "t_tfidf_top_terms",
+    "e_funnel_counts", "t_tfidf_top_terms", "t_pack_sequences",
 ]
 
 
