@@ -780,6 +780,16 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(sf_dir)
 
 
+def _q_posting_lists(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import posting_lists
+    return posting_lists(sf_dir)
+
+
+def _q_leakfree_split(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import leakfree_split
+    return leakfree_split(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -871,6 +881,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_funnel_counts": _q_funnel_counts,
         "t_tfidf_top_terms": _q_tfidf_top_terms,
         "t_pack_sequences": _q_pack_sequences,
+        "t_posting_lists": _q_posting_lists,
+        "t_leakfree_split": _q_leakfree_split,
     }
 
 
@@ -2150,4 +2162,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, "
             "CAST(cb // 2048 AS BIGINT) AS bin_id, "
             "CAST(cb % 2048 AS BIGINT) AS offset_tokens FROM c",
+        # t_posting_lists: inverted index — exact df, first-20 doc_ids
+        # ascending comma-joined (the posting-list truncation)
+        "t_posting_lists":
+            "WITH pairs AS (SELECT DISTINCT token, doc_id FROM ("
+            "  SELECT doc_id, unnest(regexp_extract_all(text, "
+            "  '\\S+')) AS token FROM documents)), "
+            "r AS (SELECT token, doc_id, ROW_NUMBER() OVER ("
+            "  PARTITION BY token ORDER BY doc_id) AS rn FROM pairs), "
+            "agg AS (SELECT token, COUNT(*) AS n_docs FROM pairs "
+            "  GROUP BY token) "
+            "SELECT a.token, CAST(a.n_docs AS BIGINT) AS n_docs, "
+            "string_agg(CAST(r.doc_id AS VARCHAR), ',' "
+            "  ORDER BY r.doc_id) AS postings "
+            "FROM agg a JOIN r ON r.token = a.token AND r.rn <= 20 "
+            "GROUP BY a.token, a.n_docs",
+        # t_leakfree_split: content-hash split — first 8 hex digits of
+        # the normalized-text sha256 rebuilt as an integer from digit
+        # arithmetic (the HLL-oracle trick), val when % 10 == 0
+        "t_leakfree_split":
+            "WITH h AS (SELECT doc_id, sha256(lower(trim("
+            "  regexp_replace(text, '\\s+', ' ', 'g'), ' '))) AS hx "
+            "  FROM documents), "
+            "v AS (SELECT doc_id, "
+            + " + ".join(
+                f"(strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) "
+                f"- 1) * {16 ** (7 - i)}" for i in range(8)) +
+            " AS w FROM h) "
+            "SELECT doc_id, CASE WHEN w % 10 = 0 THEN 'val' "
+            "ELSE 'train' END AS split FROM v",
     }

@@ -1205,3 +1205,113 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
 
     return partitioned_group_map_arrow(narrow_ds, ["rng"], block, None,
                                        out_schema=out_schema)
+
+
+POSTINGS_CAP = 20
+
+
+def posting_lists(sf_dir: str, cap: int = POSTINGS_CAP
+                  ) -> ray.data.Dataset:
+    """(token, n_docs, postings) — INVERTED-INDEX build: per token the
+    exact document frequency and the first ``cap`` doc_ids ascending,
+    comma-joined (the grouped ORDERED-LIST MATERIALIZATION shape; the
+    cap is the posting-list truncation any web-scale index needs —
+    stopword rows stay O(cap) wide while n_docs stays exact).
+
+    One token-partitioned shuffle of per-batch-DISTINCT (token,
+    doc_id) pairs; each partition owns its tokens entirely, so the
+    sort, count and truncation are all partition-local."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.groups import partitioned_group_map_arrow
+
+    pair_schema = pa.schema([("token", pa.string()),
+                             ("doc_id", pa.int64())])
+    out_schema = pa.schema([("token", pa.string()),
+                            ("n_docs", pa.int64()),
+                            ("postings", pa.string())])
+
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(col, pattern=_NORM_WS_RE)
+        flat = toks.flatten()
+        row_idx = np.repeat(np.arange(t.num_rows),
+                            np.diff(toks.offsets.to_numpy()))
+        keep = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        if not keep.any():
+            return pair_schema.empty_table()
+        df = pd.DataFrame({
+            "token": flat.filter(pa.array(keep)).to_numpy(
+                zero_copy_only=False),
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)[row_idx[keep]]}).drop_duplicates()
+        return pa.table({"token": pa.array(df["token"], pa.string()),
+                         "doc_id": pa.array(df["doc_id"]
+                                            .to_numpy(np.int64))},
+                        schema=pair_schema)
+
+    pair_stream = ds.map_batches(pairs, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        tok = t["token"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"token": tok, "doc_id": did}) \
+            .drop_duplicates().sort_values(["token", "doc_id"],
+                                           kind="mergesort")
+        g = df.groupby("token", sort=False)["doc_id"]
+        agg = g.agg(n_docs="size",
+                    postings=lambda s: ",".join(map(str, s.iloc[:cap])))
+        agg = agg.reset_index()
+        return pa.table({"token": pa.array(agg["token"], pa.string()),
+                         "n_docs": pa.array(agg["n_docs"]
+                                            .to_numpy(np.int64)),
+                         "postings": pa.array(agg["postings"],
+                                              pa.string())},
+                        schema=out_schema)
+
+    return partitioned_group_map_arrow(pair_stream, ["token"], block,
+                                       None, out_schema=out_schema)
+
+
+SPLIT_VAL_MOD = 10
+
+
+def leakfree_split(sf_dir: str, val_mod: int = SPLIT_VAL_MOD
+                   ) -> ray.data.Dataset:
+    """(doc_id, split) — deterministic CONTENT-HASH train/val split:
+    the split key is the whitespace-normalized lowercase sha256
+    fingerprint (the ``fingerprint`` operator's rule), so exact and
+    formatting-level duplicates always land in the SAME split — the
+    leak-free assignment a training pipeline needs, with no
+    coordination and no shuffle (pure map; any node can re-derive any
+    row's split). val when the first 8 hex digits mod ``val_mod`` == 0
+    (~10%), train otherwise."""
+    import hashlib
+
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("split", pa.string())])
+
+    def f(t: pa.Table) -> pa.Table:
+        norm = pc.utf8_lower(
+            pc.utf8_trim(pc.replace_substring_regex(t["text"],
+                                                    _NORM_WS_RE, " "), " "))
+        splits = ["val" if int(hashlib.sha256(
+            s.encode("utf-8", "surrogatepass")).hexdigest()[:8], 16)
+            % val_mod == 0 else "train" for s in norm.to_pylist()]
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "split": pa.array(splits, pa.string())},
+                        schema=out_schema)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
