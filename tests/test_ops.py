@@ -1736,3 +1736,56 @@ def test_semijoin_counts_each_order_once(tmp_path):
         .sort_values("o_orderpriority").reset_index(drop=True)
     assert list(got["o_orderpriority"]) == ["1-URGENT", "5-LOW"]
     assert list(got["order_count"]) == [1, 1]
+
+
+def test_pack_sequences_boundary_stitch():
+    """Force ~5-doc ranges so nearly every range carries an offset from
+    its predecessors: the two-pass distributed prefix sum must equal a
+    single flat numpy cumsum over doc_id order, bit for bit."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from image_deduper_ray.pipelines.textops import pack_sequences
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    order = np.argsort(t["doc_id"].to_numpy())
+    texts = np.array(t["text"].to_pylist(), object)[order]
+    n = np.array([len(re.findall(r"\S+", s)) for s in texts], np.int64)
+    cb = np.concatenate([[0], np.cumsum(n)[:-1]])
+    expect = pd.DataFrame({
+        "doc_id": t["doc_id"].to_numpy()[order],
+        "n_tokens": n, "bin_id": cb // 2048,
+        "offset_tokens": cb % 2048})
+
+    got = pack_sequences(SF, num_ranges=97).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_tokens", "bin_id", "offset_tokens"]],
+        expect.reset_index(drop=True), check_dtype=False)
+
+
+def test_funnel_deadline_and_order_semantics(con):
+    """A stage event BEFORE the previous stage's completion, or past
+    the step deadline, must not advance the funnel — pinned by running
+    the engine with a tight 1-hour deadline against the equivalent
+    SQL (attrition guaranteed: the synthetic events are ~7 h apart)."""
+    from image_deduper_ray.pipelines.events import funnel_counts
+
+    sql = ("WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+           "  WHERE event_type = 'signup' GROUP BY user_id), "
+           "s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e "
+           "  JOIN s1 ON e.user_id = s1.user_id "
+           "  WHERE event_type = 'click' AND ts >= t1 "
+           "  AND epoch_us(ts) - epoch_us(t1) <= 3600000000 "
+           "  GROUP BY e.user_id), "
+           "s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e "
+           "  JOIN s2 ON e.user_id = s2.user_id "
+           "  WHERE event_type = 'purchase' AND ts >= t2 "
+           "  AND epoch_us(ts) - epoch_us(t2) <= 3600000000 "
+           "  GROUP BY e.user_id) "
+           "SELECT stage, n_users FROM ("
+           "  SELECT 1 AS stage, COUNT(*) AS n_users FROM s1 "
+           "  UNION ALL SELECT 2, COUNT(*) FROM s2 "
+           "  UNION ALL SELECT 3, COUNT(*) FROM s3)")
+    _compare(funnel_counts(SF, step_window_s=3600), sql, con)
