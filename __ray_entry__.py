@@ -790,6 +790,11 @@ def _q_leakfree_split(sf_dir: str):
     return leakfree_split(sf_dir)
 
 
+def _q_retention_cohorts(sf_dir: str):
+    from image_deduper_ray.pipelines.events import retention_cohorts
+    return retention_cohorts(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -883,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_pack_sequences": _q_pack_sequences,
         "t_posting_lists": _q_posting_lists,
         "t_leakfree_split": _q_leakfree_split,
+        "e_retention_cohorts": _q_retention_cohorts,
     }
 
 
@@ -2191,4 +2197,17 @@ def oracle_sql() -> dict[str, str]:
             " AS w FROM h) "
             "SELECT doc_id, CASE WHEN w % 10 = 0 THEN 'val' "
             "ELSE 'train' END AS split FROM v",
+        # e_retention_cohorts: cohort = calendar day of the user's
+        # first event (integer epoch-day arithmetic, no tz); one row
+        # per (cohort, offset) with distinct returning users
+        "e_retention_cohorts":
+            "WITH p AS (SELECT DISTINCT user_id, "
+            "  epoch_us(ts) // 86400000000 AS day FROM events), "
+            "c AS (SELECT user_id, MIN(day) AS cohort FROM p "
+            "  GROUP BY user_id) "
+            "SELECT CAST(cohort AS BIGINT) AS cohort_day, "
+            "CAST(day - cohort AS BIGINT) AS day_offset, "
+            "COUNT(*) AS n_users "
+            "FROM p JOIN c USING (user_id) "
+            "GROUP BY cohort, day - cohort",
     }

@@ -794,3 +794,90 @@ def funnel_counts(sf_dir: str,
 
     return partitioned_group_map_arrow(partials, ["stage"], merge, 2,
                                        out_schema=out_schema)
+
+
+def retention_cohorts(sf_dir: str) -> ray.data.Dataset:
+    """(cohort_day, day_offset, n_users) — COHORT RETENTION matrix:
+    users grouped by the calendar day of their FIRST event, counted
+    once per later day they return. The two-phase per-key-derived-
+    attribute shape: a user's cohort is a function of their whole
+    history, so phase 1 must see every event of a user — but only as
+    (user, day) per-batch-DISTINCT pairs, so the single user_id
+    shuffle moves O(users x active-days), never O(events). Each
+    partition then derives cohort = min(day) per user and emits
+    (cohort, offset) partials; the final merge is O(days²).
+
+    Day arithmetic is pure integer (epoch_us // 86400e6) on both
+    sides — no timezone, no date library."""
+    from ..functions.groups import partitioned_group_map_arrow
+
+    pair_schema = pa.schema([("user_id", pa.int64()),
+                             ("day", pa.int64())])
+    out_schema = pa.schema([("cohort_day", pa.int64()),
+                            ("day_offset", pa.int64()),
+                            ("n_users", pa.int64())])
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        day = (t["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu = np.unique(np.stack([u, day], axis=1), axis=0)
+        return pa.table({"user_id": pa.array(uu[:, 0]),
+                         "day": pa.array(uu[:, 1])}, schema=pair_schema)
+
+    stream = ev.map_batches(pairs, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, u))
+        u, day = u[order], day[order]
+        uniq = np.concatenate([[True], (u[1:] != u[:-1])
+                               | (day[1:] != day[:-1])])
+        u, day = u[uniq], day[uniq]         # global distinct (co-keyed)
+        starts = np.flatnonzero(group_starts(u))
+        sizes = np.diff(np.append(starts, len(u)))
+        cohort = np.repeat(day[starts], sizes)  # per-user min day
+        off = day - cohort
+        comp = cohort * 100000 + off
+        order2 = np.argsort(comp, kind="stable")
+        comp = comp[order2]
+        s2 = np.flatnonzero(group_starts(comp))
+        c0 = comp[s2]
+        return pa.table({
+            "cohort_day": pa.array(c0 // 100000),
+            "day_offset": pa.array(c0 % 100000),
+            "n_users": pa.array(np.diff(np.append(s2, len(comp)))
+                                .astype(np.int64))}, schema=out_schema)
+
+    partials = partitioned_group_map_arrow(stream, ["user_id"], block,
+                                           None, out_schema=out_schema)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        comp = (t["cohort_day"].to_numpy(zero_copy_only=False) * 100000
+                + t["day_offset"].to_numpy(zero_copy_only=False))
+        n = t["n_users"].to_numpy(zero_copy_only=False)
+        order = np.argsort(comp, kind="stable")
+        comp, n = comp[order], n[order]
+        starts = np.flatnonzero(group_starts(comp))
+        c0 = comp[starts]
+        return pa.table({
+            "cohort_day": pa.array(c0 // 100000),
+            "day_offset": pa.array(c0 % 100000),
+            "n_users": pa.array(np.add.reduceat(n, starts))},
+            schema=out_schema)
+
+    return partitioned_group_map_arrow(
+        partials, ["cohort_day", "day_offset"], merge, 2,
+        out_schema=out_schema)
