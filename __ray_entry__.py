@@ -795,6 +795,11 @@ def _q_retention_cohorts(sf_dir: str):
     return retention_cohorts(sf_dir)
 
 
+def _q_quality_weighted_sample(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import quality_weighted_sample
+    return quality_weighted_sample(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -889,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_posting_lists": _q_posting_lists,
         "t_leakfree_split": _q_leakfree_split,
         "e_retention_cohorts": _q_retention_cohorts,
+        "t_quality_weighted_sample": _q_quality_weighted_sample,
     }
 
 
@@ -2210,4 +2216,14 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_users "
             "FROM p JOIN c USING (user_id) "
             "GROUP BY cohort, day - cohort",
+        # t_quality_weighted_sample: CCNet-style importance sampler —
+        # keep rate from the stopword fluency proxy, keep decision from
+        # the first 16 bits of sha256(text) rebuilt by digit arithmetic
+        "t_quality_weighted_sample":
+            "WITH q AS (SELECT doc_id, sha256(text) AS hx, "
+            "  LEAST(2000 + 400 * len(regexp_extract_all(lower(text), "
+            "  '\\b(the|a|and|of|in|to|is|for|on|with)\\b')), 9000) "
+            "  AS rate FROM documents) "
+            f"SELECT doc_id, CAST(rate AS BIGINT) AS keep_rate_bp, "
+            f"(({_sha_hex_word(1)}) % 10000) < rate AS sampled FROM q",
     }

@@ -1315,3 +1315,41 @@ def leakfree_split(sf_dir: str, val_mod: int = SPLIT_VAL_MOD
                         schema=out_schema)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_weighted_sample(sf_dir: str, base_bp: int = 2000,
+                            per_stopword_bp: int = 400,
+                            cap_bp: int = 9000) -> ray.data.Dataset:
+    """(doc_id, keep_rate_bp, sampled) — QUALITY-WEIGHTED DOWNSAMPLING
+    (the CCNet-style importance sampler): each document's keep rate in
+    basis points is ``min(base + per_stopword * n_stopwords, cap)`` —
+    a cheap fluency proxy — and the keep decision compares a
+    16-bit hash of the raw text (sha256 hex digits 1-4, the repo's
+    sketch-oracle digit rule) against the rate. Deterministic,
+    map-only, zero coordination: resampling a 100-TB corpus is
+    embarrassingly parallel and reproducible row-by-row, and raising
+    ``cap_bp`` later keeps every previously sampled doc sampled
+    (monotone in the rate)."""
+    import hashlib
+
+    import numpy as np
+
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("keep_rate_bp", pa.int64()),
+                            ("sampled", pa.bool_())])
+
+    def f(t: pa.Table) -> pa.Table:
+        n_stop = pc.count_substring_regex(
+            pc.utf8_lower(t["text"]), _STOPWORD_RE) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        rate = np.minimum(base_bp + per_stopword_bp * n_stop, cap_bp)
+        w = np.array([int(hashlib.sha256(
+            s.encode("utf-8", "surrogatepass")).hexdigest()[:4], 16)
+            for s in t["text"].to_pylist()], np.int64)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "keep_rate_bp": pa.array(rate),
+                         "sampled": pa.array((w % 10000) < rate)},
+                        schema=out_schema)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
