@@ -1790,3 +1790,53 @@ def test_funnel_deadline_and_order_semantics(con):
            "  UNION ALL SELECT 2, COUNT(*) FROM s2 "
            "  UNION ALL SELECT 3, COUNT(*) FROM s3)")
     _compare(funnel_counts(SF, step_window_s=3600), sql, con)
+
+
+def test_q17_other_brand_parameterization(con):
+    # different brand set than the registered query: the threshold
+    # aggregate and broadcast must re-derive, not bake constants
+    from image_deduper_ray.pipelines.relational import (
+        small_quantity_revenue)
+
+    sql = ("WITH pk AS (SELECT p_partkey, p_brand FROM part "
+           "  WHERE p_brand IN ('Brand#3')), "
+           "agg AS (SELECT l_partkey AS ak, "
+           "  SUM(CAST(l_quantity AS BIGINT)) AS sq, COUNT(*) AS cnt "
+           "  FROM lineitem JOIN pk ON l_partkey = p_partkey "
+           "  GROUP BY l_partkey) "
+           "SELECT p_brand, CAST(SUM(CAST(FLOOR(l_extendedprice * 100 "
+           "+ 0.5) AS BIGINT)) AS BIGINT) AS total_cents, "
+           "COUNT(*) AS n_rows "
+           "FROM lineitem JOIN pk ON l_partkey = p_partkey "
+           "JOIN agg ON ak = l_partkey "
+           "WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sq "
+           "GROUP BY p_brand")
+    _compare(small_quantity_revenue(SF, brands=("Brand#3",)), sql, con)
+
+
+def test_q19_single_clause_parameterization(con):
+    from image_deduper_ray.pipelines.relational import disjunctive_revenue
+
+    sql = ("SELECT p_brand, CAST(SUM(CAST(FLOOR(l_extendedprice * "
+           "(1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS "
+           "revenue_cents, COUNT(*) AS n_rows "
+           "FROM lineitem JOIN part ON p_partkey = l_partkey "
+           "WHERE p_brand = 'Brand#7' AND p_size BETWEEN 2 AND 9 "
+           "AND l_quantity BETWEEN 5 AND 45 GROUP BY p_brand")
+    _compare(disjunctive_revenue(
+        SF, clauses=(("Brand#7", 2, 9, 5, 45),)), sql, con)
+
+
+def test_pack_sequences_other_budget(con):
+    from image_deduper_ray.pipelines.textops import pack_sequences
+
+    sql = ("WITH s AS (SELECT doc_id, "
+           "  len(regexp_extract_all(text, '\\S+')) AS n "
+           "  FROM documents), "
+           "c AS (SELECT doc_id, n, COALESCE(SUM(n) OVER ("
+           "  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING "
+           "  AND 1 PRECEDING), 0) AS cb FROM s) "
+           "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, "
+           "CAST(cb // 512 AS BIGINT) AS bin_id, "
+           "CAST(cb % 512 AS BIGINT) AS offset_tokens FROM c")
+    _compare(pack_sequences(SF, budget=512), sql, con)
