@@ -800,6 +800,11 @@ def _q_quality_weighted_sample(sf_dir: str):
     return quality_weighted_sample(sf_dir)
 
 
+def _q_product_type_profit(sf_dir: str):
+    from image_deduper_ray.pipelines.relational import product_type_profit
+    return product_type_profit(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -895,6 +900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_leakfree_split": _q_leakfree_split,
         "e_retention_cohorts": _q_retention_cohorts,
         "t_quality_weighted_sample": _q_quality_weighted_sample,
+        "q9_product_type_profit": _q_product_type_profit,
     }
 
 
@@ -2226,4 +2232,17 @@ def oracle_sql() -> dict[str, str]:
             "  AS rate FROM documents) "
             f"SELECT doc_id, CAST(rate AS BIGINT) AS keep_rate_bp, "
             f"(({_sha_hex_word(1)}) % 10000) < rate AS sampled FROM q",
+        # q9_product_type_profit: two-dimension attach + (nation, year)
+        # rollup — profit = discounted revenue (no partsupp supplycost
+        # in the synthetic schema)
+        "q9_product_type_profit":
+            "SELECT n_name AS nation, "
+            "CAST(year(l_shipdate) AS BIGINT) AS o_year, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) "
+            "* 100 + 0.5) AS BIGINT)) AS BIGINT) AS profit_cents "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "WHERE p_name LIKE '%widget%' "
+            "GROUP BY n_name, year(l_shipdate)",
     }

@@ -2798,3 +2798,117 @@ def concentrated_suppliers(sf_dir: str, date_lo: str = Q20_DATE_LO,
         "s_suppkey", "s_name", "s_name")
     return named.map_batches(lambda t: t.select(out_schema.names)
                              .cast(out_schema), batch_format="pyarrow")
+
+
+Q9_NAME_SUBSTR = "widget"
+
+
+def product_type_profit(sf_dir: str,
+                        name_substr: str = Q9_NAME_SUBSTR
+                        ) -> ray.data.Dataset:
+    """(nation, o_year, profit_cents) — TPC-H Q9 shape: TWO-DIMENSION
+    ATTACH + two-attribute rollup. Profit on parts whose name contains
+    ``name_substr``, by supplier nation and ship year (the synthetic
+    schema has no partsupp, so profit = discounted revenue without the
+    supplycost term; and no orders join is needed since the grain is
+    the ship year).
+
+    Both dimensions broadcast tiny: the name-filtered part KEY SET
+    (sorted int64 membership probe) and supplier→nation (searchsorted
+    attach). The fact stream never shuffles — partials collapse to
+    O(nations x years) rows per batch, merged in one small pass."""
+    from ..functions.groups import partitioned_group_map_arrow
+    from ..functions.joins import collect_i64_under_cap
+
+    part_tbl = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"],
+        filter=pc.match_substring(pc.field("p_name"), name_substr))
+    parts = [b for b in part_tbl.iter_batches(batch_size=65536,
+                                              batch_format="pyarrow")
+             if b.num_rows > 0]
+    pk = np.sort(pa.concat_tables(parts)["p_partkey"]
+                 .to_numpy(zero_copy_only=False).astype(np.int64)) \
+        if parts else np.empty(0, np.int64)
+    pk_ref = ray.put(pk)
+
+    sup = collect_i64_under_cap(
+        ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"]),
+        ["s_suppkey", "s_nationkey"], 64 << 20)
+    skey, snat = sup
+    s_order = np.argsort(skey, kind="stable")
+    sup_ref = ray.put((skey[s_order], snat[s_order]))
+
+    ntbl = pa.concat_tables(
+        [b for b in ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet",
+            columns=["n_nationkey", "n_name"])
+         .iter_batches(batch_size=65536, batch_format="pyarrow")
+         if b.num_rows > 0]).combine_chunks()
+    nnames = dict(zip(ntbl["n_nationkey"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64),
+                      ntbl["n_name"].to_pylist()))
+
+    agg_schema = pa.schema([("nat", pa.int64()), ("o_year", pa.int64()),
+                            ("profit_cents", pa.int64())])
+    out_schema = pa.schema([("nation", pa.string()),
+                            ("o_year", pa.int64()),
+                            ("profit_cents", pa.int64())])
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        if t.num_rows == 0 or len(keys) == 0:
+            return agg_schema.empty_table()
+        lk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, lk)
+        keep = keys[np.minimum(pos, len(keys) - 1)] == lk
+        if not keep.any():
+            return agg_schema.empty_table()
+        sk, sn = ray.get(sup_ref)
+        lsk = t["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        nat = sn[np.minimum(np.searchsorted(sk, lsk), len(sk) - 1)]
+        yr = t["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[Y]").astype(np.int64)[keep] + 1970
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            * (1 - t["l_discount"].to_numpy(zero_copy_only=False)[keep])
+            * 100 + 0.5).astype(np.int64)
+        comp = nat * 10000 + yr
+        order = np.argsort(comp, kind="stable")
+        comp, cents = comp[order], cents[order]
+        starts = np.flatnonzero(group_starts(comp))
+        c0 = comp[starts]
+        return pa.table({"nat": pa.array(c0 // 10000),
+                         "o_year": pa.array(c0 % 10000),
+                         "profit_cents": pa.array(
+                             np.add.reduceat(cents, starts))},
+                        schema=agg_schema)
+
+    partials = line.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        comp = (t["nat"].to_numpy(zero_copy_only=False) * 10000
+                + t["o_year"].to_numpy(zero_copy_only=False))
+        cents = t["profit_cents"].to_numpy(zero_copy_only=False)
+        order = np.argsort(comp, kind="stable")
+        comp, cents = comp[order], cents[order]
+        starts = np.flatnonzero(group_starts(comp))
+        c0 = comp[starts]
+        return pa.table({
+            "nation": pa.array([nnames[int(k)] for k in c0 // 10000],
+                               pa.string()),
+            "o_year": pa.array(c0 % 10000),
+            "profit_cents": pa.array(np.add.reduceat(cents, starts))},
+            schema=out_schema)
+
+    return partitioned_group_map_arrow(partials, ["nat", "o_year"],
+                                       final, 2, out_schema=out_schema)

@@ -68,7 +68,7 @@ SQL_CHECKED = [
     "q11_important_parts", "q20_concentrated_suppliers",
     "e_funnel_counts", "t_tfidf_top_terms", "t_pack_sequences",
     "t_posting_lists", "t_leakfree_split", "e_retention_cohorts",
-    "t_quality_weighted_sample",
+    "t_quality_weighted_sample", "q9_product_type_profit",
 ]
 
 
