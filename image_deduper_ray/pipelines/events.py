@@ -713,7 +713,6 @@ def funnel_counts(sf_dir: str,
     from ..functions.groups import partitioned_group_map_arrow
 
     n_stage = len(stages)
-    stage_code = {s: i for i, s in enumerate(stages)}
     sup_schema = pa.schema([("user_id", pa.int64()),
                             ("ts_us", pa.int64()),
                             ("code", pa.int8())])
@@ -725,16 +724,20 @@ def funnel_counts(sf_dir: str,
         columns=["user_id", "ts", "event_type"],
         filter=pc.field("event_type").isin(list(stages)))
 
+    stage_arr = pa.array(list(stages))
+
     def conform(t: pa.Table) -> pa.Table:
-        m = pc.is_in(t["event_type"], value_set=pa.array(list(stages)))
+        m = pc.is_in(t["event_type"], value_set=stage_arr)
         t = t.filter(m.combine_chunks())
-        code = np.array([stage_code[s] for s
-                         in t["event_type"].to_pylist()], np.int8)
+        # stage code via index_in (C speed) — never a per-row Python
+        # dict lookup on the full event stream
+        code = pc.index_in(t["event_type"], value_set=stage_arr) \
+            .cast(pa.int8())
         return pa.table({
             "user_id": t["user_id"].cast(pa.int64()),
             "ts_us": pa.array(t["ts"].to_numpy(zero_copy_only=False)
                               .astype("datetime64[us]").astype(np.int64)),
-            "code": pa.array(code)}, schema=sup_schema)
+            "code": code}, schema=sup_schema)
 
     stream = ev.map_batches(conform, batch_format="pyarrow",
                             zero_copy_batch=True)

@@ -1440,8 +1440,11 @@ def top_supplier(sf_dir: str, date_lo: str = Q15_DATE_LO,
         out_name="total_revenue_cents").materialize()
 
     # global max over the tiny aggregate, then the (tie-inclusive)
-    # winners filter in one vectorized pass
+    # winners filter in one vectorized pass; an empty window yields
+    # max() == None — return the oracle's empty result, not a crash
     mx = per_supp.max("total_revenue_cents")
+    if mx is None:
+        return ray.data.from_arrow(out_schema.empty_table())
     winners = per_supp.filter(
         expr=f"total_revenue_cents == {int(mx)}")
 
@@ -1510,8 +1513,11 @@ def small_quantity_revenue(sf_dir: str,
         keep = keys[np.minimum(pos, len(keys) - 1)] == lk
         return t.filter(pa.array(keep))
 
+    # materialize ONCE: both the threshold pass and the probe pass
+    # consume the pruned stream, and it is brand-restricted small by
+    # construction — without this the full fact scan runs twice
     pruned = line.map_batches(prune, batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              zero_copy_batch=True).materialize()
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1719,7 +1725,11 @@ def idle_customer_balance(sf_dir: str,
         cmask = side == 0
         ck, code = ckey[cmask], t["code"].to_numpy(
             zero_copy_only=False)[cmask]
-        bal = t["bal_cents"].to_numpy(zero_copy_only=False)[cmask]
+        # the union carries nulls on the orders side, so to_numpy gives
+        # FLOAT64 — cast back after selecting the customer rows so the
+        # threshold test and reduceat stay integer-exact
+        bal = t["bal_cents"].to_numpy(zero_copy_only=False)[cmask] \
+            .astype(np.int64)
         keep = (~np.isin(ck, have)) & (bal * n_total > s_total)
         if not keep.any():
             return out_schema.empty_table()
@@ -1790,23 +1800,24 @@ def disjunctive_revenue(sf_dir: str,
     if parts:
         pt = pa.concat_tables(parts).combine_chunks()
         pk = pt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pb = pt["p_brand"].to_pylist()
+        pb = np.array(pt["p_brand"].to_pylist(), object)
         psz = pt["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # brand as a small int code: strings never ride the fact probe
-        bcode = np.array([brands.index(b) for b in pb], np.int8)
-        # dimension prune: keep parts whose brand+size satisfies SOME
-        # clause (the fact-side qty test still runs per row)
-        dim_ok = np.zeros(len(pk), bool)
-        for ci, (_, slo, shi, _, _) in enumerate(clauses):
-            dim_ok |= (bcode == ci) & (psz >= slo) & (psz <= shi)
-        pk, bcode, psz = pk[dim_ok], bcode[dim_ok], psz[dim_ok]
+        # per-part per-CLAUSE dim matrix: a part can satisfy SEVERAL
+        # clauses' brand+size tests (two clauses may share a brand with
+        # different size ranges) — the fact probe ORs across columns
+        dim_ok = np.stack([(pb == b) & (psz >= slo) & (psz <= shi)
+                           for b, slo, shi, _, _ in clauses], axis=1)
+        any_ok = dim_ok.any(axis=1)         # dimension prune
+        pk, pb, dim_ok = pk[any_ok], pb[any_ok], dim_ok[any_ok]
         order = np.argsort(pk, kind="stable")
-        pk, bcode, psz = pk[order], bcode[order], psz[order]
+        pk, pb, dim_ok = pk[order], pb[order], dim_ok[order]
+        # brand as an int code for the probe's tiny group pass
+        ubrands, bcode = np.unique(pb, return_inverse=True)
     else:
         pk = np.empty(0, np.int64)
-        bcode = np.empty(0, np.int8)
-        psz = np.empty(0, np.int64)
-    dim_ref = ray.put((pk, bcode, psz))
+        dim_ok = np.empty((0, len(clauses)), bool)
+        ubrands, bcode = np.empty(0, object), np.empty(0, np.int64)
+    dim_ref = ray.put((pk, bcode, dim_ok, ubrands))
     qty_rng = np.array([(c[3], c[4]) for c in clauses], np.int64)
 
     line = ray.data.read_parquet(
@@ -1815,7 +1826,7 @@ def disjunctive_revenue(sf_dir: str,
                  "l_discount"])
 
     def probe(t: pa.Table) -> pa.Table:
-        keys, codes, _ = ray.get(dim_ref)
+        keys, codes, dok, ub = ray.get(dim_ref)
         if t.num_rows == 0 or len(keys) == 0:
             return out_schema.empty_table()
         lk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1824,23 +1835,27 @@ def disjunctive_revenue(sf_dir: str,
         matched = keys[pos_c] == lk
         qty = t["l_quantity"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        code = codes[pos_c]
-        # OR-of-ANDs in one pass: the row's clause is determined by its
-        # part's brand code; only the qty bound remains to test
-        keep = (matched & (qty >= qty_rng[code, 0])
-                & (qty <= qty_rng[code, 1]))
+        # OR-of-ANDs in one vectorized pass per clause: a row qualifies
+        # if SOME clause's part test (precomputed column) AND its qty
+        # bound both hold — rows qualifying via several clauses still
+        # count once (it's one OR, not a union of joins)
+        keep = np.zeros(len(lk), bool)
+        for ci in range(dok.shape[1]):
+            keep |= (dok[pos_c, ci] & (qty >= qty_rng[ci, 0])
+                     & (qty <= qty_rng[ci, 1]))
+        keep &= matched
         if not keep.any():
             return out_schema.empty_table()
         cents = np.floor(
             t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
             * (1 - t["l_discount"].to_numpy(zero_copy_only=False)[keep])
             * 100 + 0.5).astype(np.int64)
-        kc = code[keep]
+        kc = codes[pos_c[keep]]             # the part's OWN brand
         order = np.argsort(kc, kind="stable")
         kc, cents = kc[order], cents[order]
         starts = np.flatnonzero(group_starts(kc))
         return pa.table({
-            "p_brand": pa.array([brands[c] for c in kc[starts]],
+            "p_brand": pa.array([ub[c] for c in kc[starts]],
                                 pa.string()),
             "revenue_cents": pa.array(np.add.reduceat(cents, starts)),
             "n_rows": pa.array(np.diff(np.append(starts, len(kc)))
@@ -2039,6 +2054,10 @@ def nation_pair_volume(sf_dir: str, nation_a: str | None = None,
         ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
                               columns=["s_suppkey", "s_nationkey"]),
         ["s_suppkey", "s_nationkey"], 64 << 20)
+    if sup is None:
+        raise NotImplementedError(
+            "supplier-side broadcast exceeded the byte cap; use the "
+            "partitioned hash_join route (functions/joins.py)")
     skey, snat = sup
     s_order = np.argsort(skey, kind="stable")
     skey, snat = skey[s_order], snat[s_order]
@@ -2055,7 +2074,11 @@ def nation_pair_volume(sf_dir: str, nation_a: str | None = None,
 
     if nation_a is None or nation_b is None:
         present = np.unique(snat)
-        na_key, nb_key = int(present[0]), int(present[1])
+        na_key = int(present[0]) if len(present) else -1
+        # a single-nation supplier table degrades to a == b: the
+        # same-nation filter then yields the oracle's empty result
+        # instead of an IndexError
+        nb_key = int(present[1]) if len(present) > 1 else na_key
     else:
         by_name = {v: k for k, v in nnames.items()}
         na_key, nb_key = int(by_name[nation_a]), int(by_name[nation_b])
@@ -2169,9 +2192,13 @@ def nation_pair_volume(sf_dir: str, nation_a: str | None = None,
         if not keep.any():
             return agg_schema.empty_table()
         sn_, cn = sn_[keep], cn[keep]
-        yr = t["year"].to_numpy(zero_copy_only=False)[lmask][matched][keep]
+        # the union carries nulls on the orders side, so to_numpy gives
+        # FLOAT64 (NaN) arrays — cast back to int64 after selecting the
+        # non-null line rows or reduceat sums money in floats
+        yr = t["year"].to_numpy(zero_copy_only=False)[lmask][matched] \
+            [keep].astype(np.int64)
         cents = t["cents"].to_numpy(
-            zero_copy_only=False)[lmask][matched][keep]
+            zero_copy_only=False)[lmask][matched][keep].astype(np.int64)
         comp = (sn_ * 100 + cn) * 10000 + yr
         order = np.argsort(comp, kind="stable")
         comp, cents = comp[order], cents[order]
@@ -2369,6 +2396,10 @@ def national_market_share(sf_dir: str, region: str = Q8_REGION,
         ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
                               columns=["s_suppkey", "s_nationkey"]),
         ["s_suppkey", "s_nationkey"], 64 << 20)
+    if sup is None:
+        raise NotImplementedError(
+            "supplier-side broadcast exceeded the byte cap; use the "
+            "partitioned hash_join route (functions/joins.py)")
     skey, snat = sup
     s_order = np.argsort(skey, kind="stable")
     skey, snat = skey[s_order], snat[s_order]
@@ -2468,8 +2499,12 @@ def national_market_share(sf_dir: str, region: str = Q8_REGION,
             return agg_schema.empty_table()
         pos = np.searchsorted(ok, lk)
         matched = ok[np.minimum(pos, len(ok) - 1)] == lk
-        yr = t["year"].to_numpy(zero_copy_only=False)[lmask][matched]
-        cents = t["cents"].to_numpy(zero_copy_only=False)[lmask][matched]
+        # null-carrying union columns arrive as float64 — cast back to
+        # int64 after selection so the money sums stay integer-exact
+        yr = t["year"].to_numpy(zero_copy_only=False)[lmask][matched] \
+            .astype(np.int64)
+        cents = t["cents"].to_numpy(zero_copy_only=False)[lmask] \
+            [matched].astype(np.int64)
         isn = t["is_nation"].to_numpy(
             zero_copy_only=False)[lmask][matched].astype(np.int64)
         order = np.argsort(yr, kind="stable")
@@ -2582,8 +2617,12 @@ def waiting_suppliers(sf_dir: str) -> ray.data.Dataset:
         if not keep.any():
             return agg_schema.empty_table()
         ok = ok[keep]
-        sk = t["skey"].to_numpy(zero_copy_only=False)[lmask][keep]
-        isr = t["is_r"].to_numpy(zero_copy_only=False)[lmask][keep]
+        # null-carrying union columns arrive as float64 — cast back to
+        # int64 after selecting the line rows
+        sk = t["skey"].to_numpy(zero_copy_only=False)[lmask][keep] \
+            .astype(np.int64)
+        isr = t["is_r"].to_numpy(zero_copy_only=False)[lmask][keep] \
+            .astype(np.int64)
         # distinct suppliers per order (any flag)
         pairs = np.unique(np.stack([ok, sk], axis=1), axis=0)
         o_all, n_all = np.unique(pairs[:, 0], return_counts=True)
@@ -2835,6 +2874,10 @@ def product_type_profit(sf_dir: str,
         ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
                               columns=["s_suppkey", "s_nationkey"]),
         ["s_suppkey", "s_nationkey"], 64 << 20)
+    if sup is None:
+        raise NotImplementedError(
+            "supplier-side broadcast exceeded the byte cap; use the "
+            "partitioned hash_join route (functions/joins.py)")
     skey, snat = sup
     s_order = np.argsort(skey, kind="stable")
     sup_ref = ray.put((skey[s_order], snat[s_order]))

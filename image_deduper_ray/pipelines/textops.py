@@ -991,7 +991,30 @@ def bloom_decontaminate(sf_dir: str, n: int = 5, bench_mod: int = 29,
         scan, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def tfidf_top_terms(sf_dir: str, k: int = 2) -> ray.data.Dataset:
+def _token_explode(t: pa.Table) -> "tuple":
+    """Shared token-explode idiom: split ``text`` on the repo-wide
+    ``\\S+`` rule and return (flat_tokens ndarray, row_idx ndarray) —
+    boundary empties dropped so the result matches DuckDB
+    ``regexp_extract_all('\\S+')`` exactly. ONE implementation so the
+    tokenization rule can never diverge between the operators that
+    explode (tf-idf, posting lists, packing)."""
+    import numpy as np
+
+    col = t["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern_regex(col, pattern=_NORM_WS_RE)
+    flat = toks.flatten()
+    row_idx = np.repeat(np.arange(t.num_rows),
+                        np.diff(toks.offsets.to_numpy()))
+    keep = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(
+        zero_copy_only=False)
+    return (flat.filter(pa.array(keep)).to_numpy(zero_copy_only=False),
+            row_idx[keep])
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 2,
+                    vocab_cap_bytes: int = 256 << 20) -> ray.data.Dataset:
     """(doc_id, token, score, rank) — the ``k`` most
     corpus-distinctive tokens per document by an integer-exact tf-idf
     surrogate ``score = tf * N // df`` (N docs, df = documents
@@ -1020,23 +1043,10 @@ def tfidf_top_terms(sf_dir: str, k: int = 2) -> ray.data.Dataset:
     df_part_schema = pa.schema([("token", pa.string()),
                                 ("df", pa.int64())])
 
-    def _explode(t: pa.Table):
-        col = t["text"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        toks = pc.split_pattern_regex(col, pattern=_NORM_WS_RE)
-        flat = toks.flatten()
-        row_idx = np.repeat(np.arange(t.num_rows),
-                            np.diff(toks.offsets.to_numpy()))
-        keep = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(
-            zero_copy_only=False)
-        return (flat.filter(pa.array(keep)).to_numpy(
-            zero_copy_only=False), row_idx[keep])
-
     def df_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return df_part_schema.empty_table()
-        flat, row_idx = _explode(t)
+        flat, row_idx = _token_explode(t)
         if len(flat) == 0:
             return df_part_schema.empty_table()
         # distinct (token, doc) inside the batch, then doc counts per
@@ -1053,10 +1063,22 @@ def tfidf_top_terms(sf_dir: str, k: int = 2) -> ray.data.Dataset:
                        zero_copy_batch=True),
         ["token"], "df", None, df_part_schema, out_name="df")
 
-    # O(vocab) broadcast: sorted token strings + parallel df counts
-    parts = [b for b in df_tbl.iter_batches(batch_size=65536,
-                                            batch_format="pyarrow")
-             if b.num_rows > 0]
+    # O(vocab) broadcast: sorted token strings + parallel df counts,
+    # collected streaming UNDER THE BYTE CAP — a corpus whose vocab
+    # outgrows it needs the partitioned-join route instead of a
+    # silent driver OOM
+    parts = []
+    total_bytes = 0
+    for b in df_tbl.iter_batches(batch_size=65536,
+                                 batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        total_bytes += b.nbytes
+        if total_bytes > vocab_cap_bytes:
+            raise NotImplementedError(
+                "df vocabulary exceeded the broadcast byte cap; score "
+                "via a token-partitioned join instead of broadcast-back")
+        parts.append(b)
     if parts:
         vt = pa.concat_tables(parts).combine_chunks()
         vtok = vt["token"].to_numpy(zero_copy_only=False)
@@ -1076,7 +1098,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 2) -> ray.data.Dataset:
         if t.num_rows == 0:
             return out_schema.empty_table()
         tok_arr, df_arr = ray.get(df_ref)
-        flat, row_idx = _explode(t)
+        flat, row_idx = _token_explode(t)
         if len(flat) == 0 or len(tok_arr) == 0:
             return out_schema.empty_table()
         doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[row_idx]
@@ -1146,19 +1168,11 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
     def narrow(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return nar_schema.empty_table()
-        col = t["text"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        toks = pc.split_pattern_regex(col, pattern=_NORM_WS_RE)
-        flat = toks.flatten()
-        nonempty = pc.not_equal(pc.utf8_length(flat), 0) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        # tokens per row = non-empty splits per row (boundary empties
-        # dropped, matching regexp_extract_all('\S+'))
-        bounds = np.concatenate([[0], np.cumsum(
-            np.diff(toks.offsets.to_numpy()))])
-        csum = np.concatenate([[0], np.cumsum(nonempty)])
-        n_tok = csum[bounds[1:]] - csum[bounds[:-1]]
+        # per-row token counts via the SHARED explode rule (one
+        # implementation of the \S+ semantics repo-wide)
+        _, row_idx = _token_explode(t)
+        n_tok = np.bincount(row_idx, minlength=t.num_rows) \
+            .astype(np.int64)
         did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"rng": pa.array(did * R // n_docs),
                          "doc_id": pa.array(did),
@@ -1168,16 +1182,31 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
     narrow_ds = ds.map_batches(narrow, batch_format="pyarrow",
                                zero_copy_batch=True).materialize()
 
-    # pass 1: per-range token sums -> exclusive offsets (O(R) driver
-    # state; the narrow stream is materialized once, reused by pass 2)
+    # pass 1: DISTRIBUTED per-range partials (each batch collapses to
+    # <= R rows before anything reaches the driver), then a tiny
+    # driver merge into exclusive offsets — the driver never streams
+    # the O(N) narrow rows itself
+    def range_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"rng": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        rng = t["rng"].to_numpy(zero_copy_only=False)
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+        sums = np.zeros(R, np.int64)
+        np.add.at(sums, rng, nt)
+        nz = np.flatnonzero(sums)
+        return pa.table({"rng": pa.array(nz.astype(np.int64)),
+                         "s": pa.array(sums[nz])})
+
     range_sums = np.zeros(R, np.int64)
-    for b in narrow_ds.iter_batches(batch_size=65536,
-                                    batch_format="pyarrow"):
+    for b in narrow_ds.map_batches(range_partial,
+                                   batch_format="pyarrow") \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
         if b.num_rows == 0:
             continue
-        rng = b["rng"].to_numpy(zero_copy_only=False)
-        nt = b["n_tokens"].to_numpy(zero_copy_only=False)
-        np.add.at(range_sums, rng, nt)
+        np.add.at(range_sums,
+                  b["rng"].to_numpy(zero_copy_only=False),
+                  b["s"].to_numpy(zero_copy_only=False))
     offsets = np.concatenate([[0], np.cumsum(range_sums)[:-1]])
     off_ref = ray.put(offsets)
 
@@ -1237,22 +1266,13 @@ def posting_lists(sf_dir: str, cap: int = POSTINGS_CAP
     def pairs(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pair_schema.empty_table()
-        col = t["text"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        toks = pc.split_pattern_regex(col, pattern=_NORM_WS_RE)
-        flat = toks.flatten()
-        row_idx = np.repeat(np.arange(t.num_rows),
-                            np.diff(toks.offsets.to_numpy()))
-        keep = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(
-            zero_copy_only=False)
-        if not keep.any():
+        flat, row_idx = _token_explode(t)
+        if len(flat) == 0:
             return pair_schema.empty_table()
         df = pd.DataFrame({
-            "token": flat.filter(pa.array(keep)).to_numpy(
-                zero_copy_only=False),
+            "token": flat,
             "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)
-            .astype(np.int64)[row_idx[keep]]}).drop_duplicates()
+            .astype(np.int64)[row_idx]}).drop_duplicates()
         return pa.table({"token": pa.array(df["token"], pa.string()),
                          "doc_id": pa.array(df["doc_id"]
                                             .to_numpy(np.int64))},

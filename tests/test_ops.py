@@ -1840,3 +1840,23 @@ def test_pack_sequences_other_budget(con):
            "CAST(cb // 512 AS BIGINT) AS bin_id, "
            "CAST(cb % 512 AS BIGINT) AS offset_tokens FROM c")
     _compare(pack_sequences(SF, budget=512), sql, con)
+
+
+def test_q19_two_clauses_same_brand(con):
+    """Regression: two clauses sharing a brand with different
+    size/quantity ranges must BOTH be honored (the dim matrix is
+    per-part-per-CLAUSE, not a first-match brand code)."""
+    from image_deduper_ray.pipelines.relational import disjunctive_revenue
+
+    sql = ("SELECT p_brand, CAST(SUM(CAST(FLOOR(l_extendedprice * "
+           "(1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS "
+           "revenue_cents, COUNT(*) AS n_rows "
+           "FROM lineitem JOIN part ON p_partkey = l_partkey "
+           "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 4 "
+           "  AND l_quantity BETWEEN 1 AND 15) "
+           "OR (p_brand = 'Brand#1' AND p_size BETWEEN 5 AND 12 "
+           "  AND l_quantity BETWEEN 30 AND 50) "
+           "GROUP BY p_brand")
+    _compare(disjunctive_revenue(
+        SF, clauses=(("Brand#1", 1, 4, 1, 15),
+                     ("Brand#1", 5, 12, 30, 50))), sql, con)
