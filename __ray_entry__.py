@@ -805,6 +805,16 @@ def _q_product_type_profit(sf_dir: str):
     return product_type_profit(sf_dir)
 
 
+def _q_ann_filtered(sf_dir: str):
+    from image_deduper_ray.pipelines.ann import knn_filtered
+    return knn_filtered(sf_dir, k=10, num_queries=8)
+
+
+def _q_label_centroids(sf_dir: str):
+    from image_deduper_ray.pipelines.ann import label_centroids
+    return label_centroids(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -901,6 +911,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e_retention_cohorts": _q_retention_cohorts,
         "t_quality_weighted_sample": _q_quality_weighted_sample,
         "q9_product_type_profit": _q_product_type_profit,
+        "ann_topk_filtered": _q_ann_filtered,
+        "emb_label_centroids": _q_label_centroids,
     }
 
 
@@ -2245,4 +2257,32 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON n_nationkey = s_nationkey "
             "WHERE p_name LIKE '%widget%' "
             "GROUP BY n_name, year(l_shipdate)",
+        # ann_topk_filtered: filtered vector search — candidates
+        # restricted to label % 2 == 0 BEFORE ranking (filter-then-
+        # search, not post-filtering), same tie rule as the unfiltered
+        # operator
+        "ann_topk_filtered":
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "  FROM embeddings ORDER BY vec_id LIMIT 8) "
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "  SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY "
+            "      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "                             CAST(q.qe AS DOUBLE[])) DESC, "
+            "      e.vec_id) AS rank "
+            "  FROM embeddings e, q "
+            "  WHERE e.vec_id <> q.query_id AND e.label % 2 = 0) "
+            "WHERE rank <= 10",
+        # emb_label_centroids: vector-valued aggregate — per-label
+        # embedding sums quantized PER ROW (floor(1e6 * x)) so the
+        # distributed integer sum is order-independent
+        "emb_label_centroids":
+            "WITH ex AS (SELECT label, unnest(embedding) AS x, "
+            "  unnest(generate_series(1, len(embedding))) AS i "
+            "  FROM embeddings) "
+            "SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(i - 1 AS BIGINT) AS dim, "
+            "CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) "
+            "  AS BIGINT)) AS BIGINT) AS sum_q, "
+            "COUNT(*) AS n_vecs FROM ex GROUP BY label, i",
     }

@@ -814,3 +814,131 @@ def semantic_prune(sf_dir: str, n_centroids: int = 8,
 
     return partitioned_group_map_arrow(assigned, ["cluster_id"], block,
                                        8, out_schema=out_schema)
+
+
+def knn_filtered(sf_dir: str, k: int = 10, num_queries: int = 8,
+                 label_mod: int = 2, label_rem: int = 0
+                 ) -> ray.data.Dataset:
+    """(query_id, neighbor_id, rank) — FILTERED vector search (hybrid
+    search's vector half): exact cosine top-k restricted to candidates
+    whose metadata matches a predicate (``label %% label_mod ==
+    label_rem``). The filter-then-search discipline at scale: the
+    predicate pushes into the Parquet read (row-group pruning), the
+    residual mask applies per batch BEFORE the matmul, and the
+    tie-aware partial top-k / final merge are shared with the
+    unfiltered operator — post-filtering a larger unfiltered top-k
+    would be both wrong (recall holes) and slower.
+
+    Same deterministic tie rule as ``knn_brute`` (sim desc, id asc);
+    self-matches excluded."""
+    qids, Q = load_queries(sf_dir, num_queries)
+    q_ref = ray.put((qids, Q))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(lab % label_mod == label_rem))
+        if t.num_rows == 0:
+            return empty
+        qids_, Q_ = ray.get(q_ref)
+        ids, M = _to_matrix(t.select(["vec_id", "embedding"]))
+        sims = _normalize(M) @ Q_.T
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(qids_):
+            col = sims[:, j]
+            cand = np.flatnonzero(ids != qid)
+            if len(cand) == 0:
+                continue
+            take = min(k, len(cand))
+            vals = col[cand]
+            if len(cand) > take:
+                kth = np.partition(vals, len(vals) - take)[len(vals) - take]
+                keep = vals >= kth
+                cand, vals = cand[keep], vals[keep]
+            order = np.lexsort((ids[cand], -vals))[:take]
+            sel = cand[order]
+            out_q.append(np.full(len(sel), qid, np.int64))
+            out_n.append(ids[sel].astype(np.int64))
+            out_s.append(col[sel].astype(np.float64))
+        if not out_q:
+            return empty
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "neighbor_id": pa.array(np.concatenate(out_n)),
+                         "sim": pa.array(np.concatenate(out_s))})
+
+    cands = ds.map_batches(partial_topk, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return _final_topk(cands, k)
+
+
+def label_centroids(sf_dir: str, scale: int = 1_000_000
+                    ) -> ray.data.Dataset:
+    """(label, dim, sum_q, n_vecs) — VECTOR-VALUED AGGREGATE: the
+    per-label embedding sum, integer-quantized PER ROW
+    (``floor(scale * x_i)``) so the distributed sum is
+    order-independent and the centroid (sum_q / n_vecs in the
+    consumer's hands) hash-matches the SQL oracle exactly. Per-batch
+    combiner: one bincount-weighted pass per dimension block emits
+    O(labels x dim) partial rows, merged by one tiny hash shuffle —
+    the embedding matrix itself never shuffles."""
+    from ..functions.groups import group_starts, partitioned_group_map_arrow
+
+    out_schema = pa.schema([("label", pa.int64()), ("dim", pa.int64()),
+                            ("sum_q", pa.int64()), ("n_vecs", pa.int64())])
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        d = len(flat) // t.num_rows
+        Mq = np.floor(flat.reshape(t.num_rows, d) * scale) \
+            .astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), d), np.int64)
+        np.add.at(sums, inv, Mq)
+        cnt = np.bincount(inv).astype(np.int64)
+        L = np.repeat(ulab, d)
+        return pa.table({
+            "label": pa.array(L),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(ulab))),
+            "sum_q": pa.array(sums.reshape(-1)),
+            "n_vecs": pa.array(np.repeat(cnt, d))}, schema=out_schema)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        comp = (t["label"].to_numpy(zero_copy_only=False) * 100000
+                + t["dim"].to_numpy(zero_copy_only=False))
+        order = np.argsort(comp, kind="stable")
+        comp = comp[order]
+        starts = np.flatnonzero(group_starts(comp))
+        c0 = comp[starts]
+        return pa.table({
+            "label": pa.array(c0 // 100000),
+            "dim": pa.array(c0 % 100000),
+            "sum_q": pa.array(np.add.reduceat(
+                t["sum_q"].to_numpy(zero_copy_only=False)[order], starts)),
+            "n_vecs": pa.array(np.add.reduceat(
+                t["n_vecs"].to_numpy(zero_copy_only=False)[order],
+                starts))}, schema=out_schema)
+
+    return partitioned_group_map_arrow(partials, ["label", "dim"],
+                                       merge, 4, out_schema=out_schema)
