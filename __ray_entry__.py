@@ -815,6 +815,11 @@ def _q_label_centroids(sf_dir: str):
     return label_centroids(sf_dir)
 
 
+def _q_fuzzy_decontaminate(sf_dir: str):
+    from image_deduper_ray.pipelines.textops import fuzzy_decontaminate
+    return fuzzy_decontaminate(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -913,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_product_type_profit": _q_product_type_profit,
         "ann_topk_filtered": _q_ann_filtered,
         "emb_label_centroids": _q_label_centroids,
+        "t_fuzzy_decontaminate": _q_fuzzy_decontaminate,
     }
 
 
@@ -2285,4 +2291,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) "
             "  AS BIGINT)) AS BIGINT) AS sum_q, "
             "COUNT(*) AS n_vecs FROM ex GROUP BY label, i",
+        # t_fuzzy_decontaminate: GPT-3-style fuzzy overlap check —
+        # 5-gram Jaccard >= 0.5 (integer cross-multiplication) against
+        # some benchmark doc (doc_id % 29 == 0, self excluded)
+        "t_fuzzy_decontaminate":
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_split_to_array(trim(text), '\\s+') AS t "
+            "  FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] "
+            "  || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g "
+            "  FROM (SELECT doc_id, t, "
+            "    unnest(generate_series(1, len(t) - 4)) AS i FROM toks)), "
+            "cnt AS (SELECT doc_id, COUNT(*) AS na FROM grams "
+            "  GROUP BY doc_id), "
+            "bench AS (SELECT doc_id AS b_id, g FROM grams "
+            "  WHERE doc_id % 29 = 0), "
+            "bcnt AS (SELECT b_id, COUNT(*) AS nb FROM bench "
+            "  GROUP BY b_id), "
+            "inter AS (SELECT grams.doc_id AS d, bench.b_id, "
+            "  COUNT(*) AS i FROM grams JOIN bench USING (g) "
+            "  WHERE grams.doc_id <> bench.b_id GROUP BY 1, 2), "
+            "hits AS (SELECT d, COUNT(*) AS nf FROM inter "
+            "  JOIN cnt ON cnt.doc_id = d JOIN bcnt USING (b_id) "
+            "  WHERE i * 10000 >= 5000 * (cnt.na + bcnt.nb - i) "
+            "  GROUP BY d) "
+            "SELECT documents.doc_id, "
+            "CAST(COALESCE(nf, 0) AS BIGINT) AS n_flagged_bench, "
+            "COALESCE(nf, 0) > 0 AS fuzzy_contaminated "
+            "FROM documents LEFT JOIN hits ON hits.d = documents.doc_id",
     }

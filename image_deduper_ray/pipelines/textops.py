@@ -1373,3 +1373,119 @@ def quality_weighted_sample(sf_dir: str, base_bp: int = 2000,
                         schema=out_schema)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fuzzy_decontaminate(sf_dir: str, n: int = 5, bench_mod: int = 29,
+                        tau_bp: int = 5000,
+                        max_bench_bytes: int = 256 << 20
+                        ) -> ray.data.Dataset:
+    """(doc_id, n_flagged_bench, fuzzy_contaminated) — FUZZY
+    decontamination: a document is contaminated when its distinct
+    word ``n``-gram Jaccard against SOME benchmark document (doc_id %%
+    ``bench_mod`` == 0, self excluded) reaches ``tau_bp`` basis
+    points — the GPT-3-style overlap check that catches paraphrased /
+    partially copied eval data the exact-hash and Bloom variants
+    miss. The threshold test is integer cross-multiplication
+    (``inter * 10000 >= tau_bp * (|A| + |B| - inter)``), bit-stable
+    against the SQL oracle.
+
+    Scale shape: the benchmark side reduces to a SORTED gram table
+    with parallel benchmark-doc ids (duplicates kept — one row per
+    (gram, benchdoc)), collected under ``max_bench_bytes`` and
+    broadcast once; each corpus batch probes with two searchsorted
+    calls + a CSR expand, and collapses straight to per-(doc, bench)
+    intersection counts. No shuffle touches the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.groups import csr_expand
+    from .docdedup import _distinct_word_ngrams_batch
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_flagged_bench", pa.int64()),
+                            ("fuzzy_contaminated", pa.bool_())])
+
+    ds = read_documents(sf_dir, ["doc_id", "text"])
+
+    # benchmark side: per-batch distinct (bench_id, gram) pairs, then
+    # a driver merge under the byte cap
+    def bench_pairs(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(did % bench_mod == 0))
+        if t.num_rows == 0:
+            return pa.table({"b_id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string())})
+        d, grams = _distinct_word_ngrams_batch(t, n)
+        if d is None:
+            return pa.table({"b_id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string())})
+        bid = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[d]
+        return pa.table({"b_id": pa.array(bid),
+                         "gram": pa.array(grams, pa.string())})
+
+    parts = []
+    total = 0
+    for b in ds.map_batches(bench_pairs, batch_format="pyarrow") \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        total += b.nbytes
+        if total > max_bench_bytes:
+            raise NotImplementedError(
+                "benchmark gram table exceeded the broadcast byte cap; "
+                "probe via a gram-partitioned join instead")
+        parts.append(b)
+    if parts:
+        bt = pa.concat_tables(parts).combine_chunks()
+        bdf = pd.DataFrame({
+            "g": bt["gram"].to_numpy(zero_copy_only=False),
+            "b": bt["b_id"].to_numpy(zero_copy_only=False)}) \
+            .drop_duplicates()          # batches may straddle a doc
+        order = np.lexsort((bdf["b"].to_numpy(), bdf["g"].to_numpy()))
+        bg = bdf["g"].to_numpy()[order]
+        bb = bdf["b"].to_numpy(np.int64)[order]
+        ub, binv = np.unique(bb, return_inverse=True)
+        bsz = np.bincount(binv).astype(np.int64)   # |B| per bench doc
+    else:
+        bg = np.empty(0, object)
+        bb = ub = bsz = np.empty(0, np.int64)
+        binv = np.empty(0, np.int64)
+    bench_ref = ray.put((bg, bb, ub, bsz))
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        bg_, bb_, ub_, bsz_ = ray.get(bench_ref)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flagged = np.zeros(t.num_rows, np.int64)
+        d, grams = (None, None) if len(bg_) == 0 else \
+            _distinct_word_ngrams_batch(t, n)
+        if d is not None:
+            sizes = np.bincount(d, minlength=t.num_rows)  # |A| per row
+            lo = np.searchsorted(bg_, grams, side="left")
+            hi = np.searchsorted(bg_, grams, side="right")
+            src, tgt = csr_expand(lo, hi)
+            # src: index into grams (-> row d[src]); tgt: bench row
+            if len(src):
+                row = d[src]
+                bpos = np.searchsorted(ub_, bb_[tgt])
+                # drop the self pair (a benchmark doc vs itself)
+                notself = did[row] != bb_[tgt]
+                row, bpos = row[notself], bpos[notself]
+                comp = row.astype(np.int64) * len(ub_) + bpos
+                uc, inter = np.unique(comp, return_counts=True)
+                r = (uc // len(ub_)).astype(np.int64)
+                bp = (uc % len(ub_)).astype(np.int64)
+                na = sizes[r]
+                nb = bsz_[bp]
+                hit = inter * 10000 >= tau_bp * (na + nb - inter)
+                if hit.any():
+                    np.add.at(flagged, r[hit], 1)
+        return pa.table({"doc_id": pa.array(did),
+                         "n_flagged_bench": pa.array(flagged),
+                         "fuzzy_contaminated": pa.array(flagged > 0)},
+                        schema=out_schema)
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)

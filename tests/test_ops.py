@@ -69,7 +69,7 @@ SQL_CHECKED = [
     "e_funnel_counts", "t_tfidf_top_terms", "t_pack_sequences",
     "t_posting_lists", "t_leakfree_split", "e_retention_cohorts",
     "t_quality_weighted_sample", "q9_product_type_profit",
-    "ann_topk_filtered", "emb_label_centroids",
+    "ann_topk_filtered", "emb_label_centroids", "t_fuzzy_decontaminate",
 ]
 
 
