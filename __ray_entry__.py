@@ -820,6 +820,11 @@ def _q_fuzzy_decontaminate(sf_dir: str):
     return fuzzy_decontaminate(sf_dir)
 
 
+def _q_value_mad_outliers(sf_dir: str):
+    from image_deduper_ray.pipelines.events import value_mad_outliers
+    return value_mad_outliers(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "m1_sha256": _q_m1_sha256,
@@ -919,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_filtered": _q_ann_filtered,
         "emb_label_centroids": _q_label_centroids,
         "t_fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "e_value_mad_outliers": _q_value_mad_outliers,
     }
 
 
@@ -2319,4 +2325,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(nf, 0) AS BIGINT) AS n_flagged_bench, "
             "COALESCE(nf, 0) > 0 AS fuzzy_contaminated "
             "FROM documents LEFT JOIN hits ON hits.d = documents.doc_id",
+        # e_value_mad_outliers: robust (median/MAD) outliers per event
+        # type — both medians are quantile_disc (Type-1) over integer
+        # cents, outlier when |x - med| > 5 * mad
+        "e_value_mad_outliers":
+            "WITH b AS (SELECT event_type, "
+            "  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents "
+            "  FROM events), "
+            "m AS (SELECT event_type, quantile_disc(cents, 0.5) AS med "
+            "  FROM b GROUP BY event_type), "
+            "d AS (SELECT b.event_type, ABS(cents - med) AS dev "
+            "  FROM b JOIN m USING (event_type)), "
+            "md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad "
+            "  FROM d GROUP BY event_type) "
+            "SELECT m.event_type, CAST(med AS BIGINT) AS median_cents, "
+            "CAST(mad AS BIGINT) AS mad_cents, "
+            "CAST((SELECT COUNT(*) FROM d WHERE d.event_type = "
+            "  m.event_type AND dev > 5 * mad) AS BIGINT) AS n_outliers "
+            "FROM m JOIN md ON md.event_type = m.event_type",
     }

@@ -884,3 +884,126 @@ def retention_cohorts(sf_dir: str) -> ray.data.Dataset:
     return partitioned_group_map_arrow(
         partials, ["cohort_day", "day_offset"], merge, 2,
         out_schema=out_schema)
+
+
+MAD_K = 5
+
+
+def value_mad_outliers(sf_dir: str, k: int = MAD_K) -> ray.data.Dataset:
+    """(event_type, median_cents, mad_cents, n_outliers) — ROBUST
+    outlier detection per event type: median and MAD (median absolute
+    deviation) instead of mean/sigma, so a few extreme values can't
+    drag the threshold (the monitoring-pipeline complement to
+    `t_lang_token_outliers`' k-sigma test). An event is an outlier
+    when ``|cents - median| > k * mad`` — all exact integers.
+
+    ORDER STATISTICS AT SCALE without a sort: values quantize to
+    integer cents with bounded cardinality, so each of the two passes
+    is a distributed exact HISTOGRAM (per-batch (type, cents, cnt)
+    partials, one narrow shuffle-sum) read off cumulatively at the
+    driver — O(types x distinct-values) driver state. Pass 2
+    histogram-counts |cents - median| with the tiny median map
+    broadcast; the median rule is DuckDB's ``quantile_disc`` (Type-1,
+    value at 1-based ceil(n/2))."""
+    from ..functions.groups import partitioned_sum
+
+    hist_schema = pa.schema([("event_type", pa.string()),
+                             ("cents", pa.int64()),
+                             ("cnt", pa.int64())])
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("median_cents", pa.int64()),
+                            ("mad_cents", pa.int64()),
+                            ("n_outliers", pa.int64())])
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "cents": cents})
+        cnt = df.groupby(["event_type", "cents"], sort=False).size() \
+            .reset_index(name="cnt")
+        return pa.table({"event_type": pa.array(cnt["event_type"],
+                                                pa.string()),
+                         "cents": pa.array(cnt["cents"]
+                                           .to_numpy(np.int64)),
+                         "cnt": pa.array(cnt["cnt"].to_numpy(np.int64))},
+                        schema=hist_schema)
+
+    def _read_hist(h: ray.data.Dataset) -> "pd.DataFrame":
+        parts = [b.to_pandas() for b in h.iter_batches(
+            batch_size=65536, batch_format="pyarrow") if b.num_rows > 0]
+        return pd.concat(parts, ignore_index=True) if parts else \
+            pd.DataFrame({"event_type": [], "cents": [], "cnt": []})
+
+    def _type1_median(df: "pd.DataFrame") -> dict:
+        """quantile_disc(0.5) per type from a (type, value, cnt) hist."""
+        med = {}
+        for et, g in df.groupby("event_type", sort=False):
+            g = g.sort_values("cents", kind="mergesort")
+            cum = g["cnt"].to_numpy(np.int64).cumsum()
+            pos = -(-cum[-1] // 2)          # ceil(n/2), 1-based
+            med[et] = int(g["cents"].to_numpy(np.int64)[
+                np.searchsorted(cum, pos)])
+        return med
+
+    # pass 1: value histogram -> per-type median (O(types x values)
+    # driver state, the histogram itself reduced distributedly)
+    hist1 = partitioned_sum(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "cents"], "cnt", None, hist_schema,
+        out_name="cnt")
+    h1 = _read_hist(hist1)
+    medians = _type1_median(h1)
+    med_ref = ray.put(medians)
+
+    # pass 2: deviation histogram with the tiny median map broadcast
+    def dev_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        med = ray.get(med_ref)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        base = np.array([med.get(e, 0) for e in pd.unique(et)])
+        med_arr = pd.Series(base, index=pd.unique(et)).reindex(et) \
+            .to_numpy(np.int64)
+        dev = np.abs(cents - med_arr)
+        df = pd.DataFrame({"event_type": et, "cents": dev})
+        cnt = df.groupby(["event_type", "cents"], sort=False).size() \
+            .reset_index(name="cnt")
+        return pa.table({"event_type": pa.array(cnt["event_type"],
+                                                pa.string()),
+                         "cents": pa.array(cnt["cents"]
+                                           .to_numpy(np.int64)),
+                         "cnt": pa.array(cnt["cnt"].to_numpy(np.int64))},
+                        schema=hist_schema)
+
+    hist2 = partitioned_sum(
+        ds.map_batches(dev_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "cents"], "cnt", None, hist_schema,
+        out_name="cnt")
+    h2 = _read_hist(hist2)
+    mads = _type1_median(h2)
+
+    # outlier counts read straight off the deviation histogram
+    rows = {"event_type": [], "median_cents": [], "mad_cents": [],
+            "n_outliers": []}
+    for et, g in h2.groupby("event_type", sort=False):
+        mad = mads[et]
+        n_out = int(g.loc[g["cents"].to_numpy(np.int64) > k * mad,
+                          "cnt"].sum())
+        rows["event_type"].append(et)
+        rows["median_cents"].append(medians[et])
+        rows["mad_cents"].append(mad)
+        rows["n_outliers"].append(n_out)
+    return ray.data.from_arrow(pa.table(
+        {k2: pa.array(v, out_schema.field(k2).type)
+         for k2, v in rows.items()}, schema=out_schema))

@@ -70,6 +70,7 @@ SQL_CHECKED = [
     "t_posting_lists", "t_leakfree_split", "e_retention_cohorts",
     "t_quality_weighted_sample", "q9_product_type_profit",
     "ann_topk_filtered", "emb_label_centroids", "t_fuzzy_decontaminate",
+    "e_value_mad_outliers",
 ]
 
 
