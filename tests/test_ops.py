@@ -1862,3 +1862,52 @@ def test_q19_two_clauses_same_brand(con):
     _compare(disjunctive_revenue(
         SF, clauses=(("Brand#1", 1, 4, 1, 15),
                      ("Brand#1", 5, 12, 30, 50))), sql, con)
+
+
+def test_knn_filtered_other_predicate(con):
+    from image_deduper_ray.pipelines.ann import knn_filtered
+
+    sql = ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+           "  FROM embeddings ORDER BY vec_id LIMIT 8) "
+           "SELECT query_id, neighbor_id, rank FROM ("
+           "  SELECT q.query_id, e.vec_id AS neighbor_id, "
+           "    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY "
+           "      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+           "                             CAST(q.qe AS DOUBLE[])) DESC, "
+           "      e.vec_id) AS rank "
+           "  FROM embeddings e, q "
+           "  WHERE e.vec_id <> q.query_id AND e.label % 3 = 1) "
+           "WHERE rank <= 5")
+    _compare(knn_filtered(SF, k=5, num_queries=8,
+                          label_mod=3, label_rem=1), sql, con)
+
+
+def test_fuzzy_decontaminate_other_threshold(con):
+    # lower tau flags more docs; the threshold is a live parameter
+    from image_deduper_ray.pipelines.textops import fuzzy_decontaminate
+
+    sql = ("WITH toks AS (SELECT doc_id, "
+           "  regexp_split_to_array(trim(text), '\\s+') AS t "
+           "  FROM documents), "
+           "grams AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] "
+           "  || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g "
+           "  FROM (SELECT doc_id, t, "
+           "    unnest(generate_series(1, len(t) - 4)) AS i FROM toks)), "
+           "cnt AS (SELECT doc_id, COUNT(*) AS na FROM grams "
+           "  GROUP BY doc_id), "
+           "bench AS (SELECT doc_id AS b_id, g FROM grams "
+           "  WHERE doc_id % 29 = 0), "
+           "bcnt AS (SELECT b_id, COUNT(*) AS nb FROM bench "
+           "  GROUP BY b_id), "
+           "inter AS (SELECT grams.doc_id AS d, bench.b_id, "
+           "  COUNT(*) AS i FROM grams JOIN bench USING (g) "
+           "  WHERE grams.doc_id <> bench.b_id GROUP BY 1, 2), "
+           "hits AS (SELECT d, COUNT(*) AS nf FROM inter "
+           "  JOIN cnt ON cnt.doc_id = d JOIN bcnt USING (b_id) "
+           "  WHERE i * 10000 >= 1500 * (cnt.na + bcnt.nb - i) "
+           "  GROUP BY d) "
+           "SELECT documents.doc_id, "
+           "CAST(COALESCE(nf, 0) AS BIGINT) AS n_flagged_bench, "
+           "COALESCE(nf, 0) > 0 AS fuzzy_contaminated "
+           "FROM documents LEFT JOIN hits ON hits.d = documents.doc_id")
+    _compare(fuzzy_decontaminate(SF, tau_bp=1500), sql, con)
