@@ -67,6 +67,40 @@ def load_queries(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray]
     return ids[order], _normalize(m[order])
 
 
+def _batch_topk(ids: np.ndarray, M: np.ndarray, qids_: np.ndarray,
+                Q_: np.ndarray, k: int) -> pa.Table:
+    """Tie-aware per-batch partial top-k shared by the brute and
+    filtered operators: one matmul against the broadcast query matrix,
+    then per query keep k plus ALL candidates tied at the k-th
+    boundary, so the final (sim desc, id asc) order can't lose a
+    smaller-id tie dropped here. Self excluded."""
+    sims = _normalize(M) @ Q_.T  # (batch, nq)
+    out_q, out_n, out_s = [], [], []
+    for j, qid in enumerate(qids_):
+        col = sims[:, j]
+        cand = np.flatnonzero(ids != qid)
+        if len(cand) == 0:
+            continue
+        take = min(k, len(cand))
+        vals = col[cand]
+        if len(cand) > take:
+            kth = np.partition(vals, len(vals) - take)[len(vals) - take]
+            keep = vals >= kth
+            cand, vals = cand[keep], vals[keep]
+        order = np.lexsort((ids[cand], -vals))[:take]
+        sel = cand[order]
+        out_q.append(np.full(len(sel), qid, np.int64))
+        out_n.append(ids[sel].astype(np.int64))
+        out_s.append(col[sel].astype(np.float64))
+    if not out_q:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                     "neighbor_id": pa.array(np.concatenate(out_n)),
+                     "sim": pa.array(np.concatenate(out_s))})
+
+
 def knn_brute(sf_dir: str, k: int = 10, num_queries: int = 8) -> ray.data.Dataset:
     """Exact cosine top-k: (query_id, neighbor_id, rank), self excluded.
     Tie-break (sim desc, neighbor_id asc) — deterministic, so the result
@@ -77,34 +111,7 @@ def knn_brute(sf_dir: str, k: int = 10, num_queries: int = 8) -> ray.data.Datase
     def partial_topk(t: pa.Table) -> pa.Table:
         qids_, Q_ = ray.get(q_ref)
         ids, M = _to_matrix(t)
-        sims = _normalize(M) @ Q_.T  # (batch, nq)
-        out_q, out_n, out_s = [], [], []
-        for j, qid in enumerate(qids_):
-            col = sims[:, j]
-            cand = np.flatnonzero(ids != qid)
-            if len(cand) == 0:
-                continue
-            take = min(k, len(cand))
-            vals = col[cand]
-            if len(cand) > take:
-                # tie-aware partial: keep k plus ALL candidates tied at
-                # the k-th boundary, so the final (sim desc, id asc)
-                # order can't lose a smaller-id tie dropped here.
-                kth = np.partition(vals, len(vals) - take)[len(vals) - take]
-                keep = vals >= kth
-                cand, vals = cand[keep], vals[keep]
-            order = np.lexsort((ids[cand], -vals))[:take]
-            sel = cand[order]
-            out_q.append(np.full(len(sel), qid, np.int64))
-            out_n.append(ids[sel].astype(np.int64))
-            out_s.append(col[sel].astype(np.float64))
-        if not out_q:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "neighbor_id": pa.array([], pa.int64()),
-                             "sim": pa.array([], pa.float64())})
-        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
-                         "neighbor_id": pa.array(np.concatenate(out_n)),
-                         "sim": pa.array(np.concatenate(out_s))})
+        return _batch_topk(ids, M, qids_, Q_, k)
 
     cands = _read_embeddings(sf_dir).map_batches(
         partial_topk, batch_format="pyarrow", zero_copy_batch=True)
@@ -823,11 +830,13 @@ def knn_filtered(sf_dir: str, k: int = 10, num_queries: int = 8,
     search's vector half): exact cosine top-k restricted to candidates
     whose metadata matches a predicate (``label %% label_mod ==
     label_rem``). The filter-then-search discipline at scale: the
-    predicate pushes into the Parquet read (row-group pruning), the
-    residual mask applies per batch BEFORE the matmul, and the
-    tie-aware partial top-k / final merge are shared with the
-    unfiltered operator — post-filtering a larger unfiltered top-k
-    would be both wrong (recall holes) and slower.
+    predicate mask applies per batch BEFORE the matmul (a modulo
+    predicate carries no min/max row-group statistics, so only the
+    narrow label column is scanned extra — no Parquet pruning is
+    possible or claimed), and the tie-aware partial top-k / final
+    merge are shared with the unfiltered operator (``_batch_topk``) —
+    post-filtering a larger unfiltered top-k would be both wrong
+    (recall holes) and slower.
 
     Same deterministic tie rule as ``knn_brute`` (sim desc, id asc);
     self-matches excluded."""
@@ -839,38 +848,15 @@ def knn_filtered(sf_dir: str, k: int = 10, num_queries: int = 8,
         columns=["vec_id", "embedding", "label"])
 
     def partial_topk(t: pa.Table) -> pa.Table:
-        empty = pa.table({"query_id": pa.array([], pa.int64()),
-                          "neighbor_id": pa.array([], pa.int64()),
-                          "sim": pa.array([], pa.float64())})
         lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         t = t.filter(pa.array(lab % label_mod == label_rem))
         if t.num_rows == 0:
-            return empty
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         qids_, Q_ = ray.get(q_ref)
         ids, M = _to_matrix(t.select(["vec_id", "embedding"]))
-        sims = _normalize(M) @ Q_.T
-        out_q, out_n, out_s = [], [], []
-        for j, qid in enumerate(qids_):
-            col = sims[:, j]
-            cand = np.flatnonzero(ids != qid)
-            if len(cand) == 0:
-                continue
-            take = min(k, len(cand))
-            vals = col[cand]
-            if len(cand) > take:
-                kth = np.partition(vals, len(vals) - take)[len(vals) - take]
-                keep = vals >= kth
-                cand, vals = cand[keep], vals[keep]
-            order = np.lexsort((ids[cand], -vals))[:take]
-            sel = cand[order]
-            out_q.append(np.full(len(sel), qid, np.int64))
-            out_n.append(ids[sel].astype(np.int64))
-            out_s.append(col[sel].astype(np.float64))
-        if not out_q:
-            return empty
-        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
-                         "neighbor_id": pa.array(np.concatenate(out_n)),
-                         "sim": pa.array(np.concatenate(out_s))})
+        return _batch_topk(ids, M, qids_, Q_, k)
 
     cands = ds.map_batches(partial_topk, batch_format="pyarrow",
                            zero_copy_batch=True)
@@ -925,15 +911,16 @@ def label_centroids(sf_dir: str, scale: int = 1_000_000
     def merge(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return out_schema.empty_table()
-        comp = (t["label"].to_numpy(zero_copy_only=False) * 100000
-                + t["dim"].to_numpy(zero_copy_only=False))
-        order = np.argsort(comp, kind="stable")
-        comp = comp[order]
-        starts = np.flatnonzero(group_starts(comp))
-        c0 = comp[starts]
+        # collision-free multi-key grouping (no packed magic constant:
+        # a dim >= the pack base would silently merge groups)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        dim = t["dim"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dim, lab))
+        lab, dim = lab[order], dim[order]
+        starts = np.flatnonzero(group_starts(lab, dim))
         return pa.table({
-            "label": pa.array(c0 // 100000),
-            "dim": pa.array(c0 % 100000),
+            "label": pa.array(lab[starts]),
+            "dim": pa.array(dim[starts]),
             "sum_q": pa.array(np.add.reduceat(
                 t["sum_q"].to_numpy(zero_copy_only=False)[order], starts)),
             "n_vecs": pa.array(np.add.reduceat(

@@ -918,15 +918,11 @@ def value_mad_outliers(sf_dir: str, k: int = MAD_K) -> ray.data.Dataset:
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_type", "value"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return hist_schema.empty_table()
-        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
-                         * 100 + 0.5).astype(np.int64)
-        df = pd.DataFrame({
-            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
-            "cents": cents})
-        cnt = df.groupby(["event_type", "cents"], sort=False).size() \
+    def _hist(et: np.ndarray, cents: np.ndarray) -> pa.Table:
+        """(type, value, count) histogram partial — ONE implementation
+        shared by the value pass and the deviation pass."""
+        cnt = pd.DataFrame({"event_type": et, "cents": cents}) \
+            .groupby(["event_type", "cents"], sort=False).size() \
             .reset_index(name="cnt")
         return pa.table({"event_type": pa.array(cnt["event_type"],
                                                 pa.string()),
@@ -934,6 +930,14 @@ def value_mad_outliers(sf_dir: str, k: int = MAD_K) -> ray.data.Dataset:
                                            .to_numpy(np.int64)),
                          "cnt": pa.array(cnt["cnt"].to_numpy(np.int64))},
                         schema=hist_schema)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hist_schema.empty_table()
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        return _hist(t["event_type"].to_numpy(zero_copy_only=False),
+                     cents)
 
     def _read_hist(h: ray.data.Dataset) -> "pd.DataFrame":
         parts = [b.to_pandas() for b in h.iter_batches(
@@ -971,19 +975,10 @@ def value_mad_outliers(sf_dir: str, k: int = MAD_K) -> ray.data.Dataset:
         et = t["event_type"].to_numpy(zero_copy_only=False)
         cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
                          * 100 + 0.5).astype(np.int64)
-        base = np.array([med.get(e, 0) for e in pd.unique(et)])
-        med_arr = pd.Series(base, index=pd.unique(et)).reindex(et) \
-            .to_numpy(np.int64)
-        dev = np.abs(cents - med_arr)
-        df = pd.DataFrame({"event_type": et, "cents": dev})
-        cnt = df.groupby(["event_type", "cents"], sort=False).size() \
-            .reset_index(name="cnt")
-        return pa.table({"event_type": pa.array(cnt["event_type"],
-                                                pa.string()),
-                         "cents": pa.array(cnt["cents"]
-                                           .to_numpy(np.int64)),
-                         "cnt": pa.array(cnt["cnt"].to_numpy(np.int64))},
-                        schema=hist_schema)
+        # vectorized map; an event type pass 1 never saw maps to NaN
+        # and FAILS the int64 cast loudly (never a silent median of 0)
+        med_arr = pd.Series(et).map(med).to_numpy(np.int64)
+        return _hist(et, np.abs(cents - med_arr))
 
     hist2 = partitioned_sum(
         ds.map_batches(dev_partial, batch_format="pyarrow",

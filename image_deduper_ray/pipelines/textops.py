@@ -1389,11 +1389,12 @@ def fuzzy_decontaminate(sf_dir: str, n: int = 5, bench_mod: int = 29,
     (``inter * 10000 >= tau_bp * (|A| + |B| - inter)``), bit-stable
     against the SQL oracle.
 
-    Scale shape: the benchmark side reduces to a SORTED gram table
-    with parallel benchmark-doc ids (duplicates kept — one row per
-    (gram, benchdoc)), collected under ``max_bench_bytes`` and
-    broadcast once; each corpus batch probes with two searchsorted
-    calls + a CSR expand, and collapses straight to per-(doc, bench)
+    Scale shape: the benchmark side reduces to a CSR gram table —
+    unique grams as ONE Arrow StringArray (zero-copy through plasma,
+    probed with the C-level ``index_in`` kernel) plus int64 offset /
+    bench-position arrays — collected under ``max_bench_bytes`` and
+    broadcast once; each corpus batch probes with one ``index_in`` +
+    a CSR expand, and collapses straight to per-(doc, bench)
     intersection counts. No shuffle touches the corpus."""
     import numpy as np
     import pandas as pd
@@ -1438,40 +1439,53 @@ def fuzzy_decontaminate(sf_dir: str, n: int = 5, bench_mod: int = 29,
         parts.append(b)
     if parts:
         bt = pa.concat_tables(parts).combine_chunks()
-        bdf = pd.DataFrame({
-            "g": bt["gram"].to_numpy(zero_copy_only=False),
-            "b": bt["b_id"].to_numpy(zero_copy_only=False)}) \
-            .drop_duplicates()          # batches may straddle a doc
-        order = np.lexsort((bdf["b"].to_numpy(), bdf["g"].to_numpy()))
-        bg = bdf["g"].to_numpy()[order]
-        bb = bdf["b"].to_numpy(np.int64)[order]
+        # no driver dedupe needed: each document is ONE row handled by
+        # exactly one bench_pairs call, which already emits distinct
+        # (b_id, gram) pairs
+        bg = bt["gram"].to_numpy(zero_copy_only=False)
+        bb = bt["b_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((bb, bg))
+        bg, bb = bg[order], bb[order]
         ub, binv = np.unique(bb, return_inverse=True)
         bsz = np.bincount(binv).astype(np.int64)   # |B| per bench doc
+        # CSR over UNIQUE grams: offsets into the (gram-sorted) flat
+        # bench-position array — index_in probes the unique StringArray
+        # at C speed, and the per-occurrence bench position (binv) is
+        # computed ONCE here, never re-derived per batch
+        ug_np, counts = np.unique(bg, return_counts=True)
+        ug = pa.array(ug_np, pa.string())
+        offsets = np.concatenate([[0], np.cumsum(counts)]) \
+            .astype(np.int64)
+        bpos_flat = binv.astype(np.int64)          # aligned with bg order
     else:
-        bg = np.empty(0, object)
-        bb = ub = bsz = np.empty(0, np.int64)
-        binv = np.empty(0, np.int64)
-    bench_ref = ray.put((bg, bb, ub, bsz))
+        ug = pa.array([], pa.string())
+        offsets = np.zeros(1, np.int64)
+        bpos_flat = ub = bsz = np.empty(0, np.int64)
+    bench_ref = ray.put((ug, offsets, bpos_flat, ub, bsz))
 
     def probe(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return out_schema.empty_table()
-        bg_, bb_, ub_, bsz_ = ray.get(bench_ref)
+        ug_, off_, bpf_, ub_, bsz_ = ray.get(bench_ref)
         did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         flagged = np.zeros(t.num_rows, np.int64)
-        d, grams = (None, None) if len(bg_) == 0 else \
+        d, grams = (None, None) if len(ub_) == 0 else \
             _distinct_word_ngrams_batch(t, n)
         if d is not None:
             sizes = np.bincount(d, minlength=t.num_rows)  # |A| per row
-            lo = np.searchsorted(bg_, grams, side="left")
-            hi = np.searchsorted(bg_, grams, side="right")
+            pos = pc.index_in(pa.array(grams, pa.string()),
+                              value_set=ug_).fill_null(-1) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            found = pos >= 0
+            lo = np.where(found, off_[np.maximum(pos, 0)], 0)
+            hi = np.where(found, off_[np.maximum(pos, 0) + 1], 0)
             src, tgt = csr_expand(lo, hi)
             # src: index into grams (-> row d[src]); tgt: bench row
             if len(src):
                 row = d[src]
-                bpos = np.searchsorted(ub_, bb_[tgt])
+                bpos = bpf_[tgt]
                 # drop the self pair (a benchmark doc vs itself)
-                notself = did[row] != bb_[tgt]
+                notself = did[row] != ub_[bpos]
                 row, bpos = row[notself], bpos[notself]
                 comp = row.astype(np.int64) * len(ub_) + bpos
                 uc, inter = np.unique(comp, return_counts=True)
